@@ -1,0 +1,232 @@
+"""Query registry: every implemented operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus, where SQL-expressible, an
+equivalent DuckDB oracle SQL string.
+
+This is the single source of truth behind ``__spark_entry__.queries()``
+and ``__spark_entry__.oracle_sql()`` — the driver's correctness gate —
+and behind tests/test_oracle_parity.py, which runs the same comparison
+locally at sf0.01 before the driver does.
+
+Cross-engine determinism rules used throughout:
+  * vector math in double precision with sequential left-to-right folds
+    (bit-identical to DuckDB's list_* functions — verified in tests);
+  * seeded randomness via md5 keyed hashes, never engine RNGs;
+  * order-dependent float aggregates (avg over many rows) rounded to 6
+    decimals on both sides; order-independent ones (min/max) left exact;
+  * every computed column aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
+from nano_vectordb_spark.operators import gt as gt_ops
+from nano_vectordb_spark.operators import sample as sample_ops
+from nano_vectordb_spark.operators import topk as topk_ops
+from nano_vectordb_spark.sources.tables import load_table
+
+K = 10
+NQ = 20
+SEED = 42
+
+
+@dataclass(frozen=True)
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+
+
+REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = Entry(fn, oracle)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect)
+# --------------------------------------------------------------------------
+
+# seeded sample of NQ query vectors (operators/sample.py semantics)
+_SQL_QUERIES = f"""
+  SELECT (row_number() OVER w - 1) AS query_id,
+         vec_id AS source_vec_id,
+         embedding
+  FROM embeddings
+  WINDOW w AS (ORDER BY md5('{SEED}:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+  ORDER BY md5('{SEED}:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT {NQ}
+"""
+
+_SQL_TOPK_MULTI = f"""
+WITH q AS ({_SQL_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
+"""
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sample_ops.sample_queries(emb, NQ, seed=SEED, mode="random")
+
+
+# --------------------------------------------------------------------------
+# Vector search core (reference O9-O17, O20-O21)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_dot",
+    oracle=f"""
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+)
+def topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: single-query exact top-k by dot score (reference O9,
+    src/flat_index.cpp:16-48)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return topk_ops.topk(emb, qvec, K, metric="dot")
+
+
+@register(
+    "topk_l2",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       list_aggregate(list_transform(list_zip(CAST(embedding AS DOUBLE[]), (SELECT v FROM q)),
+         p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS score
+FROM embeddings
+ORDER BY score ASC, vec_id ASC
+LIMIT {K}
+""",
+)
+def topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query exact top-k by L2^2 distance (reference O7)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return topk_ops.topk(emb, qvec, K, metric="l2")
+
+
+@register(
+    "topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 7)
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT v FROM q))
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product((SELECT v FROM q), (SELECT v FROM q)))) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+)
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    return topk_ops.topk(emb, qvec, K, metric="cosine")
+
+
+@register("topk_multi_window", oracle=_SQL_TOPK_MULTI)
+def topk_multi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query exact top-k, declarative strategy
+    (reference O14, apps/nvdb_bench.cpp:47-159)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return topk_ops.topk_multi(emb, _queries_df(spark, sf_dir), K, strategy="window")
+
+
+@register("topk_multi_twophase", oracle=_SQL_TOPK_MULTI)
+def topk_multi_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query exact top-k, partial/final strategy
+    (reference O10-O12 heap-merge pattern), rescored exactly so the
+    output is bit-identical to the declarative definition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    two = topk_ops.topk_multi(emb, q, K, strategy="two_phase")
+    return topk_ops.exact_rescore(emb, q, two)
+
+
+@register(
+    "gt_build",
+    oracle=f"""
+WITH ranked AS ({_SQL_TOPK_MULTI})
+SELECT query_id, CAST({K} AS INT) AS k,
+       list(vec_id ORDER BY rank ASC) AS gt_ids
+FROM ranked GROUP BY query_id
+""",
+)
+def gt_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN ground truth (reference O16, apps/nvdb_gt_build.cpp:74-124)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gt_ops.gt_build(emb, _queries_df(spark, sf_dir), K)
+
+
+@register(
+    "sample_queries",
+    oracle=_SQL_QUERIES,
+)
+def sample_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded query sampling (reference O21, tools/nvdb_make_query.cpp:56-75)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sample_ops.sample_queries(emb, NQ, seed=SEED, mode="random")
+
+
+@register(
+    "slice_first_n",
+    oracle="SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id ASC LIMIT 100",
+)
+def slice_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-n slice (reference O20, tools/nvdb_slice.cpp:27-75)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    return sample_ops.slice_first_n(emb, 100)
+
+
+@register(
+    "sanity_stats",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count_if(len(embedding) <> (SELECT max(len(embedding)) FROM embeddings)) AS BIGINT) AS n_bad_dim,
+       CAST(count_if(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(isnan(x) OR isinf(x) AS INT)), 'sum') > 0) AS BIGINT) AS n_nonfinite,
+       min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS min_norm,
+       max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS max_norm,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings
+""",
+)
+def sanity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data sanity invariants (reference O24, apps/nvdb_sanity.cpp:7-47):
+    NaN/Inf absence, dimension consistency, L2-norm spread."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    return emb.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.size("embedding") != F.lit(dim)).cast("long")).alias("n_bad_dim"),
+        F.sum(has_nan_expr("embedding").cast("long")).alias("n_nonfinite"),
+        F.min(norm_expr("embedding")).alias("min_norm"),
+        F.max(norm_expr("embedding")).alias("max_norm"),
+        F.round(F.avg(norm_expr("embedding")), 6).alias("avg_norm"),
+    )
