@@ -57,6 +57,18 @@ def _ordering(metric: str) -> list[Column]:
     return [lead, F.col("vec_id").asc()]
 
 
+def rank_topk(scored: DataFrame, k: int, metric: str = "dot") -> DataFrame:
+    """Rank a pre-scored (query_id, vec_id, score, ...) relation and keep
+    the best k per query. Lets any scoring space (f32, i8+scale, f16,
+    PQ/ADC) share one ranking definition — the reference's TopKBuffer
+    contract (O13)."""
+    return (
+        scored.withColumn("rank", F.row_number().over(_rank_window(metric)))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 def topk(
     base: DataFrame,
     query_vec: Sequence[float],
