@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from nano_vectordb_spark.functions import quantize as qz
 from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
 from nano_vectordb_spark.operators import gt as gt_ops
+from nano_vectordb_spark.operators import ivf as ivf_ops
 from nano_vectordb_spark.operators import refine as refine_ops
 from nano_vectordb_spark.operators import sample as sample_ops
 from nano_vectordb_spark.operators import topk as topk_ops
@@ -459,3 +460,47 @@ def topk_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", dot_expr("embedding_f16", "__qvec").alias("score")
     )
     return topk_ops.rank_topk(scored, K, metric="dot")
+
+
+# --------------------------------------------------------------------------
+# IVF (reference O26, O28) — no SQL oracle (KMeans); self-oracle recall
+# ladder lives in tests/test_ivf.py, the reference's own validation shape.
+# --------------------------------------------------------------------------
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf_ops.IvfIndex:
+    base = load_table(spark, sf_dir, "embeddings")
+    return ivf_ops.ivf_build(base, nlist=_IVF_NLIST, seed=SEED)
+
+
+@register("ivf_search", oracle=None)
+def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probing search (reference O28): top-nprobe centroids ->
+    pruned scan -> top-k. Driver records rows-only; exactness vs the
+    flat scan at nprobe=nlist is asserted in tests/test_ivf.py."""
+    index = _ivf_index(spark, sf_dir)
+    return ivf_ops.ivf_search(
+        index, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
+    )
+
+
+@register("ivf_recall_sweep", oracle=None)
+def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall ladder over nprobe (reference Performance.md Table 16
+    shape): one row per nprobe with recall@10 vs the exact GT."""
+    index = _ivf_index(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    base = load_table(spark, sf_dir, "embeddings")
+    gtab = gt_ops.gt_build(base, q, K).select("query_id", "gt_ids")
+    rows = []
+    for nprobe in (1, 2, 4, 8, _IVF_NLIST):
+        pred = gt_ops.gt_from_topk(ivf_ops.ivf_search(index, q, K, nprobe=nprobe), K)
+        pred = pred.select("query_id", F.col("gt_ids").alias("pred_ids"))
+        r = gt_ops.recall_at_k(gtab, pred, K).first()
+        rows.append((nprobe, float(r.recall_at_k), int(r.n_queries)))
+    return spark.createDataFrame(
+        rows, "nprobe int, recall_at_k double, n_queries bigint"
+    )
