@@ -1,0 +1,114 @@
+"""Document-level text operators: chunking and the text->embedding
+pipeline plumbing.
+
+Reference surface (SURVEY.md O33, scripts/build_vecbin_chunked.py):
+  * sentence/size-aware chunking (:189-225) — here as (a) a fixed-width
+    chunker (oracle-backed) and (b) a greedy word-boundary chunker as a
+    native higher-order fold (no Python in the loop);
+  * deterministic hash-projection embeddings stand in for the
+    SentenceTransformer encode (:294-300) so the pipeline is testable
+    without model weights — normalized output, like the reference's
+    normalize_embeddings=True.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.functions.text import token_hash_expr, tokens_expr
+from nano_vectordb_spark.functions.vector import normalize_expr
+
+
+def chunk_fixed(
+    df: DataFrame, max_chars: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixed-width character chunking: explode substrings of exactly
+    max_chars (last one shorter). Pure narrow transform — chunking 100 TB
+    is embarrassingly parallel with zero shuffle."""
+    n_chunks = F.ceil(F.length(text_col) / F.lit(max_chars)).cast("int")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "__i"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("__t"), F.col("__i") * max_chars + 1, max_chars
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_chars", F.length("chunk"))
+    )
+
+
+def chunk_words(
+    df: DataFrame, max_chars: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy word-boundary chunking <= max_chars (the reference's
+    sentence-aware splitter adapted to word boundaries,
+    build_vecbin_chunked.py:189-225), as a native aggregate fold —
+    state is (finished chunks, current chunk), merged token by token."""
+    toks = tokens_expr(F.col(text_col))
+    zero = F.struct(
+        F.lit([]).cast("array<string>").alias("done"), F.lit("").alias("cur")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cur = acc["cur"]
+        joined = F.when(cur == "", x).otherwise(F.concat(cur, F.lit(" "), x))
+        fits = F.length(joined) <= max_chars
+        # an oversize token (> max_chars on its own) must not flush an
+        # empty current chunk — it becomes its own oversize chunk
+        flushed = F.when(cur == "", acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(cur))
+        )
+        return F.struct(
+            F.when(fits, acc["done"]).otherwise(flushed).alias("done"),
+            F.when(fits, joined).otherwise(x).alias("cur"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.when(acc["cur"] == "", acc["done"]).otherwise(
+            F.concat(acc["done"], F.array(acc["cur"]))
+        )
+
+    chunks = F.aggregate(toks, zero, step, finish)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    ).withColumn("chunk_chars", F.length("chunk"))
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int,
+    text_col: str = "chunk",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-projection embedding: each token adds weight
+    1/(pos+1) to bucket (token_hash mod dim); the result is
+    L2-normalized. A testable stand-in for the model encode step of the
+    reference pipeline (O33) with the same shape contract: fixed dim,
+    normalized, order-sensitive."""
+    toks = tokens_expr(F.col(text_col))
+    buckets = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            (token_hash_expr(x) % dim).cast("int").alias("b"),
+            (F.lit(1.0) / (i + 1).cast("double")).alias("w"),
+        ),
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            buckets,
+            F.lit(0.0),
+            lambda acc, s: acc + F.when(s["b"] == d, s["w"]).otherwise(F.lit(0.0)),
+        ),
+    )
+    # all-zero rows (no tokens) stay zero instead of dividing by 0
+    safe = F.when(F.size(toks) == 0, raw).otherwise(normalize_expr(raw))
+    return df.withColumn(out_col, safe)

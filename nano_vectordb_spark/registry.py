@@ -25,11 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nano_vectordb_spark.functions import quantize as qz
+from nano_vectordb_spark.functions import text as tx
 from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
 from nano_vectordb_spark.operators import gt as gt_ops
 from nano_vectordb_spark.operators import ivf as ivf_ops
 from nano_vectordb_spark.operators import refine as refine_ops
 from nano_vectordb_spark.operators import sample as sample_ops
+from nano_vectordb_spark.operators import textops as text_ops
 from nano_vectordb_spark.operators import topk as topk_ops
 from nano_vectordb_spark.sources.tables import load_table
 
@@ -503,4 +505,211 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((nprobe, float(r.recall_at_k), int(r.n_queries)))
     return spark.createDataFrame(
         rows, "nprobe int, recall_at_k double, n_queries bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (pipeline extensions over `documents`; reference analog O33)
+# --------------------------------------------------------------------------
+
+_SQL_TOKS = """
+  SELECT doc_id, text, n_chars,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+"""
+
+
+def _toks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tx.tokens_expr("text")
+    )
+
+
+@register(
+    "token_stats",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS})
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_uniq_tokens,
+       n_chars,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) END AS avg_token_len
+FROM t
+""",
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): totals, distinct, average
+    token length per document."""
+    d = _toks_df(spark, sf_dir)
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq_tokens"),
+        "n_chars",
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(sum_len.cast("double") / n.cast("double"))
+        .alias("avg_token_len"),
+    )
+
+
+def _sql_marker_hits(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
+    return f"CAST(len(list_filter(toks, x -> list_contains([{lst}], x))) AS INT)"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS}),
+h AS (
+  SELECT doc_id,
+         {_sql_marker_hits("en")} AS en_hits,
+         {_sql_marker_hits("de")} AS de_hits,
+         {_sql_marker_hits("es")} AS es_hits,
+         {_sql_marker_hits("fr")} AS fr_hits
+  FROM t
+)
+SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+       CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM h
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via stopword-marker voting (n-gram heuristic family).
+    Note: the synthetic corpus uses the same vocabulary for every lang
+    label, so this predicts from content, not the label — the operator
+    contract, not label agreement, is what the oracle checks."""
+    d = _toks_df(spark, sf_dir)
+    hits = {
+        lang: tx.marker_hits_expr(F.col("toks"), tx.LANG_MARKERS[lang]).alias(
+            f"{lang}_hits"
+        )
+        for lang in ("en", "de", "es", "fr")
+    }
+    h = d.select("doc_id", *hits.values())
+    return h.select(
+        "doc_id",
+        "en_hits",
+        "de_hits",
+        "es_hits",
+        "fr_hits",
+        tx.lang_pred_expr(
+            F.col("en_hits"), F.col("de_hits"), F.col("es_hits"), F.col("fr_hits")
+        ).alias("pred_lang"),
+    )
+
+
+_SQL_EN_STOP = ", ".join(f"'{m}'" for m in tx.EN_STOPWORDS)
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS}),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains([{_SQL_EN_STOP}], x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN length(lower(text)) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(lower(text)) AS DOUBLE) END AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
+       0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+         + 0.3 * (1.0 - stopword_ratio)
+         + 0.2 * (1.0 - punct_ratio) AS quality
+FROM m
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length saturation, stopword ratio,
+    punctuation ratio, composite score in [0,1]."""
+    d = _toks_df(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        tx.stopword_ratio_expr(F.col("toks")).alias("stopword_ratio"),
+        tx.punct_ratio_expr("text").alias("punct_ratio"),
+        tx.quality_expr(F.col("toks"), "text").alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS})
+SELECT doc_id,
+       CAST(list_aggregate(list_transform(toks,
+              (x, i) -> (('0x' || substr(md5(x), 1, 7))::BIGINT) * (((i - 1) % 64) + 1)),
+            'sum') % {tx.FP_MOD} AS BIGINT) AS fingerprint,
+       md5(text) AS content_md5
+FROM t
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: position-weighted rolling hash over
+    token hashes + exact content md5."""
+    d = _toks_df(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.fingerprint_expr(F.col("toks")).alias("fingerprint"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+_CHUNK_CHARS = 120
+
+
+@register(
+    "chunk_fixed",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(CAST(ceil(length(text) / {_CHUNK_CHARS}.0) AS BIGINT), 1))) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       substr(text, CAST(i * {_CHUNK_CHARS} + 1 AS INT), {_CHUNK_CHARS}) AS chunk,
+       CAST(length(substr(text, CAST(i * {_CHUNK_CHARS} + 1 AS INT), {_CHUNK_CHARS})) AS INT) AS chunk_chars
+FROM ex
+""",
+)
+def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width character chunking (reference O33 chunker, simplified
+    to fixed windows; word-boundary variant is chunk_words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_fixed(docs, _CHUNK_CHARS)
+
+
+@register("chunk_words", oracle=None)
+def chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy word-boundary chunking <= 120 chars via a native fold
+    (reference build_vecbin_chunked.py:189-225). No SQL oracle (fold
+    with struct state); verified against a pure-Python reference in
+    tests/test_textops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_words(docs, _CHUNK_CHARS)
+
+
+@register("pipeline_chunks_embed", oracle=None)
+def pipeline_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O33 pipeline end-to-end: documents -> word chunks ->
+    deterministic hash-projection embeddings (normalized, dim=32).
+    Invariants (norm==1, determinism) in tests/test_textops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
+    return text_ops.hash_embed(chunks, dim=32).select(
+        "doc_id", "chunk_id", "chunk_chars", "embedding"
     )

@@ -1,0 +1,85 @@
+"""Text pipeline tests: greedy chunker vs a pure-Python reference,
+hash-embedding invariants (SURVEY.md §5c shape for the O33 pipeline)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators import textops
+from tests.conftest import SF_CORRECT
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+def py_chunk_words(text: str, max_chars: int) -> list[str]:
+    toks = [t for t in text.split(" ") if t]
+    done: list[str] = []
+    cur = ""
+    for t in toks:
+        joined = t if not cur else f"{cur} {t}"
+        if len(joined) <= max_chars:
+            cur = joined
+        else:
+            if cur:
+                done.append(cur)
+            cur = t
+    if cur:
+        done.append(cur)
+    return done
+
+
+def test_chunk_words_matches_python(spark):
+    rows = textops.chunk_words(_docs(spark), 120).orderBy("doc_id", "chunk_id").collect()
+    got: dict[int, list[str]] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r.chunk)
+    src = {r.doc_id: r.text for r in _docs(spark).collect()}
+    assert set(got) == set(src)
+    for doc_id, text in src.items():
+        assert got[doc_id] == py_chunk_words(text, 120), doc_id
+
+
+def test_chunk_words_bounds(spark):
+    df = textops.chunk_words(_docs(spark), 120)
+    assert df.filter(F.col("chunk_chars") > 120).count() == 0
+    assert df.filter(F.col("chunk_chars") == 0).count() == 0
+
+
+def test_chunk_words_oversize_token(spark):
+    # a token longer than max_chars becomes its own oversize chunk,
+    # with no spurious empty chunk before it
+    df = spark.createDataFrame(
+        [(0, "x" * 200 + " ok tail", "en", "s", 209)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = textops.chunk_words(df, 120).orderBy("chunk_id").collect()
+    assert [r.chunk for r in rows] == ["x" * 200, "ok tail"]
+    assert py_chunk_words("x" * 200 + " ok tail", 120) == ["x" * 200, "ok tail"]
+
+
+def test_chunk_fixed_reassembles(spark):
+    df = textops.chunk_fixed(_docs(spark), 120)
+    re = df.groupBy("doc_id").agg(
+        F.concat_ws(
+            "", F.transform(F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))), lambda s: s["chunk"])
+        ).alias("rebuilt")
+    )
+    joined = re.join(_docs(spark), "doc_id")
+    assert joined.filter(F.col("rebuilt") != F.col("text")).count() == 0
+
+
+def test_hash_embed_normalized_and_deterministic(spark):
+    chunks = textops.chunk_words(_docs(spark).limit(50), 120)
+    emb = textops.hash_embed(chunks, dim=32)
+    rows = emb.select("doc_id", "chunk_id", "embedding").collect()
+    for r in rows:
+        nrm = math.sqrt(sum(x * x for x in r.embedding))
+        assert abs(nrm - 1.0) < 1e-9, (r.doc_id, r.chunk_id, nrm)
+    rows2 = textops.hash_embed(chunks, dim=32).select("embedding").collect()
+    assert [list(r.embedding) for r in rows2] == [
+        list(r.embedding) for r in emb.select("embedding").collect()
+    ]
