@@ -1,0 +1,303 @@
+"""Deduplication family for training-data pipelines (north-star
+extension per BASELINE.json; built on the same hashing/similarity
+primitives as the vector core).
+
+Operators:
+  * exact_dedup            — content-hash groupBy (the 100 TB shape:
+                             one shuffle on a 16-byte key)
+  * ngram_shingles         — word n-gram shingle sets
+  * ngram_jaccard_pairs    — exact Jaccard near-dup pairs via
+                             shingle-inverted-index join (shuffle on
+                             shingle, never an N^2 cross join)
+  * minhash_signatures /
+    minhash_lsh_pairs      — MinHash + banded LSH candidate generation,
+                             then exact-Jaccard verification
+  * simhash / simhash_pairs— 32-bit SimHash; pair generation uses an
+                             8x4-bit band join which by pigeonhole is
+                             EXACT for hamming <= 7 (no missed pairs),
+                             then verifies the true hamming distance
+  * embedding_neardup_pairs— exact cosine near-dup pairs (brute force;
+                             the scale path composes with the IVF index
+                             to block candidates first)
+
+All hashes derive from md5 hex slices (28-bit) so every engine with md5
+reproduces signatures bit-for-bit — the oracle runs the same algorithm,
+including the same MinHash permutation constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.functions.text import token_hash_expr, tokens_expr
+from nano_vectordb_spark.functions.vector import dot_expr
+
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perms(k: int) -> list[tuple[int, int]]:
+    """Fixed, engine-independent permutation constants (embedded
+    literally into the oracle SQL as well)."""
+    out = []
+    for i in range(k):
+        a = ((2 * i + 1) * 2_654_435_761) % MINHASH_P
+        b = (i * 40_503 + 2_531_011) % MINHASH_P
+        out.append((a if a != 0 else 1, b))
+    return out
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: one row per distinct content hash with the
+    kept (minimum) id and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col).alias("doc_id"))
+        .groupBy("content_md5")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingles) with shingles = distinct word n-grams; docs
+    with fewer than n tokens are dropped (no shingle exists)."""
+    toks = tokens_expr(F.col(text_col))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+    )
+    return d.select(
+        "doc_id", F.array_distinct(F.transform(idx, gram)).alias("shingles")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs (a_id < b_id, jaccard >= threshold)
+    via the inverted-index join: explode shingles, join on shingle,
+    count common, jaccard = common / (|A| + |B| - common). Scales as
+    the shingle posting lists, not N^2."""
+    sh = ngram_shingles(df, n, text_col, id_col)
+    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    ex = sized.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = common.select(
+        "a_id",
+        "b_id",
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def shingle_hashes(sh: DataFrame) -> DataFrame:
+    """(doc_id, hs) — 28-bit md5-derived hash per shingle."""
+    return sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: token_hash_expr(s)).alias("hs"),
+        F.size("shingles").alias("n_sh"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig array<long> of length k): sig[i] = min over shingles
+    of (a_i * h + b_i) mod P."""
+    hs = shingle_hashes(ngram_shingles(df, n, text_col, id_col))
+    mins = [
+        F.array_min(
+            F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_perms(k))
+    ]
+    sig = hs.select("doc_id", *mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash banded LSH: docs sharing any band of k/bands consecutive
+    signature values become candidates; candidates are verified with
+    exact Jaccard and filtered at threshold. The band join shuffles on
+    the band signature — tiny keys, no N^2."""
+    rows = k // bands
+    sig = minhash_signatures(df, k, n, text_col, id_col)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band_id"),
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice("sig", bi * rows + 1, rows), lambda v: v.cast("string")
+                ),
+            ).alias("band_sig"),
+        ),
+    )
+    banded = sig.select("doc_id", F.explode(band_arr).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_sig").alias("band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard over the shingle sets
+    sh = ngram_shingles(df, n, text_col, id_col).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"), F.col("n_sh").alias("na")), "a_id")
+        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"), F.col("n_sh").alias("nb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.size(F.array_intersect("sa", "sb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash long): 32-bit SimHash — bit j is set when the
+    sum over tokens of ±1 (by bit j of the 28->32-bit token hash,
+    rehashed so all 32 bits are populated) is positive."""
+    toks = tokens_expr(F.col(text_col))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    # rehash the 28-bit token hash onto 32 bits deterministically
+    th = d.select(
+        "doc_id",
+        F.transform(
+            "toks",
+            lambda x: (token_hash_expr(x) * 2_654_435_761 + 40_503) % F.lit(4_294_967_296).cast("long"),
+        ).alias("hs"),
+    )
+    bit_sums = [
+        F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = th.select("doc_id", *bit_sums)
+    val = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        val = bit if val is None else val + bit
+    return sums.select("doc_id", val.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs (a_id < b_id, hamming <= max_hamming).
+    Pair generation joins on 8 nibble bands: if two 32-bit hashes agree
+    on no band, they differ in >= 8 bits, so for max_hamming <= 7 the
+    band join finds EXACTLY the same pairs as the N^2 scan."""
+    if max_hamming > 7:
+        raise ValueError("band join is exact only for max_hamming <= 7")
+    sh = simhash(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.shiftright(F.col("simhash"), bi * 4)
+                .bitwiseAND(F.lit(15))
+                .alias("nib"),
+            )
+            for bi in range(8)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.nib").alias("nib")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = cand.select(
+        "a_id", "b_id", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    )
+    return ham.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs over L2-normalized embeddings
+    (cosine == dot). Brute-force all-pairs — correct at any scale but
+    O(N^2); at 100 TB block candidates with the IVF index (same-cluster
+    or neighboring-cluster pairs) before this exact verify."""
+    lhs = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    rhs = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    pairs = lhs.join(rhs, F.col("a_id") < F.col("b_id"))
+    scored = pairs.select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
+    return scored.filter(F.col("cos_sim") >= threshold)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from nano_vectordb_spark.functions import quantize as qz
 from nano_vectordb_spark.functions import text as tx
 from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
+from nano_vectordb_spark.operators import dedup as dedup_ops
 from nano_vectordb_spark.operators import gt as gt_ops
 from nano_vectordb_spark.operators import ivf as ivf_ops
 from nano_vectordb_spark.operators import refine as refine_ops
@@ -712,4 +713,177 @@ def pipeline_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
     return text_ops.hash_embed(chunks, dim=32).select(
         "doc_id", "chunk_id", "chunk_chars", "embedding"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication family (north-star extension; exact + MinHash-LSH +
+# SimHash + n-gram Jaccard + embedding cosine)
+# --------------------------------------------------------------------------
+
+_JACCARD_T = 0.2
+# Hamming threshold chosen from the corpus: planted near-dups land at
+# hamming 0-2 under 32-bit SimHash while the background (shared small
+# vocabulary) floods in from <=3 up — 2 keeps 24/25 planted pairs.
+_SIMHASH_T = 2
+_COS_T = 0.4
+
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: one shuffle on a 16-byte key; the kept
+    row is the minimum doc_id per group."""
+    return dedup_ops.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / CAST(len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {_JACCARD_T}
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the shingle inverted-
+    index join (scales with posting lists, not N^2; the oracle computes
+    the same exact semantics all-pairs)."""
+    return dedup_ops.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), _JACCARD_T
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    perms = dedup_ops.minhash_perms(16)
+    p = dedup_ops.MINHASH_P
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {p})) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band_id, "
+        + " || '_' || ".join(f"CAST(m{bi * 4 + r} AS VARCHAR)" for r in range(4))
+        + " AS band_sig FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hs
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a_id
+  JOIN sh sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_JACCARD_T}
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_sql_minhash_lsh())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified.
+    The oracle runs the identical algorithm (same permutation
+    constants), so candidate sets match exactly."""
+    return dedup_ops.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), _JACCARD_T
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    bit_sums = ",\n         ".join(
+        f"list_aggregate(list_transform(th, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END), 'sum') AS s{j}"
+        for j in range(32)
+    )
+    val = " + ".join(f"CASE WHEN s{j} > 0 THEN {2**j}::BIGINT ELSE 0 END" for j in range(32))
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_transform(toks, x ->
+           ((('0x' || substr(md5(x), 1, 7))::BIGINT * 2654435761 + 40503) % 4294967296)) AS th
+  FROM t WHERE len(toks) > 0
+),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th
+),
+sh AS (SELECT doc_id, {val} AS simhash FROM sums)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_T}
+"""
+
+
+@register("simhash_pairs", oracle=_sql_simhash_pairs())
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs at hamming <= 2. Spark generates
+    pairs with the 8-nibble band join (exact for hamming <= 7 by
+    pigeonhole); the oracle checks all pairs — identical result sets."""
+    return dedup_ops.simhash_pairs(load_table(spark, sf_dir, "documents"), _SIMHASH_T)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {_COS_T}
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine == dot on the
+    normalized table). Brute-force all-pairs; compose with the IVF
+    index for candidate blocking at scale."""
+    return dedup_ops.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), _COS_T
     )

@@ -1,0 +1,49 @@
+"""Dedup family invariants beyond oracle parity."""
+
+from __future__ import annotations
+
+from nano_vectordb_spark.operators import dedup
+from tests.conftest import SF_CORRECT
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+
+def test_lsh_pairs_subset_of_exhaustive(spark):
+    docs = _docs(spark)
+    lsh = {
+        (r.a_id, r.b_id) for r in dedup.minhash_lsh_pairs(docs, 0.2).collect()
+    }
+    full = {
+        (r.a_id, r.b_id) for r in dedup.ngram_jaccard_pairs(docs, 0.2).collect()
+    }
+    assert lsh <= full
+    # at jaccard >= 0.2 with 16 perms / 4 bands, planted near-dups are
+    # highly likely to collide in a band: expect substantial recall
+    assert len(full) > 0
+    assert len(lsh) >= len(full) * 0.5, (len(lsh), len(full))
+
+
+def test_exact_dedup_on_planted_duplicates(spark):
+    docs = _docs(spark).limit(10)
+    dup = docs.unionAll(docs.selectExpr("doc_id + 1000 AS doc_id", "text", "lang", "source", "n_chars"))
+    res = dedup.exact_dedup(dup)
+    rows = res.collect()
+    assert len(rows) == 10
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.keep_doc_id < 1000 for r in rows)
+
+
+def test_simhash_near_for_near_texts(spark):
+    # simhash of a doc and a lightly perturbed copy should be within
+    # the hamming threshold, while random doc pairs typically are not
+    docs = _docs(spark).limit(1)
+    row = docs.first()
+    perturbed = row.text + " extra token"
+    df = spark.createDataFrame(
+        [(0, row.text, "en", "s", len(row.text)), (1, perturbed, "en", "s", len(perturbed))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = dedup.simhash_pairs(df, 6).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(0, 1)]
