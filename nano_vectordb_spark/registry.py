@@ -29,6 +29,7 @@ from nano_vectordb_spark.functions import text as tx
 from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
 from nano_vectordb_spark.operators import dedup as dedup_ops
 from nano_vectordb_spark.operators import gt as gt_ops
+from nano_vectordb_spark.operators import metrics as metrics_ops
 from nano_vectordb_spark.operators import ivf as ivf_ops
 from nano_vectordb_spark.operators import refine as refine_ops
 from nano_vectordb_spark.operators import sample as sample_ops
@@ -887,3 +888,205 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), _COS_T
     )
+
+
+# --------------------------------------------------------------------------
+# Metrics aggregation (reference O18/O19) + relational/window coverage
+# (SURVEY.md §2.2 categories; events.value stands in for per-query
+# latency, as FIXTURES.md F8 specifies)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "latency_percentiles",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       round(avg(value), 6) AS avg_ms,
+       round(count(*) / (round(avg(value), 6) * count(*) / 1000.0), 6) AS qps
+FROM events
+GROUP BY event_type
+""",
+)
+def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency stats per run group (reference O18): exact interpolated
+    percentiles, avg, QPS."""
+    ev = load_table(spark, sf_dir, "events")
+    return metrics_ops.latency_stats(ev, "value", ["event_type"])
+
+
+def _sql_view_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    from nano_vectordb_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# TPC-H Q1 shape: float money is summed in DECIMAL (exact, order-
+# independent) and cast to double at the end so both engines emit the
+# same doubles regardless of aggregation order.
+_SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3))) * (CAST(1.0 AS DECIMAL(18,3)) + CAST(l_tax AS DECIMAL(18,3)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) AS sum_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("pricing_summary", oracle=_SQL_PRICING_SUMMARY)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational aggregation coverage (TPC-H Q1 shape): multi-key
+    groupBy with exact decimal money sums."""
+    return _sql_view_query(spark, sf_dir, _SQL_PRICING_SUMMARY)
+
+
+_SQL_TOP_REVENUE = """
+SELECT c.c_custkey, c.c_name,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l.l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+@register("top_revenue_customers", oracle=_SQL_TOP_REVENUE)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join coverage (TPC-H Q3 family): 3-way join, grouped exact money
+    sum, deterministic top-10. Catalyst broadcasts the dimension side."""
+    return _sql_view_query(spark, sf_dir, _SQL_TOP_REVENUE)
+
+
+# the running sum accumulates in DECIMAL: windowed float sums are
+# engine-order-dependent (DuckDB uses segment trees), decimal is exact
+_SQL_EVENTS_RUNNING = """
+SELECT user_id, ts, event_type,
+       CAST(row_number() OVER w AS INT) AS seq,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("events_running_window", oracle=_SQL_EVENTS_RUNNING)
+def events_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage: per-user ordered sequence numbers and a
+    running sum (sequential accumulation — deterministic)."""
+    return _sql_view_query(spark, sf_dir, _SQL_EVENTS_RUNNING)
+
+
+_SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", oracle=_SQL_SESSIONIZE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gaps via lag + running sum —
+    the batch shape of the streaming session-window operator."""
+    from nano_vectordb_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+    )
+
+
+_SQL_SEMI_ANTI = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM part p
+     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)) AS n_parts_sold
+"""
+
+
+@register("semi_anti_join", oracle=_SQL_SEMI_ANTI)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage via the DataFrame API (left_semi /
+    left_anti), matching EXISTS / NOT EXISTS oracles."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    n_with = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).count()
+    n_without = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).count()
+    n_parts = part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_semi").count()
+    return spark.createDataFrame(
+        [(n_with, n_without, n_parts)],
+        "n_with_orders bigint, n_without_orders bigint, n_parts_sold bigint",
+    )
+
+
+_SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_rollup", oracle=_SQL_ROLLUP)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: ROLLUP over order status/priority with
+    exact decimal totals."""
+    return _sql_view_query(spark, sf_dir, _SQL_ROLLUP)
