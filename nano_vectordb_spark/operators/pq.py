@@ -1,0 +1,150 @@
+"""Product quantization (PQ) with asymmetric-distance (ADC) scoring.
+
+Reference surface (SURVEY.md §2.1):
+  O27 IVF-PQ / OPQ-PQ build (apps/nvdb_ivfpq_build.cpp:40-96 — M
+      subquantizers x 2^bits codebooks; D % M == 0 enforced at :53-56;
+      OPQ rotation optional, identity here per SURVEY §7 phase 5)
+  O28-adjacent: ADC search — scan codes, score against a per-query
+      lookup table, top-k; refine composes via operators/refine.py.
+
+Spark-first shape:
+  * build: M independent KMeans fits on column slices — each a bounded
+    sample fit like the IVF coarse quantizer; codebooks are tiny
+    (M x 2^bits x dsub doubles) and broadcast.
+  * encode: M nearest-centroid assignments produce codes
+    array<tinyint> — 8 bytes/row for M=8 vs 256 bytes of f32 at D=64,
+    the same ~32x scan-byte cut the reference gets (41 MB index for
+    500K x 384-D, Performance.md:619-625).
+  * search: the per-query LUT (M x 2^bits partial dots) is computed
+    once, shipped as a broadcast map, and the scan reduces each row to
+    M byte-indexed lookups — a codegen'd fold, no Python per row.
+
+Parity is recall-level, not centroid-level (FAISS k-means != Spark ML
+k-means numerically, SURVEY §7): the tests assert the reference's
+ladder shape — recall(PQ) < recall(PQ+refine), refine closes the gap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators.refine import refine
+from nano_vectordb_spark.operators.topk import rank_topk
+
+
+@dataclass
+class PqIndex:
+    codebooks: np.ndarray  # (M, K, dsub) float64
+    codes: DataFrame       # (vec_id, codes array<tinyint>)
+    m: int
+    nbits: int
+    dim: int
+
+
+def pq_build(
+    base: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PqIndex:
+    """Train M subspace codebooks and encode the base table.
+
+    D % M == 0 is enforced exactly like the reference
+    (apps/nvdb_ivfpq_build.cpp:53-56).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(base.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m} (reference check)")
+    dsub = dim // m
+    k = 2**nbits
+
+    df = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    encoded = df
+    books: list[np.ndarray] = []
+    for mi in range(m):
+        sl = F.slice(F.col("__v").cast("array<double>"), mi * dsub + 1, dsub)
+        feat = encoded.withColumn("__f", array_to_vector(sl))
+        model = KMeans(
+            k=k, seed=seed + mi, featuresCol="__f", predictionCol=f"__c{mi}"
+        ).fit(feat)
+        encoded = model.transform(feat).drop("__f")
+        books.append(np.asarray(model.clusterCenters(), dtype=np.float64))
+    codes = encoded.select(
+        "vec_id",
+        F.array(*[F.col(f"__c{mi}").cast("tinyint") for mi in range(m)]).alias("codes"),
+    )
+    return PqIndex(codebooks=np.stack(books), codes=codes, m=m, nbits=nbits, dim=dim)
+
+
+def _query_luts(index: PqIndex, queries: DataFrame, metric: str) -> list[tuple[int, list[list[float]]]]:
+    """Per-query M x K lookup tables, driver-side (queries are small by
+    contract). dot: partial dot per subspace; l2: partial squared
+    distance per subspace."""
+    qrows = queries.select("query_id", "embedding").collect()
+    dsub = index.dim // index.m
+    out = []
+    for r in qrows:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        lut = []
+        for mi in range(index.m):
+            qs = q[mi * dsub : (mi + 1) * dsub]
+            if metric == "dot":
+                lut.append((index.codebooks[mi] @ qs).tolist())
+            else:
+                diff = index.codebooks[mi] - qs[None, :]
+                lut.append((diff * diff).sum(axis=1).tolist())
+        out.append((int(r.query_id), lut))
+    return out
+
+
+def pq_adc_search(
+    index: PqIndex,
+    queries: DataFrame,
+    k: int,
+    metric: str = "dot",
+) -> DataFrame:
+    """ADC scan: score = sum_m LUT[m][code_m], ranked top-k per query.
+    The LUT table is a broadcast join (Q x M x 2^nbits doubles); the
+    fold over codes is a native expression in codegen."""
+    spark = index.codes.sparkSession
+    luts = _query_luts(index, queries, metric)
+    lut_df = F.broadcast(
+        spark.createDataFrame(
+            luts, "query_id long, lut array<array<double>>"
+        )
+    )
+    joined = index.codes.crossJoin(lut_df)
+    score = F.aggregate(
+        F.transform(
+            "codes",
+            lambda c, i: F.element_at(F.element_at("lut", i + 1), c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("query_id", "vec_id", score.alias("score"))
+    return rank_topk(scored, k, metric=metric)
+
+
+def pq_search_refined(
+    index: PqIndex,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    refine_k: int,
+    metric: str = "dot",
+) -> DataFrame:
+    """Staged PQ + exact refine (reference O27+O29 composition,
+    apps/nvdb_ivf_eval.cpp:603-634): ADC top-refine_k candidates, then
+    full-precision rerank to top-k."""
+    cand = pq_adc_search(index, queries, refine_k, metric=metric)
+    return refine(base, queries, cand, k, metric=metric)

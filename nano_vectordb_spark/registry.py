@@ -31,6 +31,7 @@ from nano_vectordb_spark.operators import dedup as dedup_ops
 from nano_vectordb_spark.operators import gt as gt_ops
 from nano_vectordb_spark.operators import metrics as metrics_ops
 from nano_vectordb_spark.operators import ivf as ivf_ops
+from nano_vectordb_spark.operators import pq as pq_ops
 from nano_vectordb_spark.operators import refine as refine_ops
 from nano_vectordb_spark.operators import sample as sample_ops
 from nano_vectordb_spark.operators import textops as text_ops
@@ -507,6 +508,32 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((nprobe, float(r.recall_at_k), int(r.n_queries)))
     return spark.createDataFrame(
         rows, "nprobe int, recall_at_k double, n_queries bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# PQ / ADC (reference O27) — no SQL oracle (KMeans codebooks); the
+# recall-ladder self-oracle lives in tests/test_pq.py.
+# --------------------------------------------------------------------------
+
+
+def _pq_index(spark: SparkSession, sf_dir: str) -> pq_ops.PqIndex:
+    base = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_build(base, m=8, nbits=6, seed=SEED)
+
+
+@register("pq_adc_search", oracle=None)
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC scan (reference O27): codes + per-query LUT fold, top-k."""
+    return pq_ops.pq_adc_search(_pq_index(spark, sf_dir), _queries_df(spark, sf_dir), K)
+
+
+@register("pq_refine_search", oracle=None)
+def pq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ candidates + exact refine (reference Table 19/20 pipeline)."""
+    base = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_search_refined(
+        _pq_index(spark, sf_dir), base, _queries_df(spark, sf_dir), K, refine_k=50
     )
 
 

@@ -1,0 +1,57 @@
+"""PQ self-oracle tests: the reference's recall-ladder shape
+(Performance.md Tables 19/20): PQ alone loses recall, PQ+refine
+recovers it; more refine candidates never hurt."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators import gt as gt_ops
+from nano_vectordb_spark.operators import pq as pq_ops
+from nano_vectordb_spark.operators import sample as sample_ops
+from tests.conftest import SF_CORRECT
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = sample_ops.sample_queries(base, 20, seed=42)
+    index = pq_ops.pq_build(base, m=8, nbits=6, seed=42)
+    index.codes = index.codes.cache()
+    gt = gt_ops.gt_build(base, queries, K).select("query_id", "gt_ids")
+    return base, queries, index, gt
+
+
+def _recall(pred_topk, gt, k=K):
+    pred = gt_ops.gt_from_topk(pred_topk, k).select(
+        "query_id", F.col("gt_ids").alias("pred_ids")
+    )
+    return gt_ops.recall_at_k(gt, pred, k).first().recall_at_k
+
+
+def test_pq_ladder(setup):
+    base, queries, index, gt = setup
+    r_pq = _recall(pq_ops.pq_adc_search(index, queries, K), gt)
+    r_ref50 = _recall(pq_ops.pq_search_refined(index, base, queries, K, refine_k=50), gt)
+    r_ref100 = _recall(pq_ops.pq_search_refined(index, base, queries, K, refine_k=100), gt)
+    # reference shape: refine recovers recall, monotone in refine_k
+    assert r_pq < r_ref50 <= r_ref100, (r_pq, r_ref50, r_ref100)
+    assert r_ref100 >= 0.9, r_ref100
+    assert r_pq > 0.2, r_pq  # ADC is lossy but far better than chance
+
+
+def test_pq_codes_shape(setup):
+    base, queries, index, gt = setup
+    row = index.codes.first()
+    assert len(row.codes) == 8
+    assert all(0 <= c < 64 for c in row.codes)
+    assert index.codes.count() == base.count()
+
+
+def test_pq_rejects_bad_m(spark):
+    base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_ops.pq_build(base, m=7)
