@@ -1,0 +1,146 @@
+"""Reader/writer for the reference's on-disk vector formats.
+
+Format parity with SURVEY.md §1.2 (layouts, not code, from
+include/nvdb/vecbin_format.h:7-29 and src/vector_dataset.cpp:10-22):
+
+  vecbin64: 64-byte header
+      magic   u64   little-endian bytes b"NVDBVEC1"
+      version u32   == 1
+      dtype   u32   1=float32, 2=float16, 3=int8
+      dim     u32
+      reserved u32
+      count   u64
+      (pad to 64 bytes)
+    + row-major payload [count x dim x elem_width]
+    + for int8: count float32 per-row scales appended
+      (vecbin_format.h:52-55)
+
+  raw12 (legacy): 12-byte header {count u32, reserved u32, dim u32}
+    + float32 payload (src/vector_dataset.cpp:10-16).
+
+Validation mirrors the reference's strict checks
+(src/vector_dataset.cpp:42-69): magic, version, dtype whitelist, and
+exact file-size-vs-payload match.
+
+Scale note: these are single-file interchange formats from the
+reference ecosystem (import/export only). The engine's at-rest store is
+Parquet — columnar, splittable, predicate-pushdown-able; a 100 TB
+corpus never lives in a vecbin file.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+MAGIC = b"NVDBVEC1"
+VERSION = 1
+DTYPE_F32, DTYPE_F16, DTYPE_I8 = 1, 2, 3
+_WIDTH = {DTYPE_F32: 4, DTYPE_F16: 2, DTYPE_I8: 1}
+_NP = {DTYPE_F32: np.float32, DTYPE_F16: np.float16, DTYPE_I8: np.int8}
+_HEADER = struct.Struct("<8sIIIIQ")  # + pad to 64
+
+
+def write_vecbin(
+    path: str,
+    matrix: np.ndarray,
+    dtype: int,
+    scales: np.ndarray | None = None,
+) -> None:
+    count, dim = matrix.shape
+    if dtype not in _WIDTH:
+        raise ValueError(f"unsupported dtype {dtype}")
+    if dtype == DTYPE_I8:
+        if scales is None or len(scales) != count:
+            raise ValueError("int8 vecbin requires one float32 scale per row")
+    payload = np.ascontiguousarray(matrix, dtype=_NP[dtype])
+    header = _HEADER.pack(MAGIC, VERSION, dtype, dim, 0, count)
+    with open(path, "wb") as f:
+        f.write(header.ljust(64, b"\0"))
+        f.write(payload.tobytes())
+        if dtype == DTYPE_I8:
+            f.write(np.ascontiguousarray(scales, dtype=np.float32).tobytes())
+
+
+def write_raw12(path: str, matrix: np.ndarray) -> None:
+    count, dim = matrix.shape
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", count, 0, dim))
+        f.write(np.ascontiguousarray(matrix, dtype=np.float32).tobytes())
+
+
+def _read_np(path: str) -> tuple[np.ndarray, np.ndarray | None, int]:
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(64)
+        if len(head) >= 8 and head[:8] == MAGIC:
+            if len(head) < 64:
+                raise ValueError("vecbin: truncated header")
+            _, version, dtype, dim, _, count = _HEADER.unpack(head[: _HEADER.size])
+            if version != VERSION:
+                raise ValueError(f"vecbin: unsupported version {version}")
+            if dtype not in _WIDTH:
+                raise ValueError(f"vecbin: unsupported dtype {dtype}")
+            payload = count * dim * _WIDTH[dtype]
+            expect = 64 + payload + (4 * count if dtype == DTYPE_I8 else 0)
+            if size != expect:
+                raise ValueError(
+                    f"vecbin: file size {size} != expected {expect} "
+                    f"(count={count} dim={dim} dtype={dtype})"
+                )
+            mat = np.frombuffer(f.read(payload), dtype=_NP[dtype]).reshape(count, dim)
+            scales = None
+            if dtype == DTYPE_I8:
+                scales = np.frombuffer(f.read(4 * count), dtype=np.float32)
+            return mat, scales, dtype
+        # raw12 fallback
+        f.seek(0)
+        head12 = f.read(12)
+        if len(head12) < 12:
+            raise ValueError("raw12: truncated header")
+        count, _, dim = struct.unpack("<III", head12)
+        if size != 12 + count * dim * 4:
+            raise ValueError(f"raw12: file size {size} != 12 + {count}*{dim}*4")
+        mat = np.frombuffer(f.read(count * dim * 4), dtype=np.float32).reshape(
+            count, dim
+        )
+        return mat, None, DTYPE_F32
+
+
+def read_vecbin(spark: SparkSession, path: str) -> DataFrame:
+    """Load a vecbin/raw12 file as a DataFrame.
+
+    f32/f16 -> (vec_id long, embedding array<float>); f16 values are
+    widened (they remain f16-representable, preserving ranking
+    semantics — SURVEY §1.3). i8 -> (vec_id, embedding_i8 array<tinyint>,
+    scale float)."""
+    mat, scales, dtype = _read_np(path)
+    if dtype == DTYPE_I8:
+        rows = [
+            (i, [int(x) for x in mat[i]], float(scales[i])) for i in range(len(mat))
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding_i8 array<tinyint>, scale float"
+        )
+    widened = mat.astype(np.float32)
+    rows = [(i, [float(x) for x in widened[i]]) for i in range(len(mat))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def export_vecbin(
+    df: DataFrame, path: str, dtype: int = DTYPE_F32, vec_col: str = "embedding"
+) -> None:
+    """Export a vector DataFrame to vecbin, ordered by vec_id (row id is
+    positional in the file format, gtbin_format.h:32)."""
+    rows = df.select("vec_id", vec_col).orderBy("vec_id").collect()
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    if dtype == DTYPE_I8:
+        scales = np.abs(mat).max(axis=1) / 127.0
+        safe = np.where(scales == 0, 1.0, scales)
+        codes = np.clip(np.rint(mat / safe[:, None]), -127, 127).astype(np.int8)
+        write_vecbin(path, codes, DTYPE_I8, scales.astype(np.float32))
+    else:
+        write_vecbin(path, mat, dtype)

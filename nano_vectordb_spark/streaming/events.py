@@ -1,0 +1,72 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2.2: streaming *absent in
+reference*); this module is part of the pipeline-extension surface.
+The batch table stands in for the stream via a file source with
+Trigger.AvailableNow — the exact plan a Kafka-backed deployment would
+run, minus the connector.
+
+Design for scale: windowed aggregation keyed by (window, event_type)
+with a watermark bounds state; counts and DECIMAL sums are associative,
+so partial aggregation happens map-side before the keyed state update.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value totals per event_type, computed by
+    an actual streaming query (file source -> watermark -> window agg ->
+    memory sink, Trigger.AvailableNow), returned as the final batch
+    result with columns (window_start, event_type, n_events, total_value).
+    """
+    events_path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(events_path).schema
+    # the file source wants a directory; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # ts arrives as epoch-ns long (see sources/tables.py); convert the same way
+    from pyspark.sql import types as T
+
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"ev_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)

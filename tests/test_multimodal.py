@@ -1,0 +1,55 @@
+"""Multimodal plumbing invariants: schema, determinism, stub gating,
+frame-sampling bounds."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators import multimodal as mm
+from tests.conftest import SF_CORRECT
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/documents.parquet").limit(50)
+
+
+def test_features_schema_and_determinism(spark):
+    d = mm.attach_blob(_docs(spark))
+    f1 = mm.extract_features(d, dim=16)
+    rows = f1.orderBy("doc_id").collect()
+    assert f1.schema.simpleString() == (
+        "struct<doc_id:bigint,width:int,height:int,byte_len:int,features:array<double>>"
+    )
+    for r in rows:
+        assert len(r.features) == 16
+        assert abs(math.sqrt(sum(x * x for x in r.features)) - 1.0) < 1e-9
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+    rows2 = mm.extract_features(d, dim=16).orderBy("doc_id").collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_byte_len_matches_text(spark):
+    d = mm.attach_blob(_docs(spark))
+    f = mm.extract_features(d, dim=8)
+    joined = f.join(_docs(spark), "doc_id").filter(
+        F.col("byte_len") != F.length("text")
+    )
+    assert joined.count() == 0  # ascii corpus: bytes == chars
+
+
+def test_real_decoder_is_stubbed(spark):
+    d = mm.attach_blob(_docs(spark))
+    with pytest.raises(NotImplementedError, match="decoder"):
+        mm.extract_features(d, decoder="real")
+
+
+def test_frame_sample_bounds(spark):
+    d = mm.attach_blob(_docs(spark))
+    frames = mm.frame_sample(d, n_frames=4)
+    assert frames.filter(F.col("frame_id") >= 4).count() == 0
+    assert frames.filter(F.length("frame_bytes") == 0).count() == 0
+    # every doc produces at least one frame
+    assert frames.select("doc_id").distinct().count() == 50

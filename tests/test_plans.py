@@ -1,0 +1,76 @@
+"""Plan-shape audits: assert Catalyst produced the physical plans the
+100 TB design depends on (SURVEY.md §4). These tests pin:
+  * global top-k -> TakeOrderedAndProject (partial top-k per partition,
+    no full sort);
+  * refine joins -> broadcast, never sort-merge;
+  * parquet scans -> pushed filters + pruned read schema;
+  * IVF persisted layout -> partition pruning on cluster_id;
+  * two-phase top-k -> exactly one exchange (the tiny partial merge).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators import ivf as ivf_ops
+from nano_vectordb_spark.operators import refine as refine_ops
+from nano_vectordb_spark.operators import sample as sample_ops
+from nano_vectordb_spark.operators import topk as topk_ops
+from nano_vectordb_spark.plans.inspect import count_exchanges, has_operator, physical_plan
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, base):
+    return sample_ops.sample_queries(base, 5, seed=42)
+
+
+def test_single_topk_uses_take_ordered(spark, base):
+    q = base.select("embedding").first()[0]
+    df = topk_ops.topk(base, q, 10)
+    assert has_operator(df, "TakeOrderedAndProject"), physical_plan(df, "simple")
+
+
+def test_refine_joins_are_broadcast(spark, base, queries):
+    cand = topk_ops.topk_multi(base, queries, 20, strategy="window").select(
+        "query_id", "vec_id"
+    )
+    df = refine_ops.refine(base, queries, cand, 10)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = physical_plan(df, "formatted")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan, plan
+    # read schema pruned to exactly the projected columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0], plan
+
+
+def test_ivf_layout_partition_pruning(spark, base, tmp_path):
+    index = ivf_ops.ivf_build(base, nlist=8, seed=42)
+    path = str(tmp_path / "ivf")
+    ivf_ops.ivf_write(index, path)
+    scan = spark.read.parquet(f"{path}/base").filter(F.col("cluster_id").isin(1, 3))
+    plan = physical_plan(scan, "formatted")
+    # the scan node carries the IN filter as a partition filter: only
+    # the probed cluster directories are read
+    assert "PartitionFilters: [cluster_id" in plan and "IN (1,3)" in plan, plan
+
+
+def test_two_phase_topk_single_exchange(spark, base, queries):
+    df = topk_ops.topk_multi(base, queries, 10, strategy="two_phase")
+    # only the tiny partial-merge shuffle; the Q x N scoring never shuffles
+    assert count_exchanges(df) <= 1, physical_plan(df, "simple")
