@@ -168,7 +168,11 @@ def _topk_multi_two_phase(
         cand_scores: list[np.ndarray] = []  # each (n_cand, Q)
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            bm = np.array(list(pdf["embedding"]), dtype=np.float64)  # (n, D)
+            vals = pdf["embedding"].to_numpy()
+            try:  # fixed dim per table (format invariant): flat concat+reshape
+                bm = np.concatenate(vals).reshape(len(vals), -1).astype(np.float64)
+            except ValueError:  # ragged safety net
+                bm = np.array(list(vals), dtype=np.float64)
             if metric == "dot":
                 s = bm @ qm.T
             elif metric == "cosine":

@@ -1132,6 +1132,44 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_ROLLUP)
 
 
+@register(
+    "scan_cost_model",
+    oracle="""
+WITH d AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(max(len(embedding)) AS BIGINT) AS dim
+  FROM embeddings
+)
+SELECT n_rows, dim,
+       n_rows * dim * 4 AS bytes_f32,
+       n_rows * dim * 2 AS bytes_f16,
+       n_rows * dim * 1 + 4 * n_rows AS bytes_i8,
+       CAST(n_rows * dim * 4 AS DOUBLE) / (n_rows * dim * 1 + 4 * n_rows) AS f32_over_i8
+FROM d
+""",
+)
+def scan_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-per-query cost model (reference O19, vecbin_format.h:45-59):
+    payload bytes one full scan reads per dtype, incl. the int8 scale
+    rows — the quantity the reference divides by latency to report
+    effective bandwidth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.agg(
+        F.count("*").alias("n_rows"), F.max(F.size("embedding")).cast("long").alias("dim")
+    )
+    return d.select(
+        "n_rows",
+        "dim",
+        (F.col("n_rows") * F.col("dim") * 4).alias("bytes_f32"),
+        (F.col("n_rows") * F.col("dim") * 2).alias("bytes_f16"),
+        (F.col("n_rows") * F.col("dim") * 1 + 4 * F.col("n_rows")).alias("bytes_i8"),
+        (
+            (F.col("n_rows") * F.col("dim") * 4).cast("double")
+            / (F.col("n_rows") * F.col("dim") * 1 + 4 * F.col("n_rows"))
+        ).alias("f32_over_i8"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming + multimodal plumbing (pipeline extensions)
 # --------------------------------------------------------------------------

@@ -28,6 +28,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize the NumPy matmul in the two-phase
+        # scan (the mapInPandas analog of the reference's tile loop)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
         # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable in
         # Spark; we read it as long and convert in sources.tables
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
