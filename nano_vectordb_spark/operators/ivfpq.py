@@ -1,0 +1,166 @@
+"""IVF-PQ composite: coarse quantizer + residual product quantization.
+
+Reference surface (SURVEY.md §2.1 O27/O28/O29/O32 composed —
+apps/nvdb_ivfpq_build.cpp + apps/nvdb_ivf_eval.cpp): FAISS IndexIVFPQ
+assigns each vector to a coarse list and PQ-encodes its RESIDUAL
+(vector - centroid); search probes nprobe lists, scores codes against
+per-(query, cluster) ADC lookup tables, and optionally exact-refines.
+
+Spark shape:
+  * the codes table carries (vec_id, cluster_id, codes) and is
+    partitioned by cluster_id at rest — probing prunes partitions
+    exactly as in operators/ivf.py;
+  * ADC LUTs are tiny (Q x nprobe x M x 2^nbits doubles) and broadcast;
+  * scoring = a codegen'd fold of byte-indexed lookups, keyed by the
+    (query_id, cluster_id) join — no Python in the scan.
+
+Metric: L2 on residuals (the FAISS METRIC_L2 contract): score of row r
+in list c for query q  ≈ sum_m ||q_res_m - codebook_m[code_m]||^2 with
+q_res = q - centroid_c. Ranking ascending. Refine then reranks by dot
+(the GT metric on normalized vectors, gt_build.cpp:27-28).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators.ivf import IvfIndex, ivf_build, probe_clusters
+from nano_vectordb_spark.operators.refine import refine
+from nano_vectordb_spark.operators.topk import rank_topk
+
+
+@dataclass
+class IvfPqIndex:
+    ivf: IvfIndex
+    codebooks: np.ndarray      # (M, K, dsub) float64, trained on residuals
+    codes: DataFrame           # (vec_id, cluster_id, codes array<tinyint>)
+    centroids_np: np.ndarray   # (nlist, D) float64
+    m: int
+    nbits: int
+    dim: int
+
+
+def ivfpq_build(
+    base: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Coarse KMeans then M subspace KMeans fits on residuals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(base.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    k = 2**nbits
+
+    ivf = ivf_build(base, nlist=nlist, seed=seed, vec_col=vec_col)
+    cent = F.broadcast(ivf.centroids)
+    resid = (
+        ivf.assigned.join(cent, "cluster_id")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "cluster_id",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                "centroid",
+                lambda x, c: x - c,
+            ).alias("__r"),
+        )
+    )
+    encoded = resid
+    books: list[np.ndarray] = []
+    for mi in range(m):
+        sl = F.slice(F.col("__r"), mi * dsub + 1, dsub)
+        feat = encoded.withColumn("__f", array_to_vector(sl))
+        model = KMeans(
+            k=k, seed=seed + 1000 + mi, featuresCol="__f", predictionCol=f"__c{mi}"
+        ).fit(feat)
+        encoded = model.transform(feat).drop("__f")
+        books.append(np.asarray(model.clusterCenters(), dtype=np.float64))
+    codes = encoded.select(
+        "vec_id",
+        "cluster_id",
+        F.array(*[F.col(f"__c{mi}").cast("tinyint") for mi in range(m)]).alias("codes"),
+    )
+    centroids_np = np.asarray(
+        [r.centroid for r in ivf.centroids.orderBy("cluster_id").collect()],
+        dtype=np.float64,
+    )
+    return IvfPqIndex(
+        ivf=ivf,
+        codebooks=np.stack(books),
+        codes=codes,
+        centroids_np=centroids_np,
+        m=m,
+        nbits=nbits,
+        dim=dim,
+    )
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe nprobe lists, ADC-score residual codes (L2), top-k per
+    query, ascending."""
+    spark = index.codes.sparkSession
+    probes = probe_clusters(index.ivf, queries, nprobe)
+    # per-(query, probed-cluster) LUT: ||q_res_m - codebook_m[c]||^2
+    probe_rows = probes.collect()
+    qmap = {
+        r.query_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in queries.select("query_id", "embedding").collect()
+    }
+    dsub = index.dim // index.m
+    lut_rows = []
+    for r in probe_rows:
+        qr = qmap[r.query_id] - index.centroids_np[r.cluster_id]
+        lut = []
+        for mi in range(index.m):
+            qs = qr[mi * dsub : (mi + 1) * dsub]
+            diff = index.codebooks[mi] - qs[None, :]
+            lut.append((diff * diff).sum(axis=1).tolist())
+        lut_rows.append((int(r.query_id), int(r.cluster_id), lut))
+    lut_df = F.broadcast(
+        spark.createDataFrame(
+            lut_rows, "query_id long, cluster_id int, lut array<array<double>>"
+        )
+    )
+    # the join on cluster_id IS the pruning: only probed lists are scanned
+    joined = index.codes.join(lut_df, "cluster_id")
+    score = F.aggregate(
+        F.transform(
+            "codes",
+            lambda c, i: F.element_at(F.element_at("lut", i + 1), c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("query_id", "vec_id", score.alias("score"))
+    return rank_topk(scored, k, metric="l2")
+
+
+def ivfpq_search_refined(
+    index: IvfPqIndex,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 4,
+    refine_k: int = 50,
+) -> DataFrame:
+    """The reference's staged pipeline (O32): IVF-PQ candidates ->
+    exact dot rerank (valid L2 ranking on normalized vectors)."""
+    cand = ivfpq_search(index, queries, refine_k, nprobe=nprobe)
+    return refine(base, queries, cand, k, metric="dot")

@@ -550,6 +550,25 @@ def pq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivfpq_refine_search", oracle=None)
+def ivfpq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ composite (reference IndexIVFPQ semantics): coarse
+    probe -> residual-PQ ADC scan over probed lists only -> exact
+    refine. Recall ladder in tests/test_ivfpq.py."""
+    from nano_vectordb_spark.operators import ivfpq as ivfpq_ops
+
+    key = ("ivfpq", sf_dir)
+    if key not in _INDEX_CACHE:
+        base = load_table(spark, sf_dir, "embeddings")
+        idx = ivfpq_ops.ivfpq_build(base, nlist=_IVF_NLIST, m=8, nbits=4, seed=SEED)
+        idx.codes = idx.codes.cache()
+        _INDEX_CACHE[key] = idx
+    base = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_ops.ivfpq_search_refined(
+        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE, refine_k=50
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (pipeline extensions over `documents`; reference analog O33)
 # --------------------------------------------------------------------------

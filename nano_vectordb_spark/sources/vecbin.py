@@ -130,6 +130,53 @@ def read_vecbin(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+GT_MAGIC = b"NVDBGT01"
+_GT_HEADER = struct.Struct("<8sIIIIQQ")  # magic, version, metric, k, dim, Q, N
+
+
+def write_gtbin(
+    path: str,
+    gt_ids: np.ndarray,  # (Q, k) uint32
+    metric: int,
+    dim: int,
+    n_base: int,
+) -> None:
+    """Ground-truth artifact (layout from include/nvdb/gtbin_format.h:
+    8-35): 64-byte header {magic NVDBGT01, version, metric, k, dim, Q,
+    N} + uint32 ids[Q*k]."""
+    q, k = gt_ids.shape
+    header = _GT_HEADER.pack(GT_MAGIC, 1, metric, k, dim, q, n_base)
+    with open(path, "wb") as f:
+        f.write(header.ljust(64, b"\0"))
+        f.write(np.ascontiguousarray(gt_ids, dtype=np.uint32).tobytes())
+
+
+def read_gtbin(
+    spark: SparkSession, path: str, expect: dict | None = None
+) -> DataFrame:
+    """Read a gtbin file as (query_id, k, gt_ids). ``expect`` optionally
+    cross-validates header fields (k/dim/Q/N), mirroring the reference's
+    strict 5-field check (apps/nvdb_ivf_eval.cpp:360-383)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(64)
+        if len(head) < 64 or head[:8] != GT_MAGIC:
+            raise ValueError("gtbin: bad magic")
+        _, version, metric, k, dim, q, n = _GT_HEADER.unpack(head[: _GT_HEADER.size])
+        if version != 1:
+            raise ValueError(f"gtbin: unsupported version {version}")
+        if size != 64 + 4 * q * k:
+            raise ValueError(f"gtbin: file size {size} != 64 + 4*{q}*{k}")
+        if expect:
+            for field, val in expect.items():
+                got = {"k": k, "dim": dim, "Q": q, "N": n}[field]
+                if got != val:
+                    raise ValueError(f"gtbin: header {field}={got}, expected {val}")
+        ids = np.frombuffer(f.read(4 * q * k), dtype=np.uint32).reshape(q, k)
+    rows = [(i, k, [int(x) for x in ids[i]]) for i in range(q)]
+    return spark.createDataFrame(rows, "query_id long, k int, gt_ids array<bigint>")
+
+
 def export_vecbin(
     df: DataFrame, path: str, dtype: int = DTYPE_F32, vec_col: str = "embedding"
 ) -> None:

@@ -1,0 +1,57 @@
+"""IVF-PQ composite self-oracle: the reference's Table 19/20 ladder —
+IVF-PQ alone is lossy; +refine recovers; recall grows with nprobe."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nano_vectordb_spark.operators import gt as gt_ops
+from nano_vectordb_spark.operators import ivfpq as ivfpq_ops
+from nano_vectordb_spark.operators import sample as sample_ops
+from tests.conftest import SF_CORRECT
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = sample_ops.sample_queries(base, 20, seed=42)
+    index = ivfpq_ops.ivfpq_build(base, nlist=8, m=8, nbits=4, seed=42)
+    index.codes = index.codes.cache()
+    gt = gt_ops.gt_build(base, queries, K).select("query_id", "gt_ids")
+    return base, queries, index, gt
+
+
+def _recall(pred_topk, gt):
+    pred = gt_ops.gt_from_topk(pred_topk, K).select(
+        "query_id", F.col("gt_ids").alias("pred_ids")
+    )
+    return gt_ops.recall_at_k(gt, pred, K).first().recall_at_k
+
+
+def test_ivfpq_refine_ladder(setup):
+    base, queries, index, gt = setup
+    r_raw = _recall(ivfpq_ops.ivfpq_search(index, queries, K, nprobe=4), gt)
+    r_ref = _recall(
+        ivfpq_ops.ivfpq_search_refined(index, base, queries, K, nprobe=4, refine_k=50),
+        gt,
+    )
+    assert r_raw < r_ref, (r_raw, r_ref)
+    assert r_ref >= 0.6, r_ref  # bounded by nprobe=4/8 coverage
+    r_ref_full = _recall(
+        ivfpq_ops.ivfpq_search_refined(index, base, queries, K, nprobe=8, refine_k=100),
+        gt,
+    )
+    assert r_ref_full >= r_ref
+    assert r_ref_full >= 0.9, r_ref_full
+
+
+def test_ivfpq_recall_monotone_in_nprobe(setup):
+    base, queries, index, gt = setup
+    rs = [
+        _recall(ivfpq_ops.ivfpq_search(index, queries, K, nprobe=p), gt)
+        for p in (1, 4, 8)
+    ]
+    assert rs == sorted(rs), rs

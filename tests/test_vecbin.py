@@ -70,6 +70,17 @@ def test_bad_version(spark, tmp_path):
         vb.read_vecbin(spark, p)
 
 
+def test_gtbin_roundtrip_and_validation(spark, tmp_path):
+    gt = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint32)
+    p = str(tmp_path / "gt.bin")
+    vb.write_gtbin(p, gt, metric=0, dim=8, n_base=100)
+    df = vb.read_gtbin(spark, p, expect={"k": 3, "Q": 2, "dim": 8, "N": 100})
+    rows = df.orderBy("query_id").collect()
+    assert [list(r.gt_ids) for r in rows] == gt.tolist()
+    with pytest.raises(ValueError, match="header k"):
+        vb.read_gtbin(spark, p, expect={"k": 10})
+
+
 def test_export_then_read_matches_parquet(spark, tmp_path):
     from tests.conftest import SF_SMOKE
 
