@@ -286,6 +286,87 @@ def simhash_pairs(
     return ham.filter(F.col("hamming") <= max_hamming)
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for cosine near-dup: random-hyperplane LSH blocking,
+    then exact verification. Signs of n_planes fixed seeded hyperplane
+    dots form a signature; docs sharing any of `bands` sign-bands
+    become candidates; candidates are exactly verified at threshold.
+    Output ⊆ embedding_neardup_pairs (probabilistic recall, exact
+    precision) — the candidate join shuffles on tiny band keys, never
+    N^2."""
+    import numpy as np
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(planes[i].tolist()).cast("array<double>"),
+                    lambda x, h: x * h,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0
+        ).cast("int")
+        for i in range(n_planes)
+    ]
+    rows_per_band = n_planes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.concat_ws(
+                "",
+                *[
+                    bits[bi * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(
+        "doc_id",
+        "__v",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_sig").alias("band_sig"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.__v").alias("va"),
+            F.col("b.__v").alias("vb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a_id", "b_id", dot_expr("va", "vb").alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,

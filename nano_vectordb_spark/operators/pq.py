@@ -43,6 +43,41 @@ class PqIndex:
     m: int
     nbits: int
     dim: int
+    rotation: np.ndarray | None = None  # (D, D) orthonormal, None = identity
+
+
+def pca_rotation(base: DataFrame, vec_col: str = "embedding", sample_rows: int = 10_000) -> np.ndarray:
+    """PCA-based rotation for OPQ (reference wraps PQ in an OPQMatrix
+    pretransform, apps/nvdb_ivfpq_build.cpp:78-91; SURVEY §7 phase 5
+    sanctions PCA as the first-fidelity rotation before full OPQ
+    iteration). Computed driver-side from a bounded sample — at 100 TB
+    a D x D covariance never needs more than a sample."""
+    rows = base.select(vec_col).limit(sample_rows).collect()
+    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    cov = np.cov(mat, rowvar=False)
+    # eigh returns ascending; descending variance order balances
+    # information across the M subspaces after rotation
+    w, v = np.linalg.eigh(cov)
+    return v[:, ::-1]  # columns = principal directions
+
+
+def rotate_expr(vec, rotation: np.ndarray):
+    """x -> R^T x as a native expression: one fold per output dim over a
+    broadcast literal matrix (D^2 doubles — tiny)."""
+    from nano_vectordb_spark.functions.vector import as_double_array
+
+    cols = rotation.T.tolist()  # row i of R^T
+    v = as_double_array(vec)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.lit(row).cast("array<double>"), lambda x, r: x * r),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for row in cols
+        ]
+    )
 
 
 def pq_build(
@@ -52,11 +87,14 @@ def pq_build(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> PqIndex:
     """Train M subspace codebooks and encode the base table.
 
     D % M == 0 is enforced exactly like the reference
-    (apps/nvdb_ivfpq_build.cpp:53-56).
+    (apps/nvdb_ivfpq_build.cpp:53-56). With ``rotation`` (see
+    pca_rotation) this is the OPQ-PQ variant: vectors are rotated
+    before subspace splitting, queries are rotated at LUT build.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -67,7 +105,10 @@ def pq_build(
     dsub = dim // m
     k = 2**nbits
 
-    df = base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v"))
+    vec_expr = (
+        rotate_expr(vec_col, rotation) if rotation is not None else F.col(vec_col)
+    )
+    df = base.select(F.col(id_col).alias("vec_id"), vec_expr.alias("__v"))
     encoded = df
     books: list[np.ndarray] = []
     for mi in range(m):
@@ -82,7 +123,10 @@ def pq_build(
         "vec_id",
         F.array(*[F.col(f"__c{mi}").cast("tinyint") for mi in range(m)]).alias("codes"),
     )
-    return PqIndex(codebooks=np.stack(books), codes=codes, m=m, nbits=nbits, dim=dim)
+    return PqIndex(
+        codebooks=np.stack(books), codes=codes, m=m, nbits=nbits, dim=dim,
+        rotation=rotation,
+    )
 
 
 def _query_luts(index: PqIndex, queries: DataFrame, metric: str) -> list[tuple[int, list[list[float]]]]:
@@ -94,6 +138,8 @@ def _query_luts(index: PqIndex, queries: DataFrame, metric: str) -> list[tuple[i
     out = []
     for r in qrows:
         q = np.asarray(r.embedding, dtype=np.float64)
+        if index.rotation is not None:
+            q = index.rotation.T @ q
         lut = []
         for mi in range(index.m):
             qs = q[mi * dsub : (mi + 1) * dsub]

@@ -550,6 +550,25 @@ def pq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("opq_refine_search", oracle=None)
+def opq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-PQ + refine (reference apps/nvdb_ivfpq_build.cpp:78-91): a
+    PCA rotation balances variance across subspaces before PQ; queries
+    are rotated at LUT build; refine reranks in the original space.
+    Orthonormality preserves dot/L2 ranking semantics."""
+    key = ("opq", sf_dir)
+    if key not in _INDEX_CACHE:
+        base = load_table(spark, sf_dir, "embeddings")
+        rot = pq_ops.pca_rotation(base)
+        idx = pq_ops.pq_build(base, m=8, nbits=6, seed=SEED, rotation=rot)
+        idx.codes = idx.codes.cache()
+        _INDEX_CACHE[key] = idx
+    base = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_search_refined(
+        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K, refine_k=50
+    )
+
+
 @register("ivfpq_refine_search", oracle=None)
 def ivfpq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ composite (reference IndexIVFPQ semantics): coarse
@@ -945,6 +964,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized table). Brute-force all-pairs; compose with the IVF
     index for candidate blocking at scale."""
     return dedup_ops.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), _COS_T
+    )
+
+
+@register("embedding_neardup_lsh", oracle=None)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH blocking + exact verify — the scale path
+    next to the exact all-pairs entry (probabilistic recall, exact
+    precision; subset relation tested in tests/test_dedup.py)."""
+    return dedup_ops.embedding_neardup_lsh(
         load_table(spark, sf_dir, "embeddings"), _COS_T
     )
 

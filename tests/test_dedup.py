@@ -35,6 +35,27 @@ def test_exact_dedup_on_planted_duplicates(spark):
     assert all(r.keep_doc_id < 1000 for r in rows)
 
 
+def test_embedding_lsh_subset_of_exact(spark):
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    lsh = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.embedding_neardup_lsh(emb, 0.4).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.embedding_neardup_pairs(emb, 0.4).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]  # verification stage is exact
+    # deterministic across runs (seeded hyperplanes)
+    again = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.embedding_neardup_lsh(emb, 0.4).collect()
+    }
+    assert again == lsh
+
+
 def test_simhash_near_for_near_texts(spark):
     # simhash of a doc and a lightly perturbed copy should be within
     # the hamming threshold, while random doc pairs typically are not

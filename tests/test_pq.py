@@ -51,6 +51,25 @@ def test_pq_codes_shape(setup):
     assert index.codes.count() == base.count()
 
 
+def test_opq_rotation_ladder(spark, setup):
+    # OPQ variant: rotation is orthonormal (ranking-preserving), ladder
+    # still holds; on isotropic synthetic data recall lands near plain
+    # PQ rather than above it — the reference's OPQ gains come from
+    # anisotropic real embeddings.
+    base, queries, index, gt = setup
+    rot = pq_ops.pca_rotation(base)
+    import numpy as np
+
+    assert np.allclose(rot @ rot.T, np.eye(rot.shape[0]), atol=1e-8)
+    opq = pq_ops.pq_build(base, m=8, nbits=6, seed=42, rotation=rot)
+    r_opq = _recall(pq_ops.pq_adc_search(opq, queries, K), gt)
+    r_opq_ref = _recall(
+        pq_ops.pq_search_refined(opq, base, queries, K, refine_k=100), gt
+    )
+    assert r_opq < r_opq_ref
+    assert r_opq_ref >= 0.9, (r_opq, r_opq_ref)
+
+
 def test_pq_rejects_bad_m(spark):
     base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
