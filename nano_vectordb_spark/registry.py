@@ -1243,6 +1243,38 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts_stream(spark, sf_dir)
 
 
+@register(
+    "stream_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: sessionization via
+    applyInPandasWithState (open session kept in group state, closed on
+    30-min event-time gaps). The oracle is the batch semantics — the
+    stream's AvailableNow output must equal it exactly."""
+    from nano_vectordb_spark.streaming.sessions import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+
 @register("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob attach -> mapInPandas decode (STUB
