@@ -24,9 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Headline set: the flagship exact paths, the quantized scan, the staged
-# refine pipeline, and IVF build+search — the reference's own benchmark
-# surface (flat scan / quantized scan / ANN+refine).
+# Headline set: the reference's own benchmark surface (flat scan /
+# quantized scan / ANN+refine) plus one representative from each
+# pipeline-extension family (dedup, text, relational, streaming).
 BENCH_QUERIES = (
     "topk_dot",
     "topk_multi_twophase",
@@ -35,6 +35,10 @@ BENCH_QUERIES = (
     "refine_i8",
     "gt_build",
     "ivf_search",
+    "minhash_lsh_pairs",
+    "pipeline_chunks_embed",
+    "pricing_summary",
+    "stream_event_counts",
 )
 
 
