@@ -122,12 +122,8 @@ def shingle_hashes(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(doc_id, sig array<long> of length k): sig[i] = min over shingles
-    of (a_i * h + b_i) mod P."""
-    hs = shingle_hashes(ngram_shingles(df, n, text_col, id_col))
+def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    hs = shingle_hashes(sh)
     mins = [
         F.array_min(
             F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
@@ -138,6 +134,14 @@ def minhash_signatures(
     return sig.select(
         "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig array<long> of length k): sig[i] = min over shingles
+    of (a_i * h + b_i) mod P."""
+    return _signatures_from_shingles(ngram_shingles(df, n, text_col, id_col), k)
 
 
 def minhash_lsh_pairs(
@@ -154,7 +158,14 @@ def minhash_lsh_pairs(
     exact Jaccard and filtered at threshold. The band join shuffles on
     the band signature — tiny keys, no N^2."""
     rows = k // bands
-    sig = minhash_signatures(df, k, n, text_col, id_col)
+    # The shingle table feeds three plan branches (signatures + both
+    # verification sides): persist it once, spread over the cluster
+    # parallelism (a single input file otherwise yields one partition).
+    spark = df.sparkSession
+    sh_cached = ngram_shingles(
+        df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
+    ).persist()
+    sig = _signatures_from_shingles(sh_cached, k)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda bi: F.struct(
@@ -181,10 +192,8 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # verify candidates with exact jaccard over the shingle sets
-    sh = ngram_shingles(df, n, text_col, id_col).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
-    )
+    # verify candidates with exact jaccard over the (cached) shingle sets
+    sh = sh_cached.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
     j = (
         cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"), F.col("n_sh").alias("na")), "a_id")
         .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"), F.col("n_sh").alias("nb")), "b_id")

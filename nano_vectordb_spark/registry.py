@@ -1218,6 +1218,41 @@ def scan_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# conversion windows make the funnel discriminative: click within 1 hour
+# of first view, purchase within 1 hour of that click
+_SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 1 HOUR
+  GROUP BY e.user_id
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel
+"""
+
+
+@register("events_funnel", oracle=_SQL_FUNNEL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern (funnel) analysis: users progressing through
+    view -> click -> purchase in strict timestamp order with 1-hour
+    conversion windows — the behavioral query shape on events."""
+    return _sql_view_query(spark, sf_dir, _SQL_FUNNEL)
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming + multimodal plumbing (pipeline extensions)
 # --------------------------------------------------------------------------
