@@ -56,8 +56,14 @@ def ivf_build(
     train = featurized if train_fraction is None else featurized.sample(
         fraction=train_fraction, seed=seed
     )
+    # random init matches FAISS's subsampled-init k-means and is ~2x
+    # faster than k-means|| at indistinguishable final cost (PERF.md)
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="__features", predictionCol="cluster_id"
+        k=nlist,
+        seed=seed,
+        featuresCol="__features",
+        predictionCol="cluster_id",
+        initMode="random",
     ).fit(train)
     assigned = model.transform(featurized).drop("__features")
     spark = base.sparkSession

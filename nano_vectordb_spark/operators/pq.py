@@ -115,7 +115,8 @@ def pq_build(
         sl = F.slice(F.col("__v").cast("array<double>"), mi * dsub + 1, dsub)
         feat = encoded.withColumn("__f", array_to_vector(sl))
         model = KMeans(
-            k=k, seed=seed + mi, featuresCol="__f", predictionCol=f"__c{mi}"
+            k=k, seed=seed + mi, featuresCol="__f", predictionCol=f"__c{mi}",
+            initMode="random",
         ).fit(feat)
         encoded = model.transform(feat).drop("__f")
         books.append(np.asarray(model.clusterCenters(), dtype=np.float64))
