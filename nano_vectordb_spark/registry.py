@@ -1218,6 +1218,81 @@ def scan_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SET_OPS = """
+WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+all_cust AS (SELECT c_custkey AS k FROM customer)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM all_cust INTERSECT SELECT k FROM buyers)) AS n_intersect,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM all_cust EXCEPT SELECT k FROM buyers)) AS n_except,
+  (SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM all_cust UNION SELECT k FROM buyers)) AS n_union
+"""
+
+
+@register("set_ops", oracle=_SQL_SET_OPS)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-level set operators (INTERSECT / EXCEPT / UNION
+    distinct) over customer keys."""
+    return _sql_view_query(spark, sf_dir, _SQL_SET_OPS)
+
+
+# pivot as explicit conditional aggregation — deterministic and
+# engine-portable (engine-native PIVOT column ordering differs)
+_SQL_EVENTS_PIVOT = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
+@register("events_pivot", oracle=_SQL_EVENTS_PIVOT)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: daily event-type count matrix via the DataFrame
+    pivot operator (oracle expresses the same as FILTER aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in ("view", "click", "purchase", "signup", "error")
+        ],
+    )
+
+
+_SQL_PROPS_JSON = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("events_props_json", oracle=_SQL_PROPS_JSON)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function coverage: extract a typed field from the props
+    JSON column and aggregate it (integer sums — exact in any order)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+    )
+
+
 # conversion windows make the funnel discriminative: click within 1 hour
 # of first view, purchase within 1 hour of that click
 _SQL_FUNNEL = """
