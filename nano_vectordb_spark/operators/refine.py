@@ -34,10 +34,22 @@ def refine(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    staged: bool = False,
 ) -> DataFrame:
     """Re-rank ``candidates`` (query_id, vec_id) exactly; return
-    (query_id, vec_id, score, rank) with rank <= k."""
-    cand = F.broadcast(candidates.select("query_id", "vec_id").distinct())
+    (query_id, vec_id, score, rank) with rank <= k.
+
+    ``staged=True`` materializes the candidate set before the rerank —
+    the reference's PIPELINE=staged mode (apps/nvdb_ivf_eval.cpp:465):
+    two stages instead of one fused plan, so an expensive ANN stage is
+    computed once even if the refine output is consumed repeatedly.
+    Default is the fused (interleaved) plan and lets Catalyst decide.
+    """
+    cand_df = candidates.select("query_id", "vec_id").distinct()
+    if staged:
+        cand_df = cand_df.persist()
+        cand_df.count()  # materialize stage A
+    cand = F.broadcast(cand_df)
     fetched = cand.join(
         base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__bvec")),
         "vec_id",

@@ -69,6 +69,15 @@ def rank_topk(scored: DataFrame, k: int, metric: str = "dot") -> DataFrame:
     )
 
 
+def check_dim(base: DataFrame, dim: int, vec_col: str = "embedding") -> None:
+    """Dimension-compatibility check (reference apps/nvdb_bench.cpp:
+    288-292). Without it a mismatched query silently null-pads through
+    zip_with and produces null scores."""
+    row = base.select(F.size(vec_col)).first()
+    if row is not None and row[0] != dim:
+        raise ValueError(f"query dim {dim} != base dim {row[0]}")
+
+
 def topk(
     base: DataFrame,
     query_vec: Sequence[float],
@@ -76,6 +85,7 @@ def topk(
     metric: str = "dot",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = True,
 ) -> DataFrame:
     """Single-query exact top-k (reference O9, src/flat_index.cpp:16-48).
 
@@ -83,6 +93,8 @@ def topk(
     which is exactly the reference's per-partition heap + global merge —
     Spark plans the partial top-k per partition automatically.
     """
+    if validate:
+        check_dim(base, len(query_vec), vec_col)
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
     scored = base.select(
         F.col(id_col).alias("vec_id"),

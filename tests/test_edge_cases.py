@@ -28,6 +28,19 @@ def test_invalid_sample_mode_rejected(spark):
         sample_ops.sample_queries(_emb(spark), 5, mode="bogus")
 
 
+def test_dim_mismatch_rejected(spark):
+    with pytest.raises(ValueError, match="dim"):
+        topk_ops.topk(_emb(spark), [0.0] * 7, 5)
+
+
+def test_refine_staged_equals_fused(spark):
+    q = sample_ops.sample_queries(_emb(spark), 3, seed=1)
+    cand = topk_ops.topk_multi(_emb(spark), q, 20).select("query_id", "vec_id")
+    fused = refine_ops.refine(_emb(spark), q, cand, 5)
+    staged = refine_ops.refine(_emb(spark), q, cand, 5, staged=True)
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, staged.collect()))
+
+
 def test_topk_on_empty_base(spark):
     empty = _emb(spark).filter("vec_id < 0")
     assert topk_ops.topk(empty, [0.0] * 64, 5).count() == 0
