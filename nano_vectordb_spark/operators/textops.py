@@ -44,14 +44,12 @@ def chunk_fixed(
     )
 
 
-def chunk_words(
-    df: DataFrame, max_chars: int, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Greedy word-boundary chunking <= max_chars (the reference's
-    sentence-aware splitter adapted to word boundaries,
-    build_vecbin_chunked.py:189-225), as a native aggregate fold —
-    state is (finished chunks, current chunk), merged token by token."""
-    toks = tokens_expr(F.col(text_col))
+def greedy_pack_expr(pieces: Column, max_chars: int) -> Column:
+    """Greedy packing of string pieces into space-joined chunks
+    <= max_chars, as a native aggregate fold — state is (finished
+    chunks, current chunk), merged piece by piece. The fold behind both
+    word-boundary and sentence-aware chunking (reference
+    build_vecbin_chunked.py:189-225)."""
     zero = F.struct(
         F.lit([]).cast("array<string>").alias("done"), F.lit("").alias("cur")
     )
@@ -60,7 +58,7 @@ def chunk_words(
         cur = acc["cur"]
         joined = F.when(cur == "", x).otherwise(F.concat(cur, F.lit(" "), x))
         fits = F.length(joined) <= max_chars
-        # an oversize token (> max_chars on its own) must not flush an
+        # an oversize piece (> max_chars on its own) must not flush an
         # empty current chunk — it becomes its own oversize chunk
         flushed = F.when(cur == "", acc["done"]).otherwise(
             F.concat(acc["done"], F.array(cur))
@@ -75,7 +73,59 @@ def chunk_words(
             F.concat(acc["done"], F.array(acc["cur"]))
         )
 
-    chunks = F.aggregate(toks, zero, step, finish)
+    return F.aggregate(pieces, zero, step, finish)
+
+
+def chunk_words(
+    df: DataFrame, max_chars: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy word-boundary chunking <= max_chars."""
+    chunks = greedy_pack_expr(tokens_expr(F.col(text_col)), max_chars)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    ).withColumn("chunk_chars", F.length("chunk"))
+
+
+SENTENCE_SPLIT = r"(?<=[.!?])\s+"
+DEFAULT_HEADING = r"(?m)^#{1,6}\s+"
+
+
+def split_sections(
+    df: DataFrame,
+    heading_pattern: str = DEFAULT_HEADING,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex section split (reference build_vecbin_chunked.py:144-178):
+    documents break at heading matches into (doc_id, section_id,
+    section) rows; text without headings is one section."""
+    strip = lambda s: F.regexp_replace(s, r"^\s+|\s+$", "")
+    parts = F.filter(
+        F.transform(F.split(F.col(text_col), heading_pattern), strip),
+        lambda s: s != "",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(parts).alias("section_id", "section"),
+    )
+
+
+def chunk_sentences(
+    df: DataFrame,
+    max_chars: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-aware chunking <= max_chars (reference
+    build_vecbin_chunked.py:189-225): split at sentence boundaries,
+    greedily pack whole sentences; a sentence longer than max_chars
+    becomes its own oversize chunk (never split mid-sentence)."""
+    sentences = F.filter(
+        F.transform(F.split(F.col(text_col), SENTENCE_SPLIT), F.trim),
+        lambda s: s != "",
+    )
+    chunks = greedy_pack_expr(sentences, max_chars)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(chunks).alias("chunk_id", "chunk"),

@@ -72,6 +72,56 @@ def test_chunk_fixed_reassembles(spark):
     assert joined.filter(F.col("rebuilt") != F.col("text")).count() == 0
 
 
+def test_split_sections_on_headed_doc(spark):
+    text = "# Intro\nalpha beta\n# Methods\ngamma delta\n# End\nomega"
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = textops.split_sections(df).orderBy("section_id").collect()
+    assert [r.section for r in rows] == [
+        "Intro\nalpha beta",
+        "Methods\ngamma delta",
+        "End\nomega",
+    ]
+    # headless text -> single section
+    flat = _docs(spark).limit(5)
+    assert textops.split_sections(flat).count() == 5
+
+
+def test_chunk_sentences(spark):
+    text = "One two three. Four five! Six seven eight nine? Ten."
+    df = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = textops.chunk_sentences(df, 30).orderBy("chunk_id").collect()
+    chunks = [r.chunk for r in rows]
+    assert chunks == ["One two three. Four five!", "Six seven eight nine? Ten."]
+    # sentences are never split mid-sentence even when oversize
+    long_sent = "word " * 20 + "end."
+    df2 = spark.createDataFrame(
+        [(0, long_sent.strip(), "en", "s", len(long_sent))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [r.chunk for r in textops.chunk_sentences(df2, 30).collect()]
+    assert got == [long_sent.strip()]
+
+
+def test_section_sentence_pipeline_composes(spark):
+    text = "# A\nFirst sentence. Second sentence here.\n# B\nThird one."
+    df = spark.createDataFrame(
+        [(7, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sections = textops.split_sections(df)
+    chunks = textops.chunk_sentences(
+        sections.withColumnRenamed("section", "text"), 40
+    )
+    assert chunks.count() >= 2
+    assert chunks.filter("chunk_chars > 40").count() == 0
+
+
 def test_hash_embed_normalized_and_deterministic(spark):
     chunks = textops.chunk_words(_docs(spark).limit(50), 120)
     emb = textops.hash_embed(chunks, dim=32)
