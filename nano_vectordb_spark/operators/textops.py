@@ -144,21 +144,30 @@ def hash_embed(
     reference pipeline (O33) with the same shape contract: fixed dim,
     normalized, order-sensitive."""
     toks = tokens_expr(F.col(text_col))
-    buckets = F.transform(
-        toks,
-        lambda x, i: F.struct(
-            (token_hash_expr(x) % dim).cast("int").alias("b"),
-            (F.lit(1.0) / (i + 1).cast("double")).alias("w"),
+    # materialize the (bucket, weight) pairs as real columns first —
+    # referencing the transform expression from each of the `dim`
+    # aggregates would recompute the md5 token hashes dim times per row
+    staged = df.withColumn("__toks", toks).withColumn(
+        "__buckets",
+        F.transform(
+            F.col("__toks"),
+            lambda x, i: F.struct(
+                (token_hash_expr(x) % dim).cast("int").alias("b"),
+                (F.lit(1.0) / (i + 1).cast("double")).alias("w"),
+            ),
         ),
     )
     raw = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.aggregate(
-            buckets,
+            F.col("__buckets"),
             F.lit(0.0),
             lambda acc, s: acc + F.when(s["b"] == d, s["w"]).otherwise(F.lit(0.0)),
         ),
     )
+    staged = staged.withColumn("__raw", raw)
     # all-zero rows (no tokens) stay zero instead of dividing by 0
-    safe = F.when(F.size(toks) == 0, raw).otherwise(normalize_expr(raw))
-    return df.withColumn(out_col, safe)
+    safe = F.when(F.size("__toks") == 0, F.col("__raw")).otherwise(
+        normalize_expr(F.col("__raw"))
+    )
+    return staged.withColumn(out_col, safe).drop("__toks", "__buckets", "__raw")

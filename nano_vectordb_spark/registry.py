@@ -500,6 +500,26 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ivf_search_persisted", oracle=None)
+def ivf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search against the PERSISTED partitioned layout — the true
+    scale path: the scan carries PartitionFilters on cluster_id and
+    reads only the probed directories (asserted in tests/test_plans.py).
+    """
+    import hashlib
+    import os as _os
+
+    key = ("ivf_disk", sf_dir)
+    if key not in _INDEX_CACHE:
+        path = "/tmp/nvdb_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        if not _os.path.exists(f"{path}/centroids"):
+            ivf_ops.ivf_write(_ivf_index(spark, sf_dir), path)
+        _INDEX_CACHE[key] = ivf_ops.ivf_read(spark, path, nlist=_IVF_NLIST)
+    return ivf_ops.ivf_search(
+        _INDEX_CACHE[key], _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
+    )
+
+
 @register("ivf_recall_sweep", oracle=None)
 def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall ladder over nprobe (reference Performance.md Table 16
@@ -1383,6 +1403,25 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.streaming.sessions import sessionize_stream
 
     return sessionize_stream(spark, sf_dir)
+
+
+@register("doc_search", oracle=None)
+def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic search over documents end-to-end: chunk -> deterministic
+    hash embedding -> exact top-k of the first 5 chunks against the
+    chunk corpus (each query's own chunk must rank first — asserted in
+    tests/test_textops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
+    emb = text_ops.hash_embed(chunks, dim=32).select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("vec_id"), "embedding"
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return topk_ops.topk_multi(emb, queries, 5, strategy="two_phase")
 
 
 @register("multimodal_features", oracle=None)

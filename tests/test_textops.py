@@ -122,6 +122,16 @@ def test_section_sentence_pipeline_composes(spark):
     assert chunks.filter("chunk_chars > 40").count() == 0
 
 
+def test_doc_search_self_match(spark):
+    from nano_vectordb_spark import registry
+    from tests.conftest import SF_CORRECT as SF
+
+    res = registry.REGISTRY["doc_search"].fn(spark, SF)
+    top1 = {r.query_id: r.vec_id for r in res.filter("rank = 1").collect()}
+    assert len(top1) == 5
+    assert all(q == v for q, v in top1.items())  # each chunk finds itself first
+
+
 def test_hash_embed_normalized_and_deterministic(spark):
     chunks = textops.chunk_words(_docs(spark).limit(50), 120)
     emb = textops.hash_embed(chunks, dim=32)
