@@ -1,0 +1,176 @@
+"""Driver-side k-means training + distributed vectorized assignment.
+
+The reference trains its coarse/subspace quantizers single-node on a
+bounded prefix of the data (FAISS ntrain, apps/nvdb_ivf_build.cpp:44,
+53-56: train=200K of 500K) and only the ASSIGN step touches the full
+table. We mirror that split exactly — it is also the only shape that
+works at 100 TB:
+
+  * fit: collect a bounded training sample (first ``train_rows`` rows,
+    the FAISS prefix convention) and run Lloyd's iterations in NumPy on
+    the driver. A k=4096, D=384 fit on 256K samples is seconds of BLAS;
+    running it as distributed Spark jobs costs one scheduler round-trip
+    PER ITERATION and is strictly slower at every scale.
+  * assign: broadcast the tiny (k x D) centroid matrix inside an
+    Arrow-batched pandas UDF and argmin via one matmul per batch —
+    embarrassingly parallel over the full table, no shuffle.
+
+Empty clusters are reseeded from the points farthest from their
+assigned centroid (the standard Lloyd repair, same effect as FAISS's
+split-largest policy), which keeps all nlist partitions non-empty so
+the partitionBy("cluster_id") layout stays complete.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def lloyd_fit(
+    mat: np.ndarray,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 25,
+    tol: float = 1e-6,
+    n_init: int = 4,
+) -> np.ndarray:
+    """Seeded Lloyd's k-means on an in-memory (n, d) float64 matrix.
+    ``n_init`` random restarts, keep the lowest-inertia fit (restarts
+    are nearly free driver-side; they buy the robustness Spark ML got
+    from k-means||). Returns (k, d) centroids, row order = cluster_id."""
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    n = mat.shape[0]
+    if n < k:
+        raise ValueError(f"training sample ({n}) smaller than k ({k})")
+    best_cent, best_cost = None, np.inf
+    for trial in range(max(1, n_init)):
+        cent, cost = _lloyd_once(mat, k, seed + 7919 * trial, max_iter, tol)
+        if cost < best_cost:
+            best_cent, best_cost = cent, cost
+    return best_cent
+
+
+def _lloyd_once(
+    mat: np.ndarray, k: int, seed: int, max_iter: int, tol: float
+) -> tuple[np.ndarray, float]:
+    n = mat.shape[0]
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(n, size=k, replace=False)].copy()
+    x_sq = (mat * mat).sum(axis=1)
+    prev_inertia = inertia = np.inf
+    for _ in range(max_iter):
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over clusters
+        d2 = x_sq[:, None] - 2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        best = d2[np.arange(n), assign]
+        for _repair in range(n):  # each reseed consumes one donor point
+            empties = np.flatnonzero(np.bincount(assign, minlength=k) == 0)
+            if len(empties) == 0:
+                break
+            far = int(best.argmax())
+            cent[empties[0]] = mat[far]
+            assign[far] = empties[0]
+            best[far] = 0.0
+        sums = np.zeros((k, mat.shape[1]))
+        np.add.at(sums, assign, mat)
+        cent = sums / np.bincount(assign, minlength=k)[:, None]
+        inertia = float(best.sum())
+        if prev_inertia - inertia <= tol * max(prev_inertia, 1.0):
+            break
+        prev_inertia = inertia
+    return cent, inertia
+
+
+def collect_train_sample(
+    df: DataFrame, vec_col: str, train_rows: int
+) -> np.ndarray:
+    """First-N training prefix (the FAISS ntrain convention,
+    ivf_build.cpp:44) — a limit() never scans past the bound, so the
+    collect is O(train_rows x D) regardless of table size."""
+    rows = df.select(vec_col).limit(train_rows).collect()
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def train_rows_for(k: int, cap: int = 262_144) -> int:
+    """FAISS guidance: ~39..256 points per centroid; capped so the
+    driver collect stays bounded at any nlist."""
+    return min(max(256 * k, 4096), cap)
+
+
+def assign_udf(centroids: np.ndarray):
+    """pandas UDF: embedding -> nearest-centroid id (L2). One matmul
+    per Arrow batch; the (k, d) matrix rides the closure broadcast."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cent * cent).sum(axis=1)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        d2 = -2.0 * (x @ cent.T) + c_sq[None, :]  # ||x||^2 constant per row
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    return df.withColumn(out_col, assign_udf(centroids)(F.col(vec_col)))
+
+
+def encode_udf(
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None = None,
+    centroids: np.ndarray | None = None,
+):
+    """pandas UDF: embedding [, cluster_id] -> PQ codes array<tinyint>.
+
+    All M subspace argmins happen in one Arrow batch pass (vs M
+    sequential ML transforms). ``rotation`` pre-multiplies (OPQ);
+    ``centroids`` switches to residual encoding (IVF-PQ): the second
+    column must then be the row's cluster_id."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)  # (M, K, dsub)
+    m, _, dsub = books.shape
+    rot = None if rotation is None else np.ascontiguousarray(rotation, dtype=np.float64)
+    cent = None if centroids is None else np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def _encode_mat(x: np.ndarray) -> list:
+        if rot is not None:
+            x = x @ rot  # row-wise R^T x
+        codes = np.empty((x.shape[0], m), dtype=np.int8)
+        for mi in range(m):
+            xs = x[:, mi * dsub : (mi + 1) * dsub]
+            b = books[mi]
+            d2 = -2.0 * (xs @ b.T) + (b * b).sum(axis=1)[None, :]
+            codes[:, mi] = d2.argmin(axis=1).astype(np.int8)
+        return [c.tolist() for c in codes]
+
+    if cent is None:
+
+        @pandas_udf("array<tinyint>")
+        def _encode(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="object")
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            return pd.Series(_encode_mat(x))
+
+        return _encode
+
+    @pandas_udf("array<tinyint>")
+    def _encode_resid(vecs: pd.Series, cluster_ids: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x - cent[cluster_ids.to_numpy(dtype=np.int64)]
+        return pd.Series(_encode_mat(x))
+
+    return _encode_resid

@@ -6,9 +6,11 @@ Reference surface (SURVEY.md §2.1):
                                          478-489)
 
 Spark-first design (SURVEY.md §4): the index IS the physical layout.
-  * build: KMeans (pyspark.ml) trained on a bounded sample — the analog
-    of FAISS training on the first ntrain rows (ivf_build.cpp:44,63-66);
-    assignment adds a cluster_id column; persisting with
+  * build: k-means trained driver-side on a bounded prefix sample — the
+    analog of FAISS training on the first ntrain rows
+    (ivf_build.cpp:44,63-66); the distributed part is only the
+    assignment pass (broadcast-centroid matmul UDF, no shuffle);
+    persisting with
     partitionBy("cluster_id") turns nprobe probing into partition
     pruning, the reference's one semantic optimization (SURVEY §4).
   * search: stage 1 scores Q queries against the nlist centroids (both
@@ -46,29 +48,21 @@ def ivf_build(
     vec_col: str = "embedding",
 ) -> IvfIndex:
     """Train k-means centroids and assign every row to its nearest list
-    (reference O26). ``train_fraction`` bounds the training sample like
-    the reference's ntrain cap (ivf_build.cpp:53-56) — at 100 TB you
-    train on a sample, never the full table."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    (reference O26). Training happens driver-side on a bounded prefix
+    sample — the FAISS ntrain split (ivf_build.cpp:44,53-56); at 100 TB
+    only the assignment pass (broadcast matmul, no shuffle) touches the
+    full table. ``train_fraction`` optionally thins the prefix further."""
+    from nano_vectordb_spark.functions import kmeans as km
 
-    featurized = base.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    train = featurized if train_fraction is None else featurized.sample(
+    src = base if train_fraction is None else base.sample(
         fraction=train_fraction, seed=seed
     )
-    # random init matches FAISS's subsampled-init k-means and is ~2x
-    # faster than k-means|| at indistinguishable final cost (PERF.md)
-    model = KMeans(
-        k=nlist,
-        seed=seed,
-        featuresCol="__features",
-        predictionCol="cluster_id",
-        initMode="random",
-    ).fit(train)
-    assigned = model.transform(featurized).drop("__features")
+    mat = km.collect_train_sample(src, vec_col, km.train_rows_for(nlist))
+    cent = km.lloyd_fit(mat, nlist, seed=seed)
+    assigned = km.assign_clusters(base, cent, vec_col=vec_col)
     spark = base.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cluster_id int, centroid array<double>",
     )
     return IvfIndex(centroids=centroids, assigned=assigned, nlist=nlist)

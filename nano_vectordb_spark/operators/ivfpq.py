@@ -53,9 +53,11 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> IvfPqIndex:
-    """Coarse KMeans then M subspace KMeans fits on residuals."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse k-means, then M subspace codebooks fit on residuals —
+    both driver-side on the bounded training prefix (FAISS ntrain
+    split); only the encode pass (one Arrow-batched UDF, no shuffle)
+    touches the full table."""
+    from nano_vectordb_spark.functions import kmeans as km
 
     dim = len(base.select(vec_col).first()[0])
     if dim % m != 0:
@@ -64,42 +66,33 @@ def ivfpq_build(
     k = 2**nbits
 
     ivf = ivf_build(base, nlist=nlist, seed=seed, vec_col=vec_col)
-    cent = F.broadcast(ivf.centroids)
-    resid = (
-        ivf.assigned.join(cent, "cluster_id")
-        .select(
-            F.col(id_col).alias("vec_id"),
-            "cluster_id",
-            F.zip_with(
-                F.col(vec_col).cast("array<double>"),
-                "centroid",
-                lambda x, c: x - c,
-            ).alias("__r"),
-        )
-    )
-    encoded = resid
-    books: list[np.ndarray] = []
-    for mi in range(m):
-        sl = F.slice(F.col("__r"), mi * dsub + 1, dsub)
-        feat = encoded.withColumn("__f", array_to_vector(sl))
-        model = KMeans(
-            k=k, seed=seed + 1000 + mi, featuresCol="__f", predictionCol=f"__c{mi}",
-            initMode="random",
-        ).fit(feat)
-        encoded = model.transform(feat).drop("__f")
-        books.append(np.asarray(model.clusterCenters(), dtype=np.float64))
-    codes = encoded.select(
-        "vec_id",
-        "cluster_id",
-        F.array(*[F.col(f"__c{mi}").cast("tinyint") for mi in range(m)]).alias("codes"),
-    )
     centroids_np = np.asarray(
         [r.centroid for r in ivf.centroids.orderBy("cluster_id").collect()],
         dtype=np.float64,
     )
+    # training residuals computed in NumPy from the same prefix sample
+    mat = km.collect_train_sample(base, vec_col, km.train_rows_for(k))
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ centroids_np.T)
+        + (centroids_np * centroids_np).sum(axis=1)[None, :]
+    )
+    resid = mat - centroids_np[d2.argmin(axis=1)]
+    books = [
+        km.lloyd_fit(resid[:, mi * dsub : (mi + 1) * dsub], k, seed=seed + 1000 + mi)
+        for mi in range(m)
+    ]
+    codebooks = np.stack(books)
+    codes = ivf.assigned.select(
+        F.col(id_col).alias("vec_id"),
+        "cluster_id",
+        km.encode_udf(codebooks, centroids=centroids_np)(
+            F.col(vec_col), F.col("cluster_id")
+        ).alias("codes"),
+    )
     return IvfPqIndex(
         ivf=ivf,
-        codebooks=np.stack(books),
+        codebooks=codebooks,
         codes=codes,
         centroids_np=centroids_np,
         m=m,

@@ -61,25 +61,6 @@ def pca_rotation(base: DataFrame, vec_col: str = "embedding", sample_rows: int =
     return v[:, ::-1]  # columns = principal directions
 
 
-def rotate_expr(vec, rotation: np.ndarray):
-    """x -> R^T x as a native expression: one fold per output dim over a
-    broadcast literal matrix (D^2 doubles — tiny)."""
-    from nano_vectordb_spark.functions.vector import as_double_array
-
-    cols = rotation.T.tolist()  # row i of R^T
-    v = as_double_array(vec)
-    return F.array(
-        *[
-            F.aggregate(
-                F.zip_with(v, F.lit(row).cast("array<double>"), lambda x, r: x * r),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            for row in cols
-        ]
-    )
-
-
 def pq_build(
     base: DataFrame,
     m: int = 8,
@@ -96,8 +77,7 @@ def pq_build(
     pca_rotation) this is the OPQ-PQ variant: vectors are rotated
     before subspace splitting, queries are rotated at LUT build.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from nano_vectordb_spark.functions import kmeans as km
 
     dim = len(base.select(vec_col).first()[0])
     if dim % m != 0:
@@ -105,27 +85,23 @@ def pq_build(
     dsub = dim // m
     k = 2**nbits
 
-    vec_expr = (
-        rotate_expr(vec_col, rotation) if rotation is not None else F.col(vec_col)
-    )
-    df = base.select(F.col(id_col).alias("vec_id"), vec_expr.alias("__v"))
-    encoded = df
-    books: list[np.ndarray] = []
-    for mi in range(m):
-        sl = F.slice(F.col("__v").cast("array<double>"), mi * dsub + 1, dsub)
-        feat = encoded.withColumn("__f", array_to_vector(sl))
-        model = KMeans(
-            k=k, seed=seed + mi, featuresCol="__f", predictionCol=f"__c{mi}",
-            initMode="random",
-        ).fit(feat)
-        encoded = model.transform(feat).drop("__f")
-        books.append(np.asarray(model.clusterCenters(), dtype=np.float64))
-    codes = encoded.select(
-        "vec_id",
-        F.array(*[F.col(f"__c{mi}").cast("tinyint") for mi in range(m)]).alias("codes"),
+    # all M subspace codebooks train from ONE bounded prefix collect
+    # (the FAISS ntrain split); rotation is applied in NumPy both here
+    # and inside the encode UDF so train and encode see the same space
+    mat = km.collect_train_sample(base, vec_col, km.train_rows_for(k))
+    if rotation is not None:
+        mat = mat @ rotation
+    books = [
+        km.lloyd_fit(mat[:, mi * dsub : (mi + 1) * dsub], k, seed=seed + mi)
+        for mi in range(m)
+    ]
+    codebooks = np.stack(books)
+    codes = base.select(
+        F.col(id_col).alias("vec_id"),
+        km.encode_udf(codebooks, rotation=rotation)(F.col(vec_col)).alias("codes"),
     )
     return PqIndex(
-        codebooks=np.stack(books), codes=codes, m=m, nbits=nbits, dim=dim,
+        codebooks=codebooks, codes=codes, m=m, nbits=nbits, dim=dim,
         rotation=rotation,
     )
 
