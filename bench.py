@@ -48,9 +48,15 @@ def main() -> None:
 
     spark = get_spark(app_name="nvdb-bench", cpus=CPUS)
 
-    # warmup: prime the file cache + JVM (reference warmup loop)
+    # warmup: prime the file cache + JVM + Python UDF workers (the
+    # reference warmup loop primes the same per-process one-time costs)
     for t in ("embeddings", "documents"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    import pandas as pd  # noqa: F401  (workers import it on first use)
+
+    spark.range(int(CPUS) * 4, numPartitions=int(CPUS)).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
