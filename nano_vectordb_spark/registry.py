@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nano_vectordb_spark.functions import quantize as qz
@@ -827,14 +827,18 @@ _JACCARD_T = 0.2
 _SIMHASH_T = 2
 _COS_T = 0.4
 
-_SQL_SHINGLES = """
+def _sql_shingles(source: str = "documents") -> str:
+    return f"""
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(toks) - 1),
              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
   FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        FROM documents)
+        FROM {source})
   WHERE len(toks) >= 3
 """
+
+
+_SQL_SHINGLES = _sql_shingles()
 
 
 @register(
@@ -875,7 +879,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh() -> str:
+def _sql_minhash_lsh(source: str = "documents") -> str:
     perms = dedup_ops.minhash_perms(16)
     p = dedup_ops.MINHASH_P
     mins = ",\n         ".join(
@@ -889,7 +893,7 @@ def _sql_minhash_lsh() -> str:
         for bi in range(4)
     )
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH sh AS ({_sql_shingles(source)}),
 hs AS (
   SELECT doc_id,
          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
@@ -995,6 +999,97 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision; subset relation tested in tests/test_dedup.py)."""
     return dedup_ops.embedding_neardup_lsh(
         load_table(spark, sf_dir, "embeddings"), _COS_T
+    )
+
+
+_QUALITY_T = 0.75
+
+
+def _sql_corpus_clean() -> str:
+    quality = (
+        "0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) "
+        "+ 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio)"
+    )
+    return f"""
+WITH t AS ({_SQL_TOKS}),
+m AS (
+  SELECT doc_id, text,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains([{_SQL_EN_STOP}], x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN length(lower(text)) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(lower(text)) AS DOUBLE) END AS punct_ratio,
+         {_sql_marker_hits("en")} AS en_hits,
+         {_sql_marker_hits("de")} AS de_hits,
+         {_sql_marker_hits("es")} AS es_hits,
+         {_sql_marker_hits("fr")} AS fr_hits
+  FROM t
+),
+s AS (
+  SELECT doc_id, text, n_tokens, {quality} AS quality,
+         CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+              WHEN es_hits >= fr_hits THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM m
+),
+f AS (
+  SELECT doc_id, text, n_tokens, quality FROM s
+  WHERE quality >= {_QUALITY_T} AND pred_lang = 'en'
+),
+u AS (
+  SELECT * FROM f
+  WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY md5(text))
+),
+pairs AS ({_sql_minhash_lsh("u")})
+SELECT doc_id, n_tokens, quality FROM u
+WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+ORDER BY doc_id
+"""
+
+
+@register("corpus_clean", oracle=_sql_corpus_clean())
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning — the composition a 100 TB
+    pre-training pipeline actually runs: quality filter -> language
+    filter -> exact dedup -> MinHash-LSH near-dup removal (drop the
+    higher doc_id of each verified pair). Every stage reuses an
+    oracle-matched primitive, so the whole pipeline hash-matches.
+
+    Scale shape: the filters are scan-local (no shuffle); exact dedup is
+    one shuffle on a 16-byte hash; LSH is the banded shuffle from
+    minhash_lsh_pairs; the final removals are a broadcast anti-join."""
+    d = _toks_df(spark, sf_dir)
+    hits = {
+        lang: tx.marker_hits_expr(F.col("toks"), tx.LANG_MARKERS[lang])
+        for lang in ("en", "de", "es", "fr")
+    }
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.size("toks").alias("n_tokens"),
+        tx.quality_expr(F.col("toks"), "text").alias("quality"),
+        tx.lang_pred_expr(
+            hits["en"], hits["de"], hits["es"], hits["fr"]
+        ).alias("pred_lang"),
+    )
+    filt = scored.filter(
+        (F.col("quality") >= _QUALITY_T) & (F.col("pred_lang") == "en")
+    ).drop("pred_lang")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        filt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pairs = dedup_ops.minhash_lsh_pairs(uniq.select("doc_id", "text"), _JACCARD_T)
+    removed = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return (
+        uniq.join(F.broadcast(removed), "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
     )
 
 

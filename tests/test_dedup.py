@@ -68,3 +68,21 @@ def test_simhash_near_for_near_texts(spark):
     )
     pairs = dedup.simhash_pairs(df, 6).collect()
     assert [(p.a_id, p.b_id) for p in pairs] == [(0, 1)]
+
+
+def test_corpus_clean_stage_monotone(spark):
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark import registry
+    from tests.conftest import SF_CORRECT
+
+    docs = _docs(spark)
+    clean = registry.REGISTRY["corpus_clean"].fn(spark, SF_CORRECT)
+    rows = clean.collect()
+    n_docs = docs.count()
+    assert 0 < len(rows) < n_docs  # every stage removes something
+    assert all(r.quality >= 0.75 for r in rows)
+    # survivors are unique by content: no two share an md5
+    ids = [r.doc_id for r in rows]
+    kept = docs.filter(F.col("doc_id").isin(ids))
+    assert kept.select(F.md5("text")).distinct().count() == len(ids)
