@@ -58,14 +58,21 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # REPS timed runs per query, report the min — the reference harness
+    # also loops timed runs per config (apps/nvdb_bench.cpp:332,358);
+    # min is the standard de-noised single-node estimator.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()  # materialize the full result
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()  # materialize the full result
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
