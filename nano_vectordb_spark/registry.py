@@ -815,6 +815,58 @@ def pipeline_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _csv_docs_path(sf_dir: str) -> str:
+    import hashlib
+
+    return "/tmp/nvdb_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+
+def _csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from nano_vectordb_spark.sources import csv as csv_src
+
+    path = _csv_docs_path(sf_dir)
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        csv_src.write_documents_csv(load_table(spark, sf_dir, "documents"), path)
+    return csv_src.read_documents_csv(spark, path)
+
+
+@register(
+    "csv_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source fidelity (the reference pipeline's ingest format, O33
+    build_vecbin_chunked.py:312-368): documents written to RFC-4180 CSV
+    and read back with the explicit schema must equal the parquet table
+    byte-for-byte — quoting, embedded newlines, and types all survive."""
+    return _csv_docs(spark, sf_dir).orderBy("doc_id")
+
+
+@register("csv_chunks_embed", oracle=None)
+def csv_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL O33 ingest pipeline from the CSV entry point: CSV ->
+    regex section split -> sentence-aware chunking -> '{source}
+    [SECTION] {chunk}' formatting (build_vecbin_chunked.py:144-300) ->
+    normalized hash embeddings. Rows-only (greedy fold chunker has no
+    SQL form); chunker semantics are tested in tests/test_textops.py."""
+    docs = _csv_docs(spark, sf_dir)
+    sections = text_ops.split_sections(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    chunks = text_ops.chunk_sentences(
+        sections.withColumn(
+            "text",
+            F.concat_ws("\n", "source", F.lit("[SECTION]"), "section"),
+        ),
+        _CHUNK_CHARS * 2,
+    )
+    return text_ops.hash_embed(chunks, dim=32, text_col="chunk").select(
+        "doc_id", "chunk_id", "chunk_chars", "embedding"
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication family (north-star extension; exact + MinHash-LSH +
 # SimHash + n-gram Jaccard + embedding cosine)

@@ -143,3 +143,23 @@ def test_hash_embed_normalized_and_deterministic(spark):
     assert [list(r.embedding) for r in rows2] == [
         list(r.embedding) for r in emb.select("embedding").collect()
     ]
+
+
+def test_csv_pipeline_end_to_end(spark):
+    import numpy as np
+
+    from nano_vectordb_spark import registry
+    from tests.conftest import SF_CORRECT as SF
+
+    emb = registry.REGISTRY["csv_chunks_embed"].fn(spark, SF)
+    rows = emb.limit(50).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n = float(np.linalg.norm(r.embedding))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0  # normalized encode contract
+    # CSV source fidelity is oracle-checked (csv_roundtrip); here assert
+    # the pipeline starts from the CSV copy, not the parquet table
+    from nano_vectordb_spark.registry import _csv_docs_path
+    import os
+
+    assert os.path.exists(f"{_csv_docs_path(SF)}/_SUCCESS")
