@@ -391,3 +391,114 @@ def embedding_neardup_pairs(
     pairs = lhs.join(rhs, F.col("a_id") < F.col("b_id"))
     scored = pairs.select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+# 64-bit SimHash, materialized as two independent 32-bit halves: long
+# arithmetic never exceeds 2^60 (ANSI-safe), and every engine with md5
+# reproduces both halves bit-for-bit. Hamming(64) = hamming(hi) +
+# hamming(lo); 16 nibble bands over the halves are exact for <= 15.
+_SIMHASH64_CONSTS = ((2_654_435_761, 40_503), (2_246_822_519, 3_266_489_917))
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): 64-bit SimHash for real-text corpora —
+    the 32-bit variant saturates on large shared-vocabulary collections
+    (birthday collisions at ~2^16 docs); 64 bits keeps the near-dup
+    hamming gap open at corpus scale."""
+    toks = tokens_expr(F.col(text_col))
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    def rehash(c1: int, c2: int):
+        return F.transform(
+            "toks",
+            lambda x: (token_hash_expr(x) * c1 + c2)
+            % F.lit(4_294_967_296).cast("long"),
+        )
+
+    def bit_sum(th, j: int):
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    half_cols = []
+    for name, (c1, c2) in zip(("sim_hi", "sim_lo"), _SIMHASH64_CONSTS):
+        th = rehash(c1, c2)
+        val = None
+        for j in range(32):
+            bit = F.when(bit_sum(th, j) > 0, F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            val = bit if val is None else val + bit
+        half_cols.append(val.alias(name))
+    return d.select("doc_id", *half_cols)
+
+
+def simhash64_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs (a_id < b_id, hamming <=
+    max_hamming). 16 nibble bands (8 per half): two hashes agreeing on
+    no band differ in >= 16 bits, so the band join is EXACT for
+    max_hamming <= 15."""
+    if max_hamming > 15:
+        raise ValueError("band join is exact only for max_hamming <= 15")
+    sh = simhash64(df, text_col, id_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(half * 8 + bi).alias("band_id"),
+                F.shiftright(F.col(col), bi * 4)
+                .bitwiseAND(F.lit(15))
+                .alias("nib"),
+            )
+            for half, col in ((0, "sim_hi"), (1, "sim_lo"))
+            for bi in range(8)
+        ]
+    )
+    banded = sh.select(
+        "doc_id", "sim_hi", "sim_lo", F.explode(bands).alias("b")
+    ).select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.nib").alias("nib"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sim_hi").alias("ha_hi"),
+            F.col("a.sim_lo").alias("ha_lo"),
+            F.col("b.sim_hi").alias("hb_hi"),
+            F.col("b.sim_lo").alias("hb_lo"),
+        )
+        .distinct()
+    )
+    ham = cand.select(
+        "a_id",
+        "b_id",
+        (
+            F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
+            + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
+        ).alias("hamming"),
+    )
+    return ham.filter(F.col("hamming") <= max_hamming)

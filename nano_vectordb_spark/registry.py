@@ -877,6 +877,9 @@ _JACCARD_T = 0.2
 # hamming 0-2 under 32-bit SimHash while the background (shared small
 # vocabulary) floods in from <=3 up — 2 keeps 24/25 planted pairs.
 _SIMHASH_T = 2
+# 64-bit: planted near-dups sit at hamming 0-3; background floods from
+# ~4 up (measured ladder at sf0.001: 19 pairs <=2, 50 <=3, 148 <=4)
+_SIMHASH64_T = 3
 _COS_T = 0.4
 
 def _sql_shingles(source: str = "documents") -> str:
@@ -1016,6 +1019,64 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_T}
 """
+
+
+def _sql_simhash64_pairs() -> str:
+    halves = []
+    for name, (c1, c2) in zip(("hi", "lo"), dedup_ops._SIMHASH64_CONSTS):
+        bit_sums = ",\n         ".join(
+            f"list_aggregate(list_transform(th_{name}, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END), 'sum') AS s_{name}{j}"
+            for j in range(32)
+        )
+        val = " + ".join(
+            f"CASE WHEN s_{name}{j} > 0 THEN {2**j}::BIGINT ELSE 0 END"
+            for j in range(32)
+        )
+        halves.append((name, c1, c2, bit_sums, val))
+    th_cols = ",\n         ".join(
+        f"list_transform(toks, x -> ((('0x' || substr(md5(x), 1, 7))::BIGINT "
+        f"* {c1} + {c2}) % 4294967296)) AS th_{name}"
+        for name, c1, c2, _, _ in halves
+    )
+    all_sums = ",\n         ".join(h[3] for h in halves)
+    all_vals = ", ".join(f"{h[4]} AS sim_{h[0]}" for h in halves)
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         {th_cols}
+  FROM t WHERE len(toks) > 0
+),
+sums AS (
+  SELECT doc_id,
+         {all_sums}
+  FROM th
+),
+sh AS (SELECT doc_id, {all_vals} FROM sums)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+            + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo))
+      <= {_SIMHASH64_T}
+"""
+
+
+@register("simhash64_pairs", oracle=_sql_simhash64_pairs())
+def simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs at hamming <= 3 — the real-corpus
+    variant (32 bits saturates once shared-vocabulary collections grow
+    past ~2^16 docs; measured here: t=3 admits 50 pairs at sf0.001 vs
+    901 for 32-bit t=2). Spark generates candidates with the 16-nibble
+    band join (exact for hamming <= 15 by pigeonhole); the oracle
+    checks all pairs — identical result sets."""
+    return dedup_ops.simhash64_pairs(
+        load_table(spark, sf_dir, "documents"), _SIMHASH64_T
+    )
 
 
 @register("simhash_pairs", oracle=_sql_simhash_pairs())

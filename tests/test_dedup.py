@@ -86,3 +86,18 @@ def test_corpus_clean_stage_monotone(spark):
     ids = [r.doc_id for r in rows]
     kept = docs.filter(F.col("doc_id").isin(ids))
     assert kept.select(F.md5("text")).distinct().count() == len(ids)
+
+
+def test_simhash64_near_for_near_texts(spark):
+    docs = _docs(spark).limit(1)
+    row = docs.first()
+    perturbed = row.text + " extra token"
+    df = spark.createDataFrame(
+        [(0, row.text, "en", "s", len(row.text)), (1, perturbed, "en", "s", len(perturbed))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = dedup.simhash64_pairs(df, 12).collect()
+    assert [(p.a_id, p.b_id) for p in pairs] == [(0, 1)]
+    # the two halves are independent hashes: a doc is hamming-0 to itself
+    sh = dedup.simhash64(df).filter("doc_id = 0").first()
+    assert sh.sim_hi != sh.sim_lo  # distinct rehash constants actually used
