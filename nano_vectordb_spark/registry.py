@@ -1285,6 +1285,65 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_TOP_REVENUE)
 
 
+_SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l.l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("shipping_priority", oracle=_SQL_SHIPPING_PRIORITY)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 on the driver tables (o_orderpriority stands in for the
+    missing o_shippriority): selective dimension filter -> 3-way join ->
+    agg -> top-n, written with the DataFrame API and explicit broadcasts
+    — the 100 TB plan: lineitem never shuffles for the join (both other
+    sides broadcast after their filters), the date predicates push down
+    to the parquet scans, and the top-n is TakeOrderedAndProject over a
+    partial agg (asserted in tests/test_plans.py)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0).cast("decimal(18,3)") - F.col("l_discount").cast("decimal(18,3)")
+    )
+    joined = li.join(
+        F.broadcast(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        ),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 # the running sum accumulates in DECIMAL: windowed float sums are
 # engine-order-dependent (DuckDB uses segment trees), decimal is exact
 _SQL_EVENTS_RUNNING = """

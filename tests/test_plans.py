@@ -74,3 +74,23 @@ def test_two_phase_topk_single_exchange(spark, base, queries):
     df = topk_ops.topk_multi(base, queries, 10, strategy="two_phase")
     # only the tiny partial-merge shuffle; the Q x N scoring never shuffles
     assert count_exchanges(df) <= 1, physical_plan(df, "simple")
+
+
+def test_shipping_priority_plan_shape(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["shipping_priority"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan  # lineitem never shuffles to join
+    assert "BroadcastHashJoin" in plan, plan
+    assert has_operator(df, "TakeOrderedAndProject"), plan
+
+
+def test_corpus_clean_no_cartesian(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["corpus_clean"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    # final near-dup removal is a broadcast anti-join, not a shuffle
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
