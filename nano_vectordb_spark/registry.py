@@ -1641,6 +1641,25 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_unique_events
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+      ORDER BY event_id, ts)
+GROUP BY event_type
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on event_id,
+    watermark-bounded state) aggregated per event_type; the oracle is
+    the batch DISTINCT-count. event_id is unique in the fixture so the
+    stream/batch results coincide regardless of which duplicate wins."""
+    from nano_vectordb_spark.streaming.events import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
+
+
+@register(
     "stream_sessionize",
     oracle="""
 WITH gaps AS (

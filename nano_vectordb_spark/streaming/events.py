@@ -70,3 +70,44 @@ def windowed_event_counts_stream(
     q.awaitTermination()
     q.stop()
     return spark.table(name)
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicatesWithinWatermark
+    keyed on event_id — the streaming analog of exact_dedup. The
+    watermark bounds the dedup state (at 100 TB/day of events the key
+    set cannot live in memory unbounded; expiry after the watermark is
+    the standard contract). Returns per-event_type counts of the
+    deduplicated stream so the result is a stable small relation."""
+    events_path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+    )
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
