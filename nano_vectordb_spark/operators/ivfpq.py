@@ -158,3 +158,49 @@ def ivfpq_search_refined(
     exact dot rerank (valid L2 ranking on normalized vectors)."""
     cand = ivfpq_search(index, queries, refine_k, nprobe=nprobe)
     return refine(base, queries, cand, k, metric="dot")
+
+
+def ivfpq_write(index: IvfPqIndex, path: str) -> None:
+    """Persist the composite index: residual codes partitioned by
+    cluster_id (probing prunes partitions exactly like operators/ivf),
+    coarse centroids, and the subspace codebooks sidecar."""
+    from nano_vectordb_spark.operators.pq import PqIndex, pq_write
+
+    index.codes.write.mode("overwrite").partitionBy("cluster_id").parquet(
+        f"{path}/codes"
+    )
+    index.ivf.centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    pq_write(
+        PqIndex(
+            codebooks=index.codebooks,
+            codes=index.codes.sparkSession.createDataFrame(
+                [], "vec_id long, codes array<tinyint>"
+            ),
+            m=index.m,
+            nbits=index.nbits,
+            dim=index.dim,
+        ),
+        f"{path}/pq",
+    )
+
+
+def ivfpq_read(spark, path: str) -> IvfPqIndex:
+    from nano_vectordb_spark.operators.pq import pq_read
+
+    pq = pq_read(spark, f"{path}/pq")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    centroids_np = np.asarray(
+        [r.centroid for r in centroids.orderBy("cluster_id").collect()],
+        dtype=np.float64,
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    ivf = IvfIndex(centroids=centroids, assigned=codes, nlist=len(centroids_np))
+    return IvfPqIndex(
+        ivf=ivf,
+        codebooks=pq.codebooks,
+        codes=codes,
+        centroids_np=centroids_np,
+        m=pq.m,
+        nbits=pq.nbits,
+        dim=pq.dim,
+    )

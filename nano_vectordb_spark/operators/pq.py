@@ -171,3 +171,53 @@ def pq_search_refined(
     full-precision rerank to top-k."""
     cand = pq_adc_search(index, queries, refine_k, metric=metric)
     return refine(base, queries, cand, k, metric=metric)
+
+
+def pq_write(index: PqIndex, path: str) -> None:
+    """Persist the PQ index (the faiss::write_index analog,
+    apps/nvdb_ivfpq_build.cpp:93-96): codes as parquet; codebooks,
+    rotation, and params as a small parquet sidecar (one row per
+    (m, k) centroid — tiny: M x 2^nbits x dsub doubles)."""
+    spark = index.codes.sparkSession
+    index.codes.write.mode("overwrite").parquet(f"{path}/codes")
+    rows = [
+        (mi, ki, [float(x) for x in index.codebooks[mi, ki]])
+        for mi in range(index.m)
+        for ki in range(index.codebooks.shape[1])
+    ]
+    spark.createDataFrame(
+        rows, "m int, k int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    meta = [(index.m, index.nbits, index.dim, index.rotation is not None)]
+    spark.createDataFrame(
+        meta, "m int, nbits int, dim int, has_rotation boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if index.rotation is not None:
+        rot_rows = [(i, [float(x) for x in index.rotation[i]]) for i in range(index.dim)]
+        spark.createDataFrame(rot_rows, "i int, row array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/rotation")
+
+
+def pq_read(spark, path: str) -> PqIndex:
+    meta = spark.read.parquet(f"{path}/meta").first()
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    k = 2**meta.nbits
+    dsub = meta.dim // meta.m
+    books = np.zeros((meta.m, k, dsub))
+    for r in cb_rows:
+        books[r.m, r.k] = r.centroid
+    rotation = None
+    if meta.has_rotation:
+        rot = np.zeros((meta.dim, meta.dim))
+        for r in spark.read.parquet(f"{path}/rotation").collect():
+            rot[r.i] = r.row
+        rotation = rot
+    return PqIndex(
+        codebooks=books,
+        codes=spark.read.parquet(f"{path}/codes"),
+        m=meta.m,
+        nbits=meta.nbits,
+        dim=meta.dim,
+        rotation=rotation,
+    )

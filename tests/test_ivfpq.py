@@ -59,3 +59,24 @@ def test_ivfpq_recall_monotone_in_nprobe(setup):
         for p in (1, 4, 8)
     ]
     assert rs == sorted(rs), rs
+
+
+def test_ivfpq_index_roundtrip(setup, tmp_path):
+    import os
+
+    import numpy as np
+
+    from nano_vectordb_spark.operators import ivfpq as ivfpq_ops2
+
+    base, queries, index, gt = setup
+    path = str(tmp_path / "ivfpq")
+    ivfpq_ops2.ivfpq_write(index, path)
+    # physical layout: one directory per coarse list — probing prunes
+    parts = [d for d in os.listdir(f"{path}/codes") if d.startswith("cluster_id=")]
+    assert len(parts) == 8
+    loaded = ivfpq_ops2.ivfpq_read(base.sparkSession, path)
+    assert np.array_equal(loaded.codebooks, index.codebooks)
+    assert np.array_equal(loaded.centroids_np, index.centroids_np)
+    a = ivfpq_ops2.ivfpq_search(index, queries, 10, nprobe=4).orderBy("query_id", "rank")
+    b = ivfpq_ops2.ivfpq_search(loaded, queries, 10, nprobe=4).orderBy("query_id", "rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]

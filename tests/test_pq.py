@@ -74,3 +74,18 @@ def test_pq_rejects_bad_m(spark):
     base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_ops.pq_build(base, m=7)
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = sample_ops.sample_queries(base, 5, seed=42)
+    index = pq_ops.pq_build(base, m=8, nbits=4, seed=42)
+    path = str(tmp_path / "pq")
+    pq_ops.pq_write(index, path)
+    loaded = pq_ops.pq_read(spark, path)
+    assert np.array_equal(loaded.codebooks, index.codebooks)
+    a = pq_ops.pq_adc_search(index, queries, 10).orderBy("query_id", "rank")
+    b = pq_ops.pq_adc_search(loaded, queries, 10).orderBy("query_id", "rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
