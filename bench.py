@@ -36,8 +36,11 @@ BENCH_QUERIES = (
     "gt_build",
     "ivf_search",
     "minhash_lsh_pairs",
+    "simhash64_pairs",
+    "corpus_clean",
     "pipeline_chunks_embed",
     "pricing_summary",
+    "shipping_priority",
     "stream_event_counts",
 )
 

@@ -406,39 +406,60 @@ def simhash64(
     """(doc_id, sim_hi, sim_lo): 64-bit SimHash for real-text corpora —
     the 32-bit variant saturates on large shared-vocabulary collections
     (birthday collisions at ~2^16 docs); 64 bits keeps the near-dup
-    hamming gap open at corpus scale."""
-    toks = tokens_expr(F.col(text_col))
-    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-        F.size("toks") > 0
-    )
-    def rehash(c1: int, c2: int):
-        return F.transform(
-            "toks",
-            lambda x: (token_hash_expr(x) * c1 + c2)
-            % F.lit(4_294_967_296).cast("long"),
-        )
+    hamming gap open at corpus scale.
 
-    def bit_sum(th, j: int):
-        return F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
+    Computed by a vectorized pandas UDF: 64 bit-sums as native
+    expression folds cost 64 array walks per row (measured 11 s at
+    sf0.1 vs 1-2 s here); the UDF does one md5 per distinct token per
+    batch and all bit accumulation in NumPy. Hashes are identical to
+    the expression form (md5 hex prefix), so the oracle still matches
+    bit-for-bit."""
+    import hashlib
 
-    half_cols = []
-    for name, (c1, c2) in zip(("sim_hi", "sim_lo"), _SIMHASH64_CONSTS):
-        th = rehash(c1, c2)
-        val = None
-        for j in range(32):
-            bit = F.when(bit_sum(th, j) > 0, F.lit(2**j).cast("long")).otherwise(
-                F.lit(0).cast("long")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    consts = _SIMHASH64_CONSTS
+
+    @pandas_udf("struct<sim_hi:long,sim_lo:long>")
+    def _sig(texts):  # pd.Series -> pd.DataFrame (scalar struct UDF)
+        cache: dict[str, int] = {}
+
+        def tok_hash(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = cache[t] = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            return h
+
+        out = {"sim_hi": [], "sim_lo": []}
+        for text in texts:
+            toks = [t for t in (text or "").split(" ") if t]
+            if not toks:
+                out["sim_hi"].append(None)
+                out["sim_lo"].append(None)
+                continue
+            hs = np.fromiter(
+                (tok_hash(t) for t in toks), dtype=np.int64, count=len(toks)
             )
-            val = bit if val is None else val + bit
-        half_cols.append(val.alias(name))
-    return d.select("doc_id", *half_cols)
+            for name, (c1, c2) in zip(("sim_hi", "sim_lo"), consts):
+                h32 = ((hs * c1 + c2) % 4_294_967_296).astype(np.uint32)
+                bits = np.unpackbits(
+                    h32.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+                )  # (n_toks, 32), column j = bit j (little-endian bytes)
+                ones = bits.sum(axis=0, dtype=np.int64)
+                positive = (2 * ones - len(toks)) > 0  # sum of +/-1 per bit
+                val = int(
+                    (positive.astype(np.uint64) << np.arange(32, dtype=np.uint64)).sum()
+                )
+                out[name].append(val)
+        return pd.DataFrame(out)
+
+    return (
+        df.filter(F.size(tokens_expr(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("__s"))
+        .select("doc_id", "__s.sim_hi", "__s.sim_lo")
+    )
 
 
 def simhash64_pairs(
@@ -448,22 +469,28 @@ def simhash64_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs (a_id < b_id, hamming <=
-    max_hamming). 16 nibble bands (8 per half): two hashes agreeing on
-    no band differ in >= 16 bits, so the band join is EXACT for
-    max_hamming <= 15."""
+    max_hamming). Band width adapts to the threshold (pigeonhole: B
+    bands are exact for hamming <= B-1): byte bands (8) for <= 7 —
+    256-way buckets keep candidate volume ~30x below nibble bands on
+    shared-vocabulary corpora — else nibble bands (16) for <= 15."""
     if max_hamming > 15:
         raise ValueError("band join is exact only for max_hamming <= 15")
-    sh = simhash64(df, text_col, id_col)
+    per_half = 4 if max_hamming <= 7 else 8  # bands per 32-bit half
+    width = 32 // per_half
+    mask = (1 << width) - 1
+    # the signature table feeds both sides of the self-join: persist so
+    # the pandas-UDF signature pass runs once, not twice
+    sh = simhash64(df, text_col, id_col).persist()
     bands = F.array(
         *[
             F.struct(
-                F.lit(half * 8 + bi).alias("band_id"),
-                F.shiftright(F.col(col), bi * 4)
-                .bitwiseAND(F.lit(15))
+                F.lit(half * per_half + bi).alias("band_id"),
+                F.shiftright(F.col(col), bi * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("nib"),
             )
             for half, col in ((0, "sim_hi"), (1, "sim_lo"))
-            for bi in range(8)
+            for bi in range(per_half)
         ]
     )
     banded = sh.select(
