@@ -658,6 +658,56 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer (GPT-2 family shape, ASCII-restricted so Java
+# regex and RE2 split identically): leading-space word / number / punct
+# runs. The vocabulary-merge step of real BPE is a lookup, not a split —
+# token COUNTS for data curation come from the pre-tokenizer.
+_BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "bpe_token_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_PATTERN}') AS bpe,
+         list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bpe) AS INT) AS n_bpe_tokens,
+       CAST(len(words) AS INT) AS n_word_tokens,
+       CASE WHEN len(words) = 0 THEN 0.0
+            ELSE CAST(len(bpe) AS DOUBLE) / CAST(len(words) AS DOUBLE)
+       END AS bpe_per_word
+FROM t
+""",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer next to the
+    whitespace count — the fertility ratio (bpe_per_word) is the
+    standard curation signal for training-cost estimation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    words = tx.tokens_expr("text")
+    d = docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(words).alias("n_word_tokens"),
+    )
+    return d.select(
+        "doc_id",
+        "n_bpe_tokens",
+        "n_word_tokens",
+        F.when(F.col("n_word_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_word_tokens").cast("double")
+        )
+        .alias("bpe_per_word"),
+    )
+
+
 def _sql_marker_hits(lang: str) -> str:
     lst = ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang])
     return f"CAST(len(list_filter(toks, x -> list_contains([{lst}], x))) AS INT)"
@@ -1192,10 +1242,13 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("quality") >= _QUALITY_T) & (F.col("pred_lang") == "en")
     ).drop("pred_lang")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # uniq feeds BOTH the LSH pair generation and the final anti-join:
+    # persist so the filter/dedup pipeline runs once
     uniq = (
         filt.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .persist()
     )
     pairs = dedup_ops.minhash_lsh_pairs(uniq.select("doc_id", "text"), _JACCARD_T)
     removed = pairs.select(F.col("b_id").alias("doc_id")).distinct()
