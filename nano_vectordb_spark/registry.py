@@ -1483,6 +1483,33 @@ SELECT
 """
 
 
+_SQL_ASOF = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS asof_ts, p.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'click') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+@register("events_asof_purchase", oracle=_SQL_ASOF)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's most recent purchase
+    at or before it (operators/asof.py — union + per-key window, ONE
+    shuffle; the oracle is DuckDB's native ASOF JOIN)."""
+    from nano_vectordb_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", right_payload=("value",)
+    )
+
+
 @register("semi_anti_join", oracle=_SQL_SEMI_ANTI)
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti-join coverage via the DataFrame API (left_semi /

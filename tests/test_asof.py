@@ -1,0 +1,42 @@
+"""As-of join semantics: inclusive match, per-key isolation, null when
+no prior right row. Oracle parity (vs DuckDB's native ASOF JOIN) is in
+test_oracle_parity via the events_asof_purchase entry."""
+
+from __future__ import annotations
+
+import datetime
+
+from nano_vectordb_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # before any right -> null
+            (2, 10, _ts("2024-01-01 12:00:00")),  # exact tie -> inclusive
+            (3, 10, _ts("2024-01-01 13:00:00")),  # between rights -> 12:00
+            (4, 20, _ts("2024-01-01 23:00:00")),  # other key isolated
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 12:00:00"), 1.0),
+            (10, _ts("2024-01-01 14:00:00"), 2.0),
+            (20, _ts("2024-01-01 01:00:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(left, right, on="user_id", right_payload=("value",)).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2024-01-01 12:00:00"), 1.0)
+    assert out[3] == (_ts("2024-01-01 12:00:00"), 1.0)
+    assert out[4] == (_ts("2024-01-01 01:00:00"), 9.0)
+    assert len(out) == 4  # left rows preserved exactly once
