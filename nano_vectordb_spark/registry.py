@@ -1510,6 +1510,42 @@ def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_RANGE_JOIN = """
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS win_start,
+       p.ts + INTERVAL 1 HOUR AS win_end,
+       p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts
+ AND c.ts < p.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("events_range_join", oracle=_SQL_RANGE_JOIN)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks inside each purchase's 1-hour attribution
+    window (operators/rangejoin.py — bucketed equi-join + residual
+    predicate, never a nested-loop; the oracle is the plain inequality
+    join)."""
+    from nano_vectordb_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        F.col("value").alias("purchase_value"),
+    )
+    return range_join(
+        clicks, windows, on="user_id", start="win_start", end="win_end"
+    )
+
+
 @register("semi_anti_join", oracle=_SQL_SEMI_ANTI)
 def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti-join coverage via the DataFrame API (left_semi /
@@ -1529,6 +1565,29 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_with, n_without, n_parts)],
         "n_with_orders bigint, n_without_orders bigint, n_parts_sold bigint",
     )
+
+
+_SQL_HYPERTABLE = """
+SELECT grouping(bucket_day) + 2 * grouping(bucket_hour) AS grain_id,
+       bucket_day, bucket_hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (SELECT event_type, value,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_day,
+             date_trunc('hour', ts) AS bucket_hour
+      FROM events)
+GROUP BY GROUPING SETS ((bucket_day, event_type), (bucket_hour, event_type),
+                        (event_type))
+"""
+
+
+@register("events_hypertable_rollup", oracle=_SQL_HYPERTABLE)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass produces the
+    hourly, daily, and all-time rollups via GROUPING SETS (the
+    timescale-style multi-granularity materialization; at scale each
+    grain is a partial agg over the same scan — no second read)."""
+    return _sql_view_query(spark, sf_dir, _SQL_HYPERTABLE)
 
 
 _SQL_ROLLUP = """

@@ -40,3 +40,27 @@ def test_asof_join_semantics(spark):
     assert out[3] == (_ts("2024-01-01 12:00:00"), 1.0)
     assert out[4] == (_ts("2024-01-01 01:00:00"), 9.0)
     assert len(out) == 4  # left rows preserved exactly once
+
+
+def test_range_join_spans_buckets(spark):
+    from nano_vectordb_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:59:59")),  # inside, same bucket as start
+            (2, 10, _ts("2024-01-01 12:30:00")),  # inside, TWO buckets after start
+            (3, 10, _ts("2024-01-01 13:00:00")),  # == end, exclusive -> no match
+            (4, 10, _ts("2024-01-01 09:59:59")),  # before start -> no match
+            (5, 20, _ts("2024-01-01 11:00:00")),  # wrong key -> no match
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 10:30:00"), _ts("2024-01-01 13:00:00"), 7.0)],
+        "user_id long, win_start timestamp, win_end timestamp, v double",
+    )
+    out = range_join(
+        left, right, on="user_id", start="win_start", end="win_end",
+        bucket_seconds=3600,
+    )
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
