@@ -1567,6 +1567,34 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l.l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+@register("local_supplier_volume", oracle=_SQL_LOCAL_SUPPLIER_VOLUME)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: six-table join with the local-supplier predicate
+    (supplier nation == customer nation). The fact table joins against
+    a chain of ever-smaller dimensions — at 100 TB every dimension side
+    (region -> nation -> supplier, and customer after its region
+    restriction) is broadcast, so lineitem is scanned once and never
+    shuffled for a join; Catalyst's join reordering gets the SQL form,
+    asserted oracle-equal here."""
+    return _sql_view_query(spark, sf_dir, _SQL_LOCAL_SUPPLIER_VOLUME)
+
+
 _SQL_HYPERTABLE = """
 SELECT grouping(bucket_day) + 2 * grouping(bucket_hour) AS grain_id,
        bucket_day, bucket_hour, event_type,
