@@ -74,11 +74,15 @@ def _lloyd_once(
             far = int(best.argmax())
             cent[empties[0]] = mat[far]
             assign[far] = empties[0]
-            best[far] = 0.0
+            # a donor must never be re-picked (ties at distance 0 would
+            # oscillate between empties forever on duplicate-point data)
+            best[far] = -np.inf
         sums = np.zeros((k, mat.shape[1]))
         np.add.at(sums, assign, mat)
         cent = sums / np.bincount(assign, minlength=k)[:, None]
-        inertia = float(best.sum())
+        # donors sit exactly on their reseeded centroid: contribute 0,
+        # and their -inf marker must not poison the total
+        inertia = float(best[best != -np.inf].sum())
         if prev_inertia - inertia <= tol * max(prev_inertia, 1.0):
             break
         prev_inertia = inertia

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis): the custom join operators and the
+driver-side k-means against brute-force references on random inputs.
+Example counts are small because every Spark example costs a job; the
+NumPy-only k-means properties run many more."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nano_vectordb_spark.functions import kmeans as km
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+def _row_strategy(n_keys: int = 3):
+    return st.lists(
+        st.tuples(
+            st.integers(0, n_keys - 1),  # key
+            st.integers(0, 3600),        # seconds offset
+            st.integers(0, 100),         # payload
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+
+_SPARK_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(left=_row_strategy(), right=_row_strategy())
+@_SPARK_SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from nano_vectordb_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [
+            (i, k, _BASE + datetime.timedelta(seconds=s))
+            for i, (k, s, _) in enumerate(left)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [
+            (k, _BASE + datetime.timedelta(seconds=s), float(v))
+            for k, s, v in right
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: r.asof_ts
+        for r in asof_join(ldf, rdf, on="user_id", right_payload=("value",)).collect()
+    }
+    assert set(got) == set(range(len(left)))  # left rows preserved 1:1
+    for i, (k, s, _) in enumerate(left):
+        lt = _BASE + datetime.timedelta(seconds=s)
+        prior = [
+            _BASE + datetime.timedelta(seconds=rs)
+            for rk, rs, _ in right
+            if rk == k and rs <= s
+        ]
+        assert got[i] == (max(prior) if prior else None), (i, left, right)
+
+
+@given(left=_row_strategy(), right=_row_strategy())
+@_SPARK_SETTINGS
+def test_range_join_matches_bruteforce(spark, left, right):
+    from nano_vectordb_spark.operators.rangejoin import range_join
+
+    ldf = spark.createDataFrame(
+        [
+            (i, k, _BASE + datetime.timedelta(seconds=s))
+            for i, (k, s, _) in enumerate(left)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    # intervals of varying width, some spanning multiple 600 s buckets
+    rdf = spark.createDataFrame(
+        [
+            (
+                j,
+                k,
+                _BASE + datetime.timedelta(seconds=s),
+                _BASE + datetime.timedelta(seconds=s + 1 + 7 * v),
+            )
+            for j, (k, s, v) in enumerate(right)
+        ],
+        "win_id long, user_id long, win_start timestamp, win_end timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.win_id)
+        for r in range_join(
+            ldf, rdf, on="user_id", start="win_start", end="win_end",
+            bucket_seconds=600,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, ls, _) in enumerate(left)
+        for j, (rk, rs, rv) in enumerate(right)
+        if lk == rk and rs <= ls < rs + 1 + 7 * rv
+    )
+    assert got == want, (left, right)
+
+
+@given(
+    data=st.lists(
+        st.lists(st.floats(-10, 10), min_size=4, max_size=4),
+        min_size=8,
+        max_size=64,
+    ),
+    k=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_lloyd_fit_invariants(data, k, seed):
+    mat = np.asarray(data)
+    if len(mat) < k:
+        return
+    cent = km.lloyd_fit(mat, k, seed=seed, n_init=2)
+    assert cent.shape == (k, mat.shape[1])
+    assert np.isfinite(cent).all()
+    # no starved centroids: each is SOME point's nearest (up to exact
+    # ties — duplicate points make argmin's index choice arbitrary)
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    mins = d2.min(axis=1)
+    assert all((d2[:, j] == mins).any() for j in range(k))
+    # determinism
+    assert np.array_equal(cent, km.lloyd_fit(mat, k, seed=seed, n_init=2))
