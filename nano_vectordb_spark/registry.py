@@ -1567,6 +1567,31 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("distinct_users_sketch", oracle=None)
+def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL via
+    hll_sketch_agg): one sketch per (day, event_type), then the monthly
+    per-type estimate by UNIONING the daily sketches — the 100 TB
+    pattern: sketches pre-aggregate per partition/day and re-aggregate
+    without rescanning, unlike exact COUNT(DISTINCT). No SQL oracle
+    (estimator internals are library-specific); the error bound vs the
+    exact count is asserted in tests/test_metrics_extra.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct_users"
+            ),
+            F.count("*").alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _SQL_LOCAL_SUPPLIER_VOLUME = """
 SELECT n.n_name,
        CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
