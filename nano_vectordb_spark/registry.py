@@ -1902,6 +1902,43 @@ def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ops.topk_multi(emb, queries, 5, strategy="two_phase")
 
 
+@register("doc_search_ivf", oracle=None)
+def doc_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path of doc_search: the same chunk->embed corpus
+    behind an IVF index (driver-side fit + partition-prunable layout)
+    probed at nprobe=4 of 16. On a 100 TB chunk corpus this scans
+    ~25% of the lists instead of every vector; each query's own chunk
+    still ranks first (its cluster is always probed — asserted in
+    tests/test_textops.py)."""
+    key = ("doc_ivf", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
+        # persist: materializes the corpus once for build+queries+search,
+        # and gives the Arrow assign UDF a plain column input (feeding it
+        # the raw hash-embed fold expression trips Spark's interpreted
+        # eval path with an INTERNAL_ERROR)
+        emb = (
+            text_ops.hash_embed(chunks, dim=32)
+            .select(
+                (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("vec_id"),
+                "embedding",
+            )
+            .persist()
+        )
+        _INDEX_CACHE[key] = (
+            ivf_ops.ivf_build(emb, nlist=_IVF_NLIST, seed=SEED),
+            emb,
+        )
+    index, emb = _INDEX_CACHE[key]
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return ivf_ops.ivf_search(index, queries, 5, nprobe=_IVF_NPROBE, metric="cosine")
+
+
 @register("multimodal_features", oracle=None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob attach -> mapInPandas decode (STUB

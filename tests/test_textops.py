@@ -163,3 +163,14 @@ def test_csv_pipeline_end_to_end(spark):
     import os
 
     assert os.path.exists(f"{_csv_docs_path(SF)}/_SUCCESS")
+
+
+def test_doc_search_ivf_self_match(spark):
+    from nano_vectordb_spark import registry
+    from tests.conftest import SF_CORRECT as SF
+
+    res = registry.REGISTRY["doc_search_ivf"].fn(spark, SF)
+    top1 = {r.query_id: r.vec_id for r in res.filter("rank = 1").collect()}
+    assert len(top1) == 5
+    # a query vector's own cluster is always probed, so it finds itself
+    assert all(q == v for q, v in top1.items())
