@@ -94,3 +94,11 @@ def test_corpus_clean_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
     # final near-dup removal is a broadcast anti-join, not a shuffle
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_asof_join_single_exchange(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["events_asof_purchase"].fn(spark, SF_CORRECT)
+    # union + window = exactly one hash shuffle on the key
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
