@@ -1567,6 +1567,35 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_salted_agg",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the two-stage salted shape
+    (operators/skew.py): counts and DECIMAL sums per event_type where
+    stage 1 fans each key over 16 salt buckets and stage 2 combines the
+    partials. The oracle is the plain GROUP BY — salting must never
+    change results, only reducer balance."""
+    from nano_vectordb_spark.operators.skew import with_salt
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    partial = with_salt(ev, 16).groupBy("event_type", "__salt").agg(
+        F.count("*").alias("__n"), F.sum("v").alias("__s")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("__n").alias("n"),
+        F.sum("__s").cast("double").alias("total_value"),
+    )
+
+
 @register("distinct_users_sketch", oracle=None)
 def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (DataSketches HLL via
