@@ -134,3 +134,40 @@ def test_lloyd_fit_invariants(data, k, seed):
     assert all((d2[:, j] == mins).any() for j in range(k))
     # determinism
     assert np.array_equal(cent, km.lloyd_fit(mat, k, seed=seed, n_init=2))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    t=st.integers(0, 7),
+)
+@_SPARK_SETTINGS
+def test_simhash64_band_join_is_exact(spark, docs, t):
+    """The byte-band candidate join must find EXACTLY the brute-force
+    pair set for hamming <= 7 (pigeonhole) on arbitrary corpora."""
+    from nano_vectordb_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, d, "en", "s", len(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = sorted(
+        (r.a_id, r.b_id, r.hamming)
+        for r in dedup.simhash64_pairs(df, t).collect()
+    )
+    sig = {r.doc_id: (r.sim_hi, r.sim_lo) for r in dedup.simhash64(df).collect()}
+    want = sorted(
+        (a, b, bin(sig[a][0] ^ sig[b][0]).count("1")
+         + bin(sig[a][1] ^ sig[b][1]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b
+        and bin(sig[a][0] ^ sig[b][0]).count("1")
+        + bin(sig[a][1] ^ sig[b][1]).count("1") <= t
+    )
+    assert got == want, (docs, t)
