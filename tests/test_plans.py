@@ -102,3 +102,22 @@ def test_asof_join_single_exchange(spark):
     df = registry.REGISTRY["events_asof_purchase"].fn(spark, SF_CORRECT)
     # union + window = exactly one hash shuffle on the key
     assert count_exchanges(df) == 1, physical_plan(df, "simple")
+
+
+def test_q5_all_dimension_joins_broadcast(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["local_supplier_volume"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan  # lineitem joins all broadcast
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hypertable_rollup_single_scan(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["events_hypertable_rollup"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    # all three grains come from ONE events scan (Expand), not re-reads
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
