@@ -25,4 +25,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.oracle for name, e in registry.REGISTRY.items() if e.oracle}
+    out = {}
+    for name, e in registry.REGISTRY.items():
+        sql = registry.resolve_oracle(e)
+        if sql:
+            out[name] = sql
+    return out

@@ -54,6 +54,40 @@ def lloyd_fit(
     return best_cent
 
 
+def _assign_repair(
+    mat: np.ndarray, cent: np.ndarray, x_sq: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Assign each point to its nearest centroid, then repair empty
+    clusters by reseeding them from far points — recomputing distances
+    after every reseed, so on exit every cluster owns >= 1 point under
+    the (possibly reseeded, in-place mutated) ``cent``. Returns
+    (assign, best, inertia)."""
+    n, k = mat.shape[0], cent.shape[0]
+    # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over clusters
+    d2 = x_sq[:, None] - 2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    assign = d2.argmin(axis=1)
+    best = d2[np.arange(n), assign]
+    used = np.zeros(n, dtype=bool)  # each reseed consumes a distinct donor
+    while True:
+        empties = np.flatnonzero(np.bincount(assign, minlength=k) == 0)
+        if len(empties) == 0:
+            break
+        e = int(empties[0])
+        far = int(np.where(used, -np.inf, best).argmax())
+        used[far] = True
+        cent[e] = mat[far]
+        # exact distances to the reseeded centroid; strictly-closer points
+        # switch, and the donor switches even on an exact tie (duplicate
+        # points all sitting on their centroids would tie at 0)
+        d2e = x_sq - 2.0 * (mat @ cent[e]) + float(cent[e] @ cent[e])
+        switch = d2e < best
+        assign[switch] = e
+        best[switch] = d2e[switch]
+        assign[far] = e
+        best[far] = d2e[far]
+    return assign, best, float(best.sum())
+
+
 def _lloyd_once(
     mat: np.ndarray, k: int, seed: int, max_iter: int, tol: float
 ) -> tuple[np.ndarray, float]:
@@ -61,31 +95,19 @@ def _lloyd_once(
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(n, size=k, replace=False)].copy()
     x_sq = (mat * mat).sum(axis=1)
-    prev_inertia = inertia = np.inf
+    prev_inertia = np.inf
     for _ in range(max_iter):
-        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over clusters
-        d2 = x_sq[:, None] - 2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1)[None, :]
-        assign = d2.argmin(axis=1)
-        best = d2[np.arange(n), assign]
-        for _repair in range(n):  # each reseed consumes one donor point
-            empties = np.flatnonzero(np.bincount(assign, minlength=k) == 0)
-            if len(empties) == 0:
-                break
-            far = int(best.argmax())
-            cent[empties[0]] = mat[far]
-            assign[far] = empties[0]
-            # a donor must never be re-picked (ties at distance 0 would
-            # oscillate between empties forever on duplicate-point data)
-            best[far] = -np.inf
+        assign, _best, inertia = _assign_repair(mat, cent, x_sq)
         sums = np.zeros((k, mat.shape[1]))
         np.add.at(sums, assign, mat)
         cent = sums / np.bincount(assign, minlength=k)[:, None]
-        # donors sit exactly on their reseeded centroid: contribute 0,
-        # and their -inf marker must not poison the total
-        inertia = float(best[best != -np.inf].sum())
         if prev_inertia - inertia <= tol * max(prev_inertia, 1.0):
             break
         prev_inertia = inertia
+    # the loop exits right after a mean update, which can starve a
+    # centroid (no point's nearest); one final assign+repair pass makes
+    # the returned centroids self-consistent: every centroid owns a point.
+    _assign2, _best2, inertia = _assign_repair(mat, cent, x_sq)
     return cent, inertia
 
 

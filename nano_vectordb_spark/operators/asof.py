@@ -12,8 +12,10 @@ Spark-first shape — union + window, ONE shuffle on the key:
     BroadcastNestedLoop or an interval cross-product; instead both
     sides union into one relation tagged by side, sort within each key
     by (ts, side) — right rows first on ties so the match is inclusive
-    — and carry the right payload forward with last(..., ignoreNulls)
-    over rows UNBOUNDED PRECEDING..CURRENT ROW.
+    — and carry the right row forward as ONE struct with
+    last(..., ignoreNulls) over rows UNBOUNDED PRECEDING..CURRENT ROW
+    (a single struct keeps all carried columns from the same matched
+    row, even when some payload values are NULL).
   * at 100 TB this is exactly one hash shuffle of L+R rows plus a
     per-key sort — the same cost as a co-grouped merge join; no
     broadcast, no skew beyond the key distribution itself.
@@ -38,21 +40,28 @@ def asof_join(
     before its timestamp, matched per ``on`` key. Right columns arrive
     as ``{prefix}{right_ts}`` and ``{prefix}{col}`` for each payload
     column."""
+    from pyspark.sql import types as T
+
     carried = [right_ts, *right_payload]
-    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
-        "__ets", F.col(left_ts)
+    # ONE struct per right row carries ts + all payload columns together,
+    # so last(ignorenulls) either matches a whole right row or none — a
+    # NULL payload value in the matched row stays NULL instead of being
+    # back-filled from an older right row (the DuckDB ASOF contract).
+    struct_t = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in carried]
     )
-    for c in carried:
-        l_tag = l_tag.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l_tag = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__ets", F.col(left_ts))
+        .withColumn("__r", F.lit(None).cast(struct_t))
+    )
     r_tag = right.select(
         F.col(on),
         F.col(right_ts).alias("__ets"),
-        *[F.col(c).alias(f"__r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__r"),
     ).withColumn("__side", F.lit(0))
     l_cols = left.columns
-    merged = l_tag.select(
-        *l_cols, "__side", "__ets", *[f"__r_{c}" for c in carried]
-    ).unionByName(
+    merged = l_tag.select(*l_cols, "__side", "__ets", "__r").unionByName(
         r_tag.select(
             *[
                 F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -62,7 +71,7 @@ def asof_join(
             ],
             "__side",
             "__ets",
-            *[f"__r_{c}" for c in carried],
+            "__r",
         )
     )
     # right rows sort before left rows on equal timestamps => inclusive
@@ -71,10 +80,8 @@ def asof_join(
         .orderBy(F.col("__ets").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in carried:
-        merged = merged.withColumn(
-            f"{prefix}{c}", F.last(f"__r_{c}", ignorenulls=True).over(w)
-        )
+    merged = merged.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
     return merged.filter(F.col("__side") == 1).select(
-        *l_cols, *[f"{prefix}{c}" for c in carried]
+        *l_cols,
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in carried],
     )

@@ -62,6 +62,8 @@ def ivfpq_build(
     dim = len(base.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in 1..8 (byte codes), got {nbits}")
     dsub = dim // m
     k = 2**nbits
 
@@ -134,10 +136,13 @@ def ivfpq_search(
     )
     # the join on cluster_id IS the pruning: only probed lists are scanned
     joined = index.codes.join(lut_df, "cluster_id")
+    # pmod unwraps signed-byte codes for nbits=8 (see operators/pq.py)
     score = F.aggregate(
         F.transform(
             "codes",
-            lambda c, i: F.element_at(F.element_at("lut", i + 1), c.cast("int") + 1),
+            lambda c, i: F.element_at(
+                F.element_at("lut", i + 1), F.pmod(c.cast("int"), F.lit(256)) + 1
+            ),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,

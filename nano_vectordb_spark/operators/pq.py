@@ -82,6 +82,8 @@ def pq_build(
     dim = len(base.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m} (reference check)")
+    if not 1 <= nbits <= 8:
+        raise ValueError(f"nbits must be in 1..8 (byte codes), got {nbits}")
     dsub = dim // m
     k = 2**nbits
 
@@ -146,10 +148,15 @@ def pq_adc_search(
         )
     )
     joined = index.codes.crossJoin(lut_df)
+    # codes are stored as signed bytes; pmod unwraps the nbits=8 case
+    # where codes 128..255 arrive as negatives (K=256, the reference's
+    # default PQ_BITS=8)
     score = F.aggregate(
         F.transform(
             "codes",
-            lambda c, i: F.element_at(F.element_at("lut", i + 1), c.cast("int") + 1),
+            lambda c, i: F.element_at(
+                F.element_at("lut", i + 1), F.pmod(c.cast("int"), F.lit(256)) + 1
+            ),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,

@@ -38,6 +38,9 @@ from nano_vectordb_spark.functions.vector import cosine_expr, dot_expr, l2sq_exp
 
 METRICS = ("dot", "l2", "cosine")
 
+# the reference's query-batch contract (apps/nvdb_gt_build.cpp:50-53)
+MAX_BROADCAST_QUERIES = 10_000
+
 
 def score_expr(metric: str, a, b) -> Column:
     """Score dispatch (reference O8, include/nvdb/score_dispatch.h:13-48):
@@ -159,8 +162,18 @@ def _topk_multi_two_phase(
 ) -> DataFrame:
     # Queries are small by contract (reference: Q <= 10000, always f32,
     # apps/nvdb_gt_build.cpp:50-53); ship them to every task like the
-    # reference shares the query batch across threads.
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # reference shares the query batch across threads. The limit+check
+    # guards the driver: a mis-call with a huge "queries" side fails
+    # fast instead of OOMing the collect.
+    qrows = queries.select(query_id_col, query_vec_col).limit(
+        MAX_BROADCAST_QUERIES + 1
+    ).collect()
+    if len(qrows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"two_phase broadcasts the query batch to every task and supports "
+            f"at most {MAX_BROADCAST_QUERIES} queries (the reference's Q "
+            f"contract); got more. Split the query set or use a join-based plan."
+        )
     if not qrows:
         spark = base.sparkSession
         return spark.createDataFrame([], "query_id long, vec_id long, score double, rank int")
@@ -199,7 +212,19 @@ def _topk_multi_two_phase(
                 )
             n = s.shape[0]
             if n > k:  # per-batch partial top-k (the TopKBuffer analog)
-                part = np.argpartition(-s if largest else s, k - 1, axis=0)[:k]
+                bkey = -s if largest else s
+                part = np.argpartition(bkey, k - 1, axis=0)[:k]
+                # tie-aware boundary repair: argpartition picks arbitrary
+                # rows among boundary-score ties, which could drop the
+                # (score, vec_id asc) winner before the merge ever sees
+                # it. Where a non-selected row ties the per-query
+                # boundary, redo that column with a full lexsort.
+                sel_key = np.take_along_axis(bkey, part, axis=0)
+                boundary = sel_key.max(axis=0)
+                ties_all = (bkey == boundary[None, :]).sum(axis=0)
+                ties_sel = (sel_key == boundary[None, :]).sum(axis=0)
+                for j in np.flatnonzero(ties_all > ties_sel):
+                    part[:, j] = np.lexsort((ids, bkey[:, j]))[:k]
                 cand_ids.append(ids[part])  # (k, Q)
                 cand_scores.append(np.take_along_axis(s, part, axis=0))
             else:

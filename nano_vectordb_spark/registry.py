@@ -46,18 +46,25 @@ SEED = 42
 @dataclass(frozen=True)
 class Entry:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # DuckDB SQL, or None -> rows-only check
+    # DuckDB SQL, a zero-arg callable producing it lazily (used when the
+    # SQL embeds literals computed from the fixture, e.g. seeded k-means
+    # centroids), or None -> rows-only check
+    oracle: str | Callable[[], str] | None
 
 
 REGISTRY: dict[str, Entry] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn):
         REGISTRY[name] = Entry(fn, oracle)
         return fn
 
     return deco
+
+
+def resolve_oracle(entry: Entry) -> str | None:
+    return entry.oracle() if callable(entry.oracle) else entry.oracle
 
 
 # --------------------------------------------------------------------------
@@ -94,6 +101,38 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sample_ops.sample_queries(emb, NQ, seed=SEED, mode="random")
+
+
+# --------------------------------------------------------------------------
+# Canonical array serialization (driver's canonicalizer requires hashable
+# columns, so registry entries emit arrays as deterministic strings).
+#
+# Floats: bround(x, 9) in Spark is bit-identical to round_even(x, 9) in
+# DuckDB (RNE, verified in tests), and DECIMAL(12,9) formatting matches
+# between the engines — verified exhaustively over sf0.01 embeddings.
+# --------------------------------------------------------------------------
+
+
+def _ser_f32_col(col: str):
+    """Spark: array<float/double> -> canonical comma-joined string."""
+    return F.expr(
+        f"array_join(transform({col}, x -> cast(cast(bround(cast(x as double), 9)"
+        f" as decimal(12,9)) as string)), ',')"
+    )
+
+
+def _sql_ser_f32(col: str) -> str:
+    """DuckDB equivalent of :func:`_ser_f32_col`."""
+    return (
+        f"list_aggregate(list_transform(CAST({col} AS DOUBLE[]), "
+        f"x -> CAST(CAST(round_even(x, 9) AS DECIMAL(12,9)) AS VARCHAR)), "
+        f"'string_agg', ',')"
+    )
+
+
+def _ser_int_col(col: str):
+    """Spark: integer array -> comma-joined string."""
+    return F.expr(f"array_join(transform({col}, x -> cast(x as string)), ',')")
 
 
 # --------------------------------------------------------------------------
@@ -182,34 +221,49 @@ def topk_multi_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ranked AS ({_SQL_TOPK_MULTI})
 SELECT query_id, CAST({K} AS INT) AS k,
-       list(vec_id ORDER BY rank ASC) AS gt_ids
+       array_to_string(list(vec_id ORDER BY rank ASC), ',') AS gt_ids
 FROM ranked GROUP BY query_id
 """,
 )
 def gt_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact k-NN ground truth (reference O16, apps/nvdb_gt_build.cpp:74-124)."""
+    """Exact k-NN ground truth (reference O16, apps/nvdb_gt_build.cpp:74-124).
+
+    gt_ids is emitted as a comma-joined string (canonical serialization
+    of the gtbin ids artifact, apps/nvdb_gt_build.cpp:107-124)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return gt_ops.gt_build(emb, _queries_df(spark, sf_dir), K)
+    gt = gt_ops.gt_build(emb, _queries_df(spark, sf_dir), K)
+    return gt.withColumn("gt_ids", _ser_int_col("gt_ids"))
 
 
 @register(
     "sample_queries",
-    oracle=_SQL_QUERIES,
+    oracle=f"""
+SELECT query_id, source_vec_id, {_sql_ser_f32('embedding')} AS embedding
+FROM ({_SQL_QUERIES})
+""",
 )
 def sample_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded query sampling (reference O21, tools/nvdb_make_query.cpp:56-75)."""
+    """Seeded query sampling (reference O21, tools/nvdb_make_query.cpp:56-75).
+
+    The vector is emitted in canonical string serialization."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sample_ops.sample_queries(emb, NQ, seed=SEED, mode="random")
+    q = sample_ops.sample_queries(emb, NQ, seed=SEED, mode="random")
+    return q.withColumn("embedding", _ser_f32_col("embedding"))
 
 
 @register(
     "slice_first_n",
-    oracle="SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id ASC LIMIT 100",
+    oracle=f"""
+SELECT vec_id, {_sql_ser_f32('embedding')} AS embedding, label
+FROM embeddings ORDER BY vec_id ASC LIMIT 100
+""",
 )
 def slice_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-n slice (reference O20, tools/nvdb_slice.cpp:27-75)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    return sample_ops.slice_first_n(emb, 100)
+    return sample_ops.slice_first_n(emb, 100).withColumn(
+        "embedding", _ser_f32_col("embedding")
+    )
 
 
 @register(
@@ -301,11 +355,21 @@ def _topk_i8_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_ops.rank_topk(scored, K, metric="dot")
 
 
-@register("quantize_i8", oracle=_SQL_I8_ENCODE)
+@register(
+    "quantize_i8",
+    oracle=f"""
+SELECT vec_id, scale,
+       array_to_string(embedding_i8, ',') AS embedding_i8
+FROM ({_SQL_I8_ENCODE})
+""",
+)
 def quantize_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row max-abs int8 quantization (reference O23,
-    apps/nvdb_quantize_i8.cpp:57-85): f32 scale + tinyint codes."""
-    return _i8_base(spark, sf_dir).select("vec_id", "scale", "embedding_i8")
+    apps/nvdb_quantize_i8.cpp:57-85): f32 scale + tinyint codes
+    (codes serialized to a canonical comma-joined string)."""
+    return _i8_base(spark, sf_dir).select(
+        "vec_id", "scale", _ser_int_col("embedding_i8").alias("embedding_i8")
+    )
 
 
 @register("topk_i8", oracle=_SQL_TOPK_I8)
@@ -861,7 +925,10 @@ def pipeline_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
     return text_ops.hash_embed(chunks, dim=32).select(
-        "doc_id", "chunk_id", "chunk_chars", "embedding"
+        "doc_id",
+        "chunk_id",
+        "chunk_chars",
+        _ser_f32_col("embedding").alias("embedding"),
     )
 
 
@@ -913,7 +980,10 @@ def csv_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CHUNK_CHARS * 2,
     )
     return text_ops.hash_embed(chunks, dim=32, text_col="chunk").select(
-        "doc_id", "chunk_id", "chunk_chars", "embedding"
+        "doc_id",
+        "chunk_id",
+        "chunk_chars",
+        _ser_f32_col("embedding").alias("embedding"),
     )
 
 
@@ -1977,7 +2047,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.operators.multimodal import attach_blob, extract_features
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs, dim=16)
+    feats = extract_features(docs, dim=16)
+    # canonical string serialization (driver canonicalizer needs hashable cols)
+    return feats.withColumn("features", _ser_f32_col("features"))
 
 
 @register(

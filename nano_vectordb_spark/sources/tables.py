@@ -26,9 +26,21 @@ TABLES = (
 )
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Session confs required to read the driver's parquet layout.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects unless
+    nanosAsLong is set. session.py sets it at build time, but callers may
+    hand us an already-built session (e.g. an external harness) — a runtime
+    conf.set works on a live session and is a no-op when already set.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
     # as epoch-ns LongType. The generator emits microsecond-aligned

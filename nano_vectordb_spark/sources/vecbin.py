@@ -4,7 +4,8 @@ Format parity with SURVEY.md §1.2 (layouts, not code, from
 include/nvdb/vecbin_format.h:7-29 and src/vector_dataset.cpp:10-22):
 
   vecbin64: 64-byte header
-      magic   u64   little-endian bytes b"NVDBVEC1"
+      magic   u64   kMagic=0x4E56444256454331 stored little-endian,
+                    so the file starts with bytes b"1CEVBDVN"
       version u32   == 1
       dtype   u32   1=float32, 2=float16, 3=int8
       dim     u32
@@ -36,7 +37,12 @@ import struct
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
-MAGIC = b"NVDBVEC1"
+# The reference stores magic as a little-endian uint64 constant
+# (vecbin_format.h:7 kMagic = 0x4E56444256454331, "NVDBVEC1" read as a
+# big-endian number), so the on-disk byte sequence is the REVERSED
+# ASCII: b"1CEVBDVN". Matching bytes, not the mnemonic, is what makes
+# real reference files load here and our exports load there.
+MAGIC = (0x4E56444256454331).to_bytes(8, "little")  # b"1CEVBDVN"
 VERSION = 1
 DTYPE_F32, DTYPE_F16, DTYPE_I8 = 1, 2, 3
 _WIDTH = {DTYPE_F32: 4, DTYPE_F16: 2, DTYPE_I8: 1}
@@ -130,7 +136,8 @@ def read_vecbin(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
-GT_MAGIC = b"NVDBGT01"
+# gtbin_format.h:8 kGtMagic = 0x4E56444247543031 as little-endian bytes
+GT_MAGIC = (0x4E56444247543031).to_bytes(8, "little")  # b"10TGBDVN"
 _GT_HEADER = struct.Struct("<8sIIIIQQ")  # magic, version, metric, k, dim, Q, N
 
 

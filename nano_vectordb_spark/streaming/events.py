@@ -18,6 +18,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.tables import ensure_read_confs
+
 
 def windowed_event_counts_stream(
     spark: SparkSession,
@@ -31,6 +33,7 @@ def windowed_event_counts_stream(
     result with columns (window_start, event_type, n_events, total_value).
     """
     events_path = f"{sf_dir}/events.parquet"
+    ensure_read_confs(spark)
     batch_schema = spark.read.parquet(events_path).schema
     # the file source wants a directory; glob-filter to the events table
     stream = (
@@ -84,6 +87,7 @@ def dedup_events_stream(
     the standard contract). Returns per-event_type counts of the
     deduplicated stream so the result is a stable small relation."""
     events_path = f"{sf_dir}/events.parquet"
+    ensure_read_confs(spark)
     batch_schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.schema(batch_schema)

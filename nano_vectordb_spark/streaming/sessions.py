@@ -75,6 +75,9 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Trigger.AvailableNow) and return the emitted sessions."""
     from pyspark.sql import types as T
 
+    from ..sources.tables import ensure_read_confs
+
+    ensure_read_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(batch_schema)

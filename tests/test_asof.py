@@ -42,6 +42,30 @@ def test_asof_join_semantics(spark):
     assert len(out) == 4  # left rows preserved exactly once
 
 
+def test_asof_null_payload_not_backfilled(spark):
+    """When the MATCHED (latest) right row has a NULL payload value, the
+    output must carry that NULL — not back-fill the column from an older
+    right row (all carried columns come from one matched row; DuckDB
+    ASOF semantics)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 15:00:00"))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 12:00:00"), 1.0, "a"),
+            (10, _ts("2024-01-01 14:00:00"), None, "b"),  # matched, NULL value
+        ],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    r = asof_join(
+        left, right, on="user_id", right_payload=("value", "tag")
+    ).first()
+    assert r.asof_ts == _ts("2024-01-01 14:00:00")
+    assert r.asof_value is None  # NOT 1.0 from the older row
+    assert r.asof_tag == "b"
+
+
 def test_range_join_spans_buckets(spark):
     from nano_vectordb_spark.operators.rangejoin import range_join
 

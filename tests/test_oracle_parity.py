@@ -16,8 +16,9 @@ NAMES = sorted(registry.REGISTRY)
 def test_oracle_parity(spark, duck, name):
     entry = registry.REGISTRY[name]
     df = entry.fn(spark, SF_CORRECT)
-    if entry.oracle is None:
+    sql = registry.resolve_oracle(entry)
+    if sql is None:
         assert df.count() >= 0  # rows-only smoke, like the driver's weak check
         return
-    ok, msg = compare(df, duck, entry.oracle)
+    ok, msg = compare(df, duck, sql)
     assert ok, f"{name}: {msg}"

@@ -74,6 +74,40 @@ def test_pq_rejects_bad_m(spark):
     base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_ops.pq_build(base, m=7)
+    with pytest.raises(ValueError, match="nbits"):
+        pq_ops.pq_build(base, m=8, nbits=9)
+
+
+def test_pq_nbits8_signed_byte_codes(spark):
+    """K=256 (the reference's default PQ_BITS=8): codes 128..255 wrap to
+    negative tinyints at rest; ADC must unwrap them. The ADC score must
+    equal a NumPy recomputation from the (unwrapped) codes exactly."""
+    import numpy as np
+
+    from nano_vectordb_spark.operators import sample as sample_ops
+
+    base = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    queries = sample_ops.sample_queries(base, 3, seed=42)
+    index = pq_ops.pq_build(base, m=8, nbits=8, seed=42)
+    codes = {r.vec_id: list(r.codes) for r in index.codes.collect()}
+    # the wrap case must actually occur for this test to bite
+    assert any(c < 0 for row in codes.values() for c in row)
+    got = {
+        (r.query_id, r.vec_id): r.score
+        for r in pq_ops.pq_adc_search(index, queries, 5).collect()
+    }
+    qmap = {
+        r.query_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in queries.collect()
+    }
+    dsub = index.dim // index.m
+    for (qid, vid), score in got.items():
+        q = qmap[qid]
+        want = 0.0
+        for mi in range(index.m):
+            c = codes[vid][mi] % 256  # unwrap signed byte
+            want += float(index.codebooks[mi][c] @ q[mi * dsub : (mi + 1) * dsub])
+        assert abs(want - score) < 1e-9, (qid, vid, want, score)
 
 
 def test_pq_index_roundtrip(spark, tmp_path):

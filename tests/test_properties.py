@@ -8,7 +8,7 @@ from __future__ import annotations
 import datetime
 
 import numpy as np
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from nano_vectordb_spark.functions import kmeans as km
@@ -120,6 +120,19 @@ def test_range_join_matches_bruteforce(spark, left, right):
     seed=st.integers(0, 2**31 - 1),
 )
 @settings(max_examples=200, deadline=None)
+@example(
+    data=[[0.0, 1.0, 0.0, 0.0],
+     [0.0, 0.0, 1.0, 0.0],
+     [0.0, 0.0, 0.0, 5.0],
+     [0.0, 0.0, 0.0, 0.5],
+     [0.0, 0.0, 0.0, 0.0],
+     [0.0, 0.0, 0.0, 4.0],
+     [0.0, 0.0, 0.0, 1.0],
+     [0.0, 0.0, 3.0, 0.0],
+     [0.0, 0.0, 0.0, 0.0]],
+    k=6,
+    seed=168,
+).via('discovered failure')
 def test_lloyd_fit_invariants(data, k, seed):
     mat = np.asarray(data)
     if len(mat) < k:

@@ -46,3 +46,35 @@ def test_empty_queries(base, queries):
     empty = queries.filter("query_id < 0")
     out = topk_ops.topk_multi(base, empty, 10, strategy="two_phase")
     assert out.count() == 0
+
+
+def test_two_phase_tiebreak_on_duplicate_vectors(spark):
+    """>k rows tying at the boundary score inside ONE Arrow batch: the
+    partial selection must keep the (score desc, vec_id asc) winners,
+    not an arbitrary argpartition subset. 40 identical vectors in a
+    single partition force exactly that case."""
+    rows = [(i, [1.0, 0.0]) for i in range(40)] + [
+        (100 + i, [0.5, 0.5]) for i in range(5)
+    ]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    got = topk_ops.topk_multi(base, queries, 10, strategy="two_phase")
+    # all 40 duplicates tie at score 1.0; vec_id asc must win
+    assert [r.vec_id for r in got.orderBy("rank").collect()] == list(range(10))
+
+
+def test_two_phase_query_cap(base, queries):
+    import pytest as _pytest
+
+    from nano_vectordb_spark.operators.topk import MAX_BROADCAST_QUERIES
+
+    assert MAX_BROADCAST_QUERIES == 10_000
+    big = base.sparkSession.range(MAX_BROADCAST_QUERIES + 5).selectExpr(
+        "id as query_id", "array(1.0, 2.0) as embedding"
+    )
+    with _pytest.raises(ValueError, match="at most"):
+        topk_ops.topk_multi(base, big, 10, strategy="two_phase")

@@ -81,6 +81,53 @@ def test_gtbin_roundtrip_and_validation(spark, tmp_path):
         vb.read_gtbin(spark, p, expect={"k": 10})
 
 
+def test_reference_byte_layout_fixture(spark, tmp_path):
+    """A vecbin file hand-built byte-for-byte to the reference's on-disk
+    layout (vecbin_format.h:7,17-27: kMagic u64 stored little-endian, so
+    the file STARTS with b'1CEVBDVN', then version/dtype/dim/reserved0
+    u32s and count u64, zero-padded to 64) must load — and our writer
+    must emit the identical header for the same content."""
+    import struct
+
+    mat = np.array([[1.5, -2.0], [0.25, 4.0], [3.0, 0.125]], dtype=np.float32)
+    header = struct.pack(
+        "<QIIIIQ", 0x4E56444256454331, 1, 1, 2, 0, 3
+    ).ljust(64, b"\0")
+    p = str(tmp_path / "ref_layout.vecbin")
+    with open(p, "wb") as f:
+        f.write(header + mat.tobytes())
+    with open(p, "rb") as f:
+        assert f.read(8) == b"1CEVBDVN"  # the true on-disk byte order
+    rows = vb.read_vecbin(spark, p).orderBy("vec_id").collect()
+    got = np.asarray([r.embedding for r in rows], dtype=np.float32)
+    assert np.array_equal(got, mat)
+    # writer emits the same bytes the reference would accept
+    p2 = str(tmp_path / "ours.vecbin")
+    vb.write_vecbin(p2, mat, vb.DTYPE_F32)
+    assert open(p2, "rb").read() == open(p, "rb").read()
+
+
+def test_gtbin_reference_byte_layout(spark, tmp_path):
+    """Same for gtbin (gtbin_format.h:8,18-28): kGtMagic little-endian
+    on-disk prefix is b'10TGBDVN'."""
+    import struct
+
+    ids = np.array([[7, 8], [9, 10]], dtype=np.uint32)
+    header = struct.pack(
+        "<QIIIIQQ", 0x4E56444247543031, 1, 1, 2, 4, 2, 50
+    ).ljust(64, b"\0")
+    p = str(tmp_path / "ref.gtbin")
+    with open(p, "wb") as f:
+        f.write(header + ids.tobytes())
+    with open(p, "rb") as f:
+        assert f.read(8) == b"10TGBDVN"
+    rows = vb.read_gtbin(spark, p, expect={"k": 2, "Q": 2, "dim": 4, "N": 50})
+    assert [list(r.gt_ids) for r in rows.orderBy("query_id").collect()] == ids.tolist()
+    p2 = str(tmp_path / "ours.gtbin")
+    vb.write_gtbin(p2, ids, metric=1, dim=4, n_base=50)
+    assert open(p2, "rb").read() == open(p, "rb").read()
+
+
 def test_export_then_read_matches_parquet(spark, tmp_path):
     from tests.conftest import SF_SMOKE
 
