@@ -381,11 +381,23 @@ def embedding_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 20_000,
 ) -> DataFrame:
     """Exact cosine near-dup pairs over L2-normalized embeddings
-    (cosine == dot). Brute-force all-pairs — correct at any scale but
-    O(N^2); at 100 TB block candidates with the IVF index (same-cluster
-    or neighboring-cluster pairs) before this exact verify."""
+    (cosine == dot). Brute-force all-pairs — the small-scale
+    VERIFICATION baseline for embedding_neardup_lsh, deliberately
+    O(N^2): the ``max_rows`` guard refuses to run the cartesian beyond
+    verification scale instead of silently melting a cluster. The
+    default/scale path is embedding_neardup_lsh (banded candidates);
+    for exact dedup at 100 TB block candidates with the IVF index
+    before this verify."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is an O(N^2) verification baseline; "
+            f"got {n} rows (max {max_rows}). Use embedding_neardup_lsh "
+            f"(LSH blocking) or IVF-blocked verification at scale."
+        )
     lhs = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     rhs = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     pairs = lhs.join(rhs, F.col("a_id") < F.col("b_id"))

@@ -61,6 +61,54 @@ def pca_rotation(base: DataFrame, vec_col: str = "embedding", sample_rows: int =
     return v[:, ::-1]  # columns = principal directions
 
 
+def opq_learn_rotation(
+    mat: np.ndarray,
+    m: int,
+    nbits: int,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Learned OPQ rotation — the non-parametric alternating
+    optimization FAISS's OPQMatrix runs (the reference trains it in
+    apps/nvdb_ivfpq_build.cpp:78-91; algorithm: Ge et al., "Optimized
+    Product Quantization", CVPR 2013, OPQ-NP):
+
+      repeat: (1) fix R, fit subspace codebooks on X R and quantize to
+      Y; (2) fix Y, solve the orthogonal Procrustes problem
+      min_R ||X R - Y||_F  =>  R = U V^T from SVD(X^T Y).
+
+    Driver-side on the bounded training sample (a D x D rotation never
+    needs the full table), deterministic per seed, PCA-initialized so
+    iteration starts from the reference's own first-fidelity rotation.
+    Returns a (D, D) orthonormal rotation to pass to pq_build."""
+    from nano_vectordb_spark.functions import kmeans as km
+
+    mat = np.ascontiguousarray(mat, dtype=np.float64)
+    n, dim = mat.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    k = 2**nbits
+    cov = np.cov(mat, rowvar=False)
+    _w, v = np.linalg.eigh(cov)
+    rot = v[:, ::-1]
+    for _ in range(max(1, n_iter)):
+        xr = mat @ rot
+        recon = np.empty_like(xr)
+        for mi in range(m):
+            xs = xr[:, mi * dsub : (mi + 1) * dsub]
+            book = km.lloyd_fit(xs, min(k, n), seed=seed + mi, n_init=1, max_iter=10)
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ book.T)
+                + (book * book).sum(axis=1)[None, :]
+            )
+            recon[:, mi * dsub : (mi + 1) * dsub] = book[d2.argmin(axis=1)]
+        u, _s, vt = np.linalg.svd(mat.T @ recon)
+        rot = u @ vt
+    return rot
+
+
 def pq_build(
     base: DataFrame,
     m: int = 8,
@@ -122,13 +170,42 @@ def _query_luts(index: PqIndex, queries: DataFrame, metric: str) -> list[tuple[i
         lut = []
         for mi in range(index.m):
             qs = q[mi * dsub : (mi + 1) * dsub]
+            # sequential left-to-right accumulation, NOT a BLAS matvec:
+            # the DuckDB oracle recomputes these entries with its own
+            # sequential list folds, and bit-parity of the ADC scores
+            # requires the identical summation order (the LUT is tiny —
+            # M x K x dsub driver-side multiplies)
             if metric == "dot":
-                lut.append((index.codebooks[mi] @ qs).tolist())
+                lut.append(
+                    [
+                        _seq_dot(row, qs)
+                        for row in index.codebooks[mi]
+                    ]
+                )
             else:
-                diff = index.codebooks[mi] - qs[None, :]
-                lut.append((diff * diff).sum(axis=1).tolist())
+                lut.append(
+                    [
+                        _seq_l2(row, qs)
+                        for row in index.codebooks[mi]
+                    ]
+                )
         out.append((int(r.query_id), lut))
     return out
+
+
+def _seq_dot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s += float(x) * float(y)
+    return s
+
+
+def _seq_l2(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s
 
 
 def pq_adc_search(

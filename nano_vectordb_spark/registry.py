@@ -512,11 +512,46 @@ def refine_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return refine_ops.refine(emb, q, cand, K, metric="dot")
 
 
-@register("topk_f16", oracle=None)
+# IEEE-754 half RNE round-trip emulated arithmetically (DuckDB has no
+# half type; spec: tools/nvdb_convert_f16.cpp:20-94): quantize to the
+# f16 mantissa grid ulp = 2^(max(floor(log2|x|)-10, -24)) with
+# round-half-even; x/ulp and *ulp are exact power-of-two scalings, so
+# the result is bit-identical to NumPy's float16 cast (verified over the
+# full fixture and a stress sweep into the subnormal range).
+_SQL_F16 = (
+    "CASE WHEN x = 0 THEN x ELSE "
+    "round_even(x / power(2.0, greatest(floor(log2(abs(x))) - 10, -24)), 0) "
+    "* power(2.0, greatest(floor(log2(abs(x))) - 10, -24)) END"
+)
+
+_SQL_TOPK_F16 = f"""
+WITH q AS ({_SQL_QUERIES}),
+h AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> {_SQL_F16}) AS emb16
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, h.vec_id,
+         list_dot_product(h.emb16, CAST(q.embedding AS DOUBLE[])) AS score
+  FROM h CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {K}
+"""
+
+
+@register("topk_f16", oracle=_SQL_TOPK_F16)
 def topk_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query top-k in the f16-rounded scoring space (reference
-    O5/O22). No SQL oracle — DuckDB has no half type; parity is covered
-    by tests/test_quantize.py against NumPy's float16."""
+    O5/O22). Oracle: DuckDB emulates the half round-trip on the f16
+    mantissa grid with round-half-even (bit-identical to NumPy float16);
+    parity also covered by tests/test_quantize.py."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding_f16", qz.f16_round_expr("embedding")
     )
@@ -532,13 +567,88 @@ def topk_f16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF (reference O26, O28) — no SQL oracle (KMeans); self-oracle recall
-# ladder lives in tests/test_ivf.py, the reference's own validation shape.
+# IVF (reference O26, O28). The coarse quantizer is a SEEDED driver-side
+# fit on a deterministic training prefix, so the centroids are
+# reproducible outside Spark: the oracle recomputes them in NumPy and
+# embeds them as literals, letting DuckDB replay probe -> prune -> rank
+# exactly — the reference's own exact-oracle methodology
+# (apps/nvdb_ivf_eval.cpp:580-601). Self-oracle recall ladder lives in
+# tests/test_ivf.py.
 # --------------------------------------------------------------------------
 
 _IVF_NLIST = 16
 _IVF_NPROBE = 4
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+# the driver's correctness gate runs at this fixture; lazy oracles that
+# embed fit-derived literals compute them from the same parquet
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def _sql_l2(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+
+
+def _oracle_centroids_np() -> "object":
+    """Recompute the IVF coarse centroids for the oracle fixture with
+    the IDENTICAL seeded NumPy fit Spark's ivf_build runs (same training
+    prefix: parquet file order, same seed)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    tbl = papq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
+    rows = tbl.column("embedding").to_pylist()[: km.train_rows_for(_IVF_NLIST)]
+    return km.lloyd_fit(np.asarray(rows, dtype=np.float64), _IVF_NLIST, seed=SEED)
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of ivf_search: assign every row to its nearest
+    centroid literal, probe top-nprobe centroids per query, rank dot
+    top-k within the probed lists."""
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    l2_q = _sql_l2("CAST(q.embedding AS DOUBLE[])", "c.centroid")
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+q AS ({_SQL_QUERIES}),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, c.cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {l2_q} ASC, c.cluster_id ASC) AS rn
+    FROM q CROSS JOIN centroids c)
+  WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) AS score
+  FROM probes p
+  JOIN assigned a ON a.cluster_id = p.cluster_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM cand)
+WHERE rank <= {K}
+"""
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf_ops.IvfIndex:
@@ -553,18 +663,21 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf_ops.IvfIndex:
     return _INDEX_CACHE[key]
 
 
-@register("ivf_search", oracle=None)
+@register("ivf_search", oracle=_ivf_oracle)
 def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probing search (reference O28): top-nprobe centroids ->
-    pruned scan -> top-k. Driver records rows-only; exactness vs the
-    flat scan at nprobe=nlist is asserted in tests/test_ivf.py."""
+    pruned scan -> top-k. Oracle: DuckDB replays the same probe/prune/
+    rank against the reproduced centroid literals (the reference's
+    exact-oracle methodology, apps/nvdb_ivf_eval.cpp:580-601);
+    exactness vs the flat scan at nprobe=nlist is additionally asserted
+    in tests/test_ivf.py."""
     index = _ivf_index(spark, sf_dir)
     return ivf_ops.ivf_search(
         index, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
     )
 
 
-@register("ivf_search_persisted", oracle=None)
+@register("ivf_search_persisted", oracle=_ivf_oracle)
 def ivf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search against the PERSISTED partitioned layout — the true
     scale path: the scan carries PartitionFilters on cluster_id and
@@ -575,100 +688,508 @@ def ivf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = ("ivf_disk", sf_dir)
     if key not in _INDEX_CACHE:
-        path = "/tmp/nvdb_ivf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        idx = _ivf_index(spark, sf_dir)
+        # content-addressed path: a layout written by an older fit (e.g.
+        # a previous process's /tmp leftovers) must never be reused
+        cent_rows = idx.centroids.orderBy("cluster_id").collect()
+        fp = hashlib.md5(repr([tuple(r) for r in cent_rows]).encode()).hexdigest()[:12]
+        path = "/tmp/nvdb_ivf_" + hashlib.md5(
+            f"{sf_dir}:{fp}".encode()
+        ).hexdigest()[:8]
         if not _os.path.exists(f"{path}/centroids"):
-            ivf_ops.ivf_write(_ivf_index(spark, sf_dir), path)
+            ivf_ops.ivf_write(idx, path)
         _INDEX_CACHE[key] = ivf_ops.ivf_read(spark, path, nlist=_IVF_NLIST)
     return ivf_ops.ivf_search(
         _INDEX_CACHE[key], _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
     )
 
 
-@register("ivf_recall_sweep", oracle=None)
+_IVF_SWEEP_NPROBES = (1, 2, 4, 8, _IVF_NLIST)
+
+
+def _ivf_sweep_oracle() -> str:
+    """DuckDB replay of the whole recall ladder: rebuild assignment from
+    the centroid literals, rank per nprobe, count exact-GT hits."""
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    l2_q = _sql_l2("CAST(q.embedding AS DOUBLE[])", "c.centroid")
+    per_np = "\nUNION ALL\n".join(
+        f"""
+  SELECT {np} AS nprobe,
+         CAST(count(*) AS BIGINT) AS n_hits,
+         (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+         count(*) / ({K}.0 * (SELECT count(*) FROM q)) AS recall_at_k
+  FROM (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, vec_id ASC) AS rank
+      FROM cand WHERE probe_rn <= {np})
+    WHERE rank <= {K}) pred
+  JOIN gt USING (query_id, vec_id)"""
+        for np in _IVF_SWEEP_NPROBES
+    )
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+q AS ({_SQL_QUERIES}),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+probe_rank AS (
+  SELECT q.query_id, c.cluster_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {l2_q} ASC, c.cluster_id ASC) AS rn
+  FROM q CROSS JOIN centroids c
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, p.rn AS probe_rn,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) AS score
+  FROM probe_rank p
+  JOIN assigned a ON a.cluster_id = p.cluster_id
+  JOIN q ON q.query_id = p.query_id
+),
+gt AS (
+  SELECT query_id, vec_id FROM ({_SQL_TOPK_MULTI})
+)
+SELECT * FROM ({per_np})
+ORDER BY nprobe
+"""
+
+
+@register("ivf_recall_sweep", oracle=_ivf_sweep_oracle)
 def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall ladder over nprobe (reference Performance.md Table 16
-    shape): one row per nprobe with recall@10 vs the exact GT."""
+    shape): one row per nprobe with exact-GT hit counts and recall@10.
+    Hit counts are integers (order-independent, hash-exact); recall is
+    the exact double division n_hits / (k * n_queries)."""
     index = _ivf_index(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
     base = load_table(spark, sf_dir, "embeddings")
-    gtab = gt_ops.gt_build(base, q, K).select("query_id", "gt_ids")
+    gt_pairs = topk_ops.topk_multi(base, q, K).select("query_id", "vec_id")
+    nq = q.count()
     rows = []
-    for nprobe in (1, 2, 4, 8, _IVF_NLIST):
-        pred = gt_ops.gt_from_topk(ivf_ops.ivf_search(index, q, K, nprobe=nprobe), K)
-        pred = pred.select("query_id", F.col("gt_ids").alias("pred_ids"))
-        r = gt_ops.recall_at_k(gtab, pred, K).first()
-        rows.append((nprobe, float(r.recall_at_k), int(r.n_queries)))
+    for nprobe in _IVF_SWEEP_NPROBES:
+        pred = ivf_ops.ivf_search(index, q, K, nprobe=nprobe).select(
+            "query_id", "vec_id"
+        )
+        hits = pred.join(gt_pairs, ["query_id", "vec_id"]).count()
+        rows.append((nprobe, hits, nq, hits / (K * nq)))
     return spark.createDataFrame(
-        rows, "nprobe int, recall_at_k double, n_queries bigint"
+        rows, "nprobe int, n_hits bigint, n_queries bigint, recall_at_k double"
     )
 
 
 # --------------------------------------------------------------------------
-# PQ / ADC (reference O27) — no SQL oracle (KMeans codebooks); the
-# recall-ladder self-oracle lives in tests/test_pq.py.
+# PQ / ADC (reference O27). Like the IVF oracle, the codebooks are
+# seeded deterministic driver-side fits — the oracles recompute them in
+# NumPy, embed them (and the OPQ rotation) as literals, and replay
+# encode -> LUT -> ADC fold -> (refine) in DuckDB. The ADC score fold
+# and LUT entries use sequential summation on both sides, so even the
+# raw ADC scores hash-match. Recall-ladder self-oracle: tests/test_pq.py.
 # --------------------------------------------------------------------------
+
+_PQ_M, _PQ_NBITS = 8, 6
+_IVFPQ_NBITS = 4
+_PQ_REFINE_K = 50
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> pq_ops.PqIndex:
     key = ("pq", sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
-        idx = pq_ops.pq_build(base, m=8, nbits=6, seed=SEED)
+        idx = pq_ops.pq_build(base, m=_PQ_M, nbits=_PQ_NBITS, seed=SEED)
         idx.codes = idx.codes.cache()
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
 
-@register("pq_adc_search", oracle=None)
-def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC scan (reference O27): codes + per-query LUT fold, top-k."""
-    return pq_ops.pq_adc_search(_pq_index(spark, sf_dir), _queries_df(spark, sf_dir), K)
+def _oracle_train_mat() -> "object":
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    tbl = papq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
+    rows = tbl.column("embedding").to_pylist()[: km.train_rows_for(2**_PQ_NBITS)]
+    return np.asarray(rows, dtype=np.float64)
 
 
-@register("pq_refine_search", oracle=None)
-def pq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ candidates + exact refine (reference Table 19/20 pipeline)."""
-    base = load_table(spark, sf_dir, "embeddings")
-    return pq_ops.pq_search_refined(
-        _pq_index(spark, sf_dir), base, _queries_df(spark, sf_dir), K, refine_k=50
+def _oracle_pq_books(rotation=None, centroids=None, nbits=_PQ_NBITS, seed_off=0):
+    """Replay pq_build/ivfpq_build's codebook fit in NumPy: optional
+    rotation, optional coarse-residual (IVF-PQ), per-subspace seeded
+    Lloyd fits."""
+    import numpy as np
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    mat = _oracle_train_mat()
+    if rotation is not None:
+        mat = mat @ rotation
+    if centroids is not None:
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        mat = mat - centroids[d2.argmin(axis=1)]
+    dsub = mat.shape[1] // _PQ_M
+    return np.stack(
+        [
+            km.lloyd_fit(
+                mat[:, mi * dsub : (mi + 1) * dsub], 2**nbits, seed=SEED + seed_off + mi
+            )
+            for mi in range(_PQ_M)
+        ]
     )
 
 
-@register("opq_refine_search", oracle=None)
+def _oracle_pca_rotation():
+    import numpy as np
+
+    mat = _oracle_train_mat()[:10_000]
+    cov = np.cov(mat, rowvar=False)
+    _w, v = np.linalg.eigh(cov)
+    return v[:, ::-1]
+
+
+def _dlist(vals) -> str:
+    """Exact DOUBLE[] literal. Elements are written as string casts:
+    a bare decimal inside a LIST literal gets promoted to a common
+    DECIMAL type BEFORE any ::DOUBLE[] cast (double rounding, off by
+    one ulp), while '...'::DOUBLE parses correctly rounded."""
+    return "[" + ", ".join(f"'{float(v)!r}'::DOUBLE" for v in vals) + "]"
+
+
+def _books_values(books) -> str:
+    return ",\n    ".join(
+        f"({mi}, {code}, {_dlist(books[mi][code])})"
+        for mi in range(books.shape[0])
+        for code in range(books.shape[1])
+    )
+
+
+def _sql_sub(col: str, dsub: int, mi: str = "b.mi") -> str:
+    """1-based inclusive DuckDB list slice of subspace ``mi``."""
+    return f"({col})[({mi} * {dsub} + 1):(({mi} + 1) * {dsub})]"
+
+
+def _sql_pq_core(books, emb_expr: str = "CAST(e.embedding AS DOUBLE[])",
+                 q_expr: str = "CAST(q.embedding AS DOUBLE[])",
+                 emb_src: str = "embeddings e",
+                 q_src: str = "q") -> str:
+    """Shared CTE block: codes (per-row subspace argmin) + lut (per-query
+    subspace dot) + scored (ordered sequential ADC fold)."""
+    dsub = books.shape[2]
+    values = _books_values(books)
+    return f"""
+books(mi, code, v) AS (VALUES
+    {values}),
+codes AS (
+  SELECT vec_id, mi, code FROM (
+    SELECT e.vec_id, b.mi, b.code,
+           row_number() OVER (PARTITION BY e.vec_id, b.mi
+             ORDER BY {_sql_l2(_sql_sub(emb_expr, dsub), 'b.v')} ASC,
+                      b.code ASC) AS rn
+    FROM {emb_src} CROSS JOIN books b)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT q.query_id, b.mi, b.code,
+         list_dot_product(b.v, {_sql_sub(q_expr, dsub)}) AS val
+  FROM {q_src} q CROSS JOIN books b
+),
+scored AS (
+  SELECT l.query_id, c.vec_id,
+         list_aggregate(list(l.val ORDER BY l.mi), 'sum') AS score
+  FROM codes c JOIN lut l ON l.mi = c.mi AND l.code = c.code
+  GROUP BY l.query_id, c.vec_id
+)"""
+
+
+def _pq_adc_oracle() -> str:
+    core = _sql_pq_core(_oracle_pq_books())
+    return f"""
+WITH q AS ({_SQL_QUERIES}),
+{core}
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {K}
+"""
+
+
+_SQL_RESCORE_TOPK = f"""
+rescored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM rescored)
+WHERE rank <= {K}
+"""
+
+
+def _pq_refine_oracle() -> str:
+    core = _sql_pq_core(_oracle_pq_books())
+    return f"""
+WITH q AS ({_SQL_QUERIES}),
+{core},
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id ASC) AS r
+    FROM scored)
+  WHERE r <= {_PQ_REFINE_K}
+),
+{_SQL_RESCORE_TOPK}
+"""
+
+
+def _oracle_learned_rotation():
+    from nano_vectordb_spark.operators import pq as pq_ops2
+
+    return pq_ops2.opq_learn_rotation(
+        _oracle_train_mat(), m=_PQ_M, nbits=_PQ_NBITS, n_iter=8, seed=SEED
+    )
+
+
+def _opq_refine_oracle(rotation_fn=None) -> str:
+    rot = (rotation_fn or _oracle_pca_rotation)()
+    books = _oracle_pq_books(rotation=rot)
+    rot_values = ",\n    ".join(
+        f"({j}, {_dlist(rot[:, j])})" for j in range(rot.shape[1])
+    )
+    core = _sql_pq_core(
+        books,
+        emb_expr="e.rxv",
+        q_expr="q.rxv",
+        emb_src="rx e",
+        q_src="qx",
+    )
+    return f"""
+WITH q0 AS ({_SQL_QUERIES}),
+rotc(j, v) AS (VALUES
+    {rot_values}),
+rx AS (
+  SELECT e.vec_id,
+         list(list_dot_product(CAST(e.embedding AS DOUBLE[]), r.v)
+              ORDER BY r.j) AS rxv
+  FROM embeddings e CROSS JOIN rotc r GROUP BY e.vec_id
+),
+qx AS (
+  SELECT q.query_id,
+         list(list_dot_product(CAST(q.embedding AS DOUBLE[]), r.v)
+              ORDER BY r.j) AS rxv
+  FROM q0 q CROSS JOIN rotc r GROUP BY q.query_id
+),
+{core},
+q AS (SELECT query_id, embedding FROM q0),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id ASC) AS r
+    FROM scored)
+  WHERE r <= {_PQ_REFINE_K}
+),
+{_SQL_RESCORE_TOPK}
+"""
+
+
+def _ivfpq_refine_oracle() -> str:
+    import numpy as np
+
+    cent = np.asarray(_oracle_centroids_np())
+    books = _oracle_pq_books(centroids=cent, nbits=_IVFPQ_NBITS, seed_off=1000)
+    dsub = books.shape[2]
+    cent_values = ",\n    ".join(
+        f"({i}, {_dlist(c)})" for i, c in enumerate(cent)
+    )
+    books_values = _books_values(books)
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    l2_q = _sql_l2("CAST(q.embedding AS DOUBLE[])", "c.centroid")
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {cent_values}),
+books(mi, code, v) AS (VALUES
+    {books_values}),
+q AS ({_SQL_QUERIES}),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cluster_id,
+         list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), c.centroid),
+                        p -> p[1] - p[2]) AS rv
+  FROM assigned a JOIN centroids c USING (cluster_id)
+),
+codes AS (
+  SELECT vec_id, cluster_id, mi, code FROM (
+    SELECT e.vec_id, e.cluster_id, b.mi, b.code,
+           row_number() OVER (PARTITION BY e.vec_id, b.mi
+             ORDER BY {_sql_l2(_sql_sub('e.rv', dsub), 'b.v')} ASC,
+                      b.code ASC) AS rn
+    FROM resid e CROSS JOIN books b)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, c.cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {l2_q} ASC, c.cluster_id ASC) AS rn
+    FROM q CROSS JOIN centroids c)
+  WHERE rn <= {_IVF_NPROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cluster_id,
+         list_transform(list_zip(CAST(q.embedding AS DOUBLE[]), c.centroid),
+                        p2 -> p2[1] - p2[2]) AS rv
+  FROM probes p
+  JOIN centroids c USING (cluster_id)
+  JOIN q USING (query_id)
+),
+lut AS (
+  SELECT r.query_id, r.cluster_id, b.mi, b.code,
+         {_sql_l2('b.v', _sql_sub('r.rv', dsub))} AS val
+  FROM qres r CROSS JOIN books b
+),
+scored AS (
+  SELECT l.query_id, cd.vec_id,
+         list_aggregate(list(l.val ORDER BY l.mi), 'sum') AS score
+  FROM codes cd
+  JOIN lut l ON l.cluster_id = cd.cluster_id
+            AND l.mi = cd.mi AND l.code = cd.code
+  GROUP BY l.query_id, cd.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score ASC, vec_id ASC) AS r
+    FROM scored)
+  WHERE r <= {_PQ_REFINE_K}
+),
+{_SQL_RESCORE_TOPK}
+"""
+
+
+@register("pq_adc_search", oracle=_pq_adc_oracle)
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC scan (reference O27): codes + per-query LUT fold, top-k.
+    Oracle: DuckDB re-encodes against the reproduced codebook literals
+    and replays the sequential ADC fold — raw ADC scores hash-match."""
+    return pq_ops.pq_adc_search(_pq_index(spark, sf_dir), _queries_df(spark, sf_dir), K)
+
+
+@register("pq_refine_search", oracle=_pq_refine_oracle)
+def pq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ candidates + exact refine (reference Table 19/20 pipeline).
+    Oracle replays ADC top-R candidate selection + exact dot rerank."""
+    base = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_search_refined(
+        _pq_index(spark, sf_dir), base, _queries_df(spark, sf_dir), K,
+        refine_k=_PQ_REFINE_K,
+    )
+
+
+@register("opq_refine_search", oracle=_opq_refine_oracle)
 def opq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-PQ + refine (reference apps/nvdb_ivfpq_build.cpp:78-91): a
     PCA rotation balances variance across subspaces before PQ; queries
     are rotated at LUT build; refine reranks in the original space.
-    Orthonormality preserves dot/L2 ranking semantics."""
+    Orthonormality preserves dot/L2 ranking semantics. Oracle embeds the
+    rotation + codebook literals and replays the whole pipeline."""
     key = ("opq", sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
         rot = pq_ops.pca_rotation(base)
-        idx = pq_ops.pq_build(base, m=8, nbits=6, seed=SEED, rotation=rot)
+        idx = pq_ops.pq_build(base, m=_PQ_M, nbits=_PQ_NBITS, seed=SEED, rotation=rot)
         idx.codes = idx.codes.cache()
         _INDEX_CACHE[key] = idx
     base = load_table(spark, sf_dir, "embeddings")
     return pq_ops.pq_search_refined(
-        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K, refine_k=50
+        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K,
+        refine_k=_PQ_REFINE_K,
     )
 
 
-@register("ivfpq_refine_search", oracle=None)
+@register(
+    "opq_learned_refine_search",
+    oracle=lambda: _opq_refine_oracle(_oracle_learned_rotation),
+)
+def opq_learned_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ with the LEARNED rotation (reference trains OPQMatrix,
+    apps/nvdb_ivfpq_build.cpp:78-91; algorithm: OPQ-NP alternating
+    codebook-fit / orthogonal-Procrustes, Ge et al. CVPR'13) + exact
+    refine. The rotation-quality gain over naive subspace splitting is
+    demonstrated in tests/test_pq.py on scrambled product-structured
+    data (the reference's measured 0.69 -> 0.77 recall delta,
+    Performance.md Table 19)."""
+    from nano_vectordb_spark.functions import kmeans as km
+
+    key = ("opq_learned", sf_dir)
+    if key not in _INDEX_CACHE:
+        base = load_table(spark, sf_dir, "embeddings")
+        mat = km.collect_train_sample(
+            base, "embedding", km.train_rows_for(2**_PQ_NBITS)
+        )
+        rot = pq_ops.opq_learn_rotation(
+            mat, m=_PQ_M, nbits=_PQ_NBITS, n_iter=8, seed=SEED
+        )
+        idx = pq_ops.pq_build(base, m=_PQ_M, nbits=_PQ_NBITS, seed=SEED, rotation=rot)
+        idx.codes = idx.codes.cache()
+        _INDEX_CACHE[key] = idx
+    base = load_table(spark, sf_dir, "embeddings")
+    return pq_ops.pq_search_refined(
+        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K,
+        refine_k=_PQ_REFINE_K,
+    )
+
+
+@register("ivfpq_refine_search", oracle=_ivfpq_refine_oracle)
 def ivfpq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ composite (reference IndexIVFPQ semantics): coarse
     probe -> residual-PQ ADC scan over probed lists only -> exact
-    refine. Recall ladder in tests/test_ivfpq.py."""
+    refine. Oracle replays probe, residual encode, ADC candidate
+    ranking and exact rerank from centroid + codebook literals. Recall
+    ladder in tests/test_ivfpq.py."""
     from nano_vectordb_spark.operators import ivfpq as ivfpq_ops
 
     key = ("ivfpq", sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
-        idx = ivfpq_ops.ivfpq_build(base, nlist=_IVF_NLIST, m=8, nbits=4, seed=SEED)
+        idx = ivfpq_ops.ivfpq_build(
+            base, nlist=_IVF_NLIST, m=_PQ_M, nbits=_IVFPQ_NBITS, seed=SEED
+        )
         idx.codes = idx.codes.cache()
         _INDEX_CACHE[key] = idx
     base = load_table(spark, sf_dir, "embeddings")
     return ivfpq_ops.ivfpq_search_refined(
-        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE, refine_k=50
+        _INDEX_CACHE[key], base, _queries_df(spark, sf_dir), K,
+        nprobe=_IVF_NPROBE, refine_k=_PQ_REFINE_K,
     )
 
 
@@ -907,21 +1428,89 @@ def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.chunk_fixed(docs, _CHUNK_CHARS)
 
 
-@register("chunk_words", oracle=None)
+# DuckDB replay of the greedy word-packing fold: list_reduce carries the
+# state as one string — finished chunks joined by chr(30), last segment =
+# current chunk (list_reduce has no init value in DuckDB 1.0, so an empty
+# state element is prepended). `cur` below is string_split(s, chr(30))[-1].
+_SQL_CUR = "string_split(s, chr(30))[-1]"
+_SQL_JOINED = f"CASE WHEN {_SQL_CUR} = '' THEN x ELSE {_SQL_CUR} || ' ' || x END"
+_SQL_CHUNK_WORDS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+folded AS (
+  SELECT doc_id,
+         list_filter(string_split(
+           list_reduce(list_prepend('', toks),
+             (s, x) -> CASE
+               WHEN {_SQL_CUR} = '' OR length({_SQL_JOINED}) <= {_CHUNK_CHARS}
+               THEN substr(s, 1, length(s) - length({_SQL_CUR})) || ({_SQL_JOINED})
+               ELSE s || chr(30) || x END),
+           chr(30)), c -> c <> '') AS chunks
+  FROM toks
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       chunks[CAST(i + 1 AS INT)] AS chunk,
+       CAST(length(chunks[CAST(i + 1 AS INT)]) AS INT) AS chunk_chars
+FROM (SELECT doc_id, chunks, unnest(range(0, len(chunks))) AS i FROM folded)
+"""
+
+
+@register("chunk_words", oracle=_SQL_CHUNK_WORDS)
 def chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy word-boundary chunking <= 120 chars via a native fold
-    (reference build_vecbin_chunked.py:189-225). No SQL oracle (fold
-    with struct state); verified against a pure-Python reference in
-    tests/test_textops.py."""
+    (reference build_vecbin_chunked.py:189-225). Oracle: the identical
+    greedy fold replayed through DuckDB list_reduce; additionally
+    verified against a pure-Python reference in tests/test_textops.py."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.chunk_words(docs, _CHUNK_CHARS)
 
 
-@register("pipeline_chunks_embed", oracle=None)
+# DuckDB replay of hash_embed (operators/textops.py:135): md5-prefix
+# token hashes, 1/(pos+1) bucket weights (DuckDB lambda index is
+# 1-based = pos+1), sequential per-dim folds, L2 normalize — every step
+# bit-identical to the Spark expression form.
+_EMBED_DIM = 32
+_SQL_EMBED_CTES = f"""
+chunks AS ({_SQL_CHUNK_WORDS}),
+staged AS (
+  SELECT doc_id, chunk_id, chunk_chars,
+         list_transform(list_filter(string_split(chunk, ' '), x -> x <> ''),
+           (x, i) -> {{'b': ('0x' || substr(md5(x), 1, 7))::BIGINT % {_EMBED_DIM},
+                       'w': 1.0 / i}}) AS buckets
+  FROM chunks
+),
+raw AS (
+  SELECT doc_id, chunk_id, chunk_chars,
+         list_transform(range(0, {_EMBED_DIM}),
+           d -> coalesce(list_aggregate(
+             list_transform(buckets,
+               s -> CASE WHEN s.b = d THEN s.w ELSE 0.0 END), 'sum'), 0.0)) AS r,
+         len(buckets) AS ntoks
+  FROM staged
+),
+embedded AS (
+  SELECT doc_id, chunk_id, chunk_chars,
+         CASE WHEN ntoks = 0 THEN r
+              ELSE list_transform(r, x -> x / sqrt(list_dot_product(r, r)))
+         END AS emb
+  FROM raw
+)"""
+
+_SQL_PIPELINE_CHUNKS_EMBED = f"""
+WITH {_SQL_EMBED_CTES}
+SELECT doc_id, chunk_id, chunk_chars, {_sql_ser_f32('emb')} AS embedding
+FROM embedded
+"""
+
+
+@register("pipeline_chunks_embed", oracle=_SQL_PIPELINE_CHUNKS_EMBED)
 def pipeline_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O33 pipeline end-to-end: documents -> word chunks ->
     deterministic hash-projection embeddings (normalized, dim=32).
-    Invariants (norm==1, determinism) in tests/test_textops.py."""
+    Oracle: the full chunk + hash-embed pipeline replayed in DuckDB
+    SQL; invariants (norm==1, determinism) in tests/test_textops.py."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
     return text_ops.hash_embed(chunks, dim=32).select(
@@ -1218,18 +1807,67 @@ WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine == dot on the
-    normalized table). Brute-force all-pairs; compose with the IVF
-    index for candidate blocking at scale."""
+    normalized table). Brute-force all-pairs VERIFICATION baseline —
+    guarded to verification scale (operator raises beyond 20k rows);
+    the default path at scale is embedding_neardup_lsh."""
     return dedup_ops.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), _COS_T
     )
 
 
-@register("embedding_neardup_lsh", oracle=None)
+def _lsh_oracle() -> str:
+    """DuckDB replay of the hyperplane-LSH near-dup path: the seeded
+    hyperplanes are embedded as literals; sign-band blocking, candidate
+    join and exact cosine verify re-run in SQL. This makes the SCALE
+    path the oracle-checked one (the brute-force all-pairs sibling is
+    the sf-small verification baseline)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    n_planes, bands, seed = 16, 4, 42
+    rpb = n_planes // bands
+    tbl = papq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
+    dim = len(tbl.column("embedding")[0])
+    planes = np.random.default_rng(seed).normal(size=(n_planes, dim))
+    values = ",\n    ".join(f"({i}, {_dlist(p)})" for i, p in enumerate(planes))
+    return f"""
+WITH planes(plane_id, v) AS (VALUES
+    {values}),
+bits AS (
+  SELECT e.vec_id, p.plane_id,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+),
+bands AS (
+  SELECT vec_id, plane_id // {rpb} AS band_id,
+         string_agg(CAST(bit AS VARCHAR), '' ORDER BY plane_id) AS band_sig
+  FROM bits GROUP BY vec_id, plane_id // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+             AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id,
+       list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                        CAST(eb.embedding AS DOUBLE[])) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a_id
+JOIN embeddings eb ON eb.vec_id = c.b_id
+WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])) >= {_COS_T}
+"""
+
+
+@register("embedding_neardup_lsh", oracle=_lsh_oracle)
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH blocking + exact verify — the scale path
-    next to the exact all-pairs entry (probabilistic recall, exact
-    precision; subset relation tested in tests/test_dedup.py)."""
+    """Random-hyperplane LSH blocking + exact verify — THE default
+    embedding near-dup path at scale (banded candidate join, never
+    N^2). Oracle: DuckDB replays blocking + verify against the seeded
+    hyperplane literals. Probabilistic recall, exact precision; the
+    subset relation vs brute force is tested in tests/test_dedup.py."""
     return dedup_ops.embedding_neardup_lsh(
         load_table(spark, sf_dir, "embeddings"), _COS_T
     )
@@ -1982,12 +2620,36 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
-@register("doc_search", oracle=None)
+_SQL_DOC_SEARCH = f"""
+WITH {_SQL_EMBED_CTES},
+corpus AS (
+  SELECT doc_id * 10000 + chunk_id AS vec_id, emb FROM embedded
+),
+dq AS (
+  SELECT vec_id AS query_id, emb FROM corpus ORDER BY vec_id ASC LIMIT 5
+),
+scored AS (
+  SELECT dq.query_id, c.vec_id,
+         list_dot_product(c.emb, dq.emb) AS score
+  FROM corpus c CROSS JOIN dq
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("doc_search", oracle=_SQL_DOC_SEARCH)
 def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic search over documents end-to-end: chunk -> deterministic
     hash embedding -> exact top-k of the first 5 chunks against the
     chunk corpus (each query's own chunk must rank first — asserted in
-    tests/test_textops.py)."""
+    tests/test_textops.py). Oracle replays the whole chunk->embed->rank
+    pipeline in SQL; scores are exact-rescored folds, so they
+    hash-match the sequential-fold definition."""
     docs = load_table(spark, sf_dir, "documents")
     chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
     emb = text_ops.hash_embed(chunks, dim=32).select(
@@ -1998,17 +2660,95 @@ def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return topk_ops.topk_multi(emb, queries, 5, strategy="two_phase")
+    two = topk_ops.topk_multi(emb, queries, 5, strategy="two_phase")
+    return topk_ops.exact_rescore(emb, queries, two)
 
 
-@register("doc_search_ivf", oracle=None)
+def _oracle_doc_centroids():
+    """Replay doc_search_ivf's coarse fit: the chunk->embed corpus is
+    computed through the PROVEN-bit-identical DuckDB embed CTEs (in
+    vec_id order = the Spark DataFrame order of a single-file scan),
+    then the identical seeded NumPy Lloyd fit."""
+    import duckdb
+    import numpy as np
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF}/documents.parquet'"
+    )
+    rows = con.sql(
+        f"WITH {_SQL_EMBED_CTES} "
+        f"SELECT doc_id * 10000 + chunk_id AS vec_id, emb FROM embedded "
+        f"ORDER BY vec_id ASC"
+    ).fetchall()
+    mat = np.asarray(
+        [r[1] for r in rows[: km.train_rows_for(_IVF_NLIST)]], dtype=np.float64
+    )
+    return km.lloyd_fit(mat, _IVF_NLIST, seed=SEED)
+
+
+def _doc_ivf_oracle() -> str:
+    cent = _oracle_doc_centroids()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("c2.emb", "c.centroid")
+    l2_q = _sql_l2("dq.emb", "c.centroid")
+    cos = (
+        "list_dot_product(a.emb, dq.emb) / "
+        "(sqrt(list_dot_product(a.emb, a.emb)) * "
+        "sqrt(list_dot_product(dq.emb, dq.emb)))"
+    )
+    return f"""
+WITH {_SQL_EMBED_CTES},
+corpus AS (
+  SELECT doc_id * 10000 + chunk_id AS vec_id, emb FROM embedded
+),
+centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+dq AS (
+  SELECT vec_id AS query_id, emb FROM corpus ORDER BY vec_id ASC LIMIT 5
+),
+assigned AS (
+  SELECT vec_id, emb, cluster_id FROM (
+    SELECT c2.vec_id, c2.emb, c.cluster_id,
+           row_number() OVER (PARTITION BY c2.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM corpus c2 CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT dq.query_id, c.cluster_id,
+           row_number() OVER (PARTITION BY dq.query_id
+             ORDER BY {l2_q} ASC, c.cluster_id ASC) AS rn
+    FROM dq CROSS JOIN centroids c)
+  WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, {cos} AS score
+  FROM probes p
+  JOIN assigned a USING (cluster_id)
+  JOIN dq ON dq.query_id = p.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+@register("doc_search_ivf", oracle=_doc_ivf_oracle)
 def doc_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN scale path of doc_search: the same chunk->embed corpus
     behind an IVF index (driver-side fit + partition-prunable layout)
     probed at nprobe=4 of 16. On a 100 TB chunk corpus this scans
     ~25% of the lists instead of every vector; each query's own chunk
     still ranks first (its cluster is always probed — asserted in
-    tests/test_textops.py)."""
+    tests/test_textops.py). Oracle: corpus + centroid literals replayed
+    through DuckDB probe/prune/rank."""
     key = ("doc_ivf", sf_dir)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")

@@ -110,6 +110,54 @@ def test_pq_nbits8_signed_byte_codes(spark):
         assert abs(want - score) < 1e-9, (qid, vid, want, score)
 
 
+def test_opq_learned_rotation_beats_naive_split(spark):
+    """The learned OPQ-NP rotation must recover quantizability that a
+    random rotation destroyed: product-structured data (16 tight
+    gaussians per 8-dim block) scrambled by a random orthogonal matrix.
+    Reference shape: IVF-PQ 0.6943 -> OPQ-PQ 0.7657 (Performance.md
+    Table 19). Measured here: identity 0.346, PCA 0.256, learned 0.454."""
+    import numpy as np
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    rng = np.random.default_rng(5)
+    m, dsub, k = 8, 8, 16
+    blocks = []
+    for _mi in range(m):
+        means = rng.normal(size=(k, dsub))
+        idx = rng.integers(0, k, size=3000)
+        blocks.append(means[idx] + 0.05 * rng.normal(size=(3000, dsub)))
+    x0 = np.concatenate(blocks, axis=1)
+    q_mix, _ = np.linalg.qr(rng.normal(size=(64, 64)))
+    x = x0 @ q_mix
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    def adc_recall(rot):
+        xr = x if rot is None else x @ rot
+        recon = np.empty_like(xr)
+        for mi in range(m):
+            xs = xr[:, mi * dsub : (mi + 1) * dsub]
+            b = km.lloyd_fit(xs, k, seed=42 + mi)
+            d2 = (xs * xs).sum(1)[:, None] - 2 * (xs @ b.T) + (b * b).sum(1)[None, :]
+            recon[:, mi * dsub : (mi + 1) * dsub] = b[d2.argmin(1)]
+        qs = x[:50]
+        qr = qs if rot is None else qs @ rot
+        scores = qr @ recon.T
+        exact = qs @ x.T
+        return sum(
+            len(set(np.argsort(-scores[i])[:10]) & set(np.argsort(-exact[i])[:10]))
+            for i in range(50)
+        ) / 500
+
+    learned = pq_ops.opq_learn_rotation(x, m=m, nbits=4, n_iter=15, seed=42)
+    assert np.allclose(learned @ learned.T, np.eye(64), atol=1e-8)
+    r_id, r_learned = adc_recall(None), adc_recall(learned)
+    assert r_learned > r_id + 0.05, (r_id, r_learned)
+    # determinism (oracle embeds this rotation as literals)
+    again = pq_ops.opq_learn_rotation(x, m=m, nbits=4, n_iter=15, seed=42)
+    assert np.array_equal(learned, again)
+
+
 def test_pq_index_roundtrip(spark, tmp_path):
     import numpy as np
 
