@@ -18,9 +18,9 @@ frame sampling explodes bounded slices.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,17 +39,24 @@ def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(blob: bytes, dim: int) -> tuple[int, int, np.ndarray]:
+def _fake_decode(blob: bytes, dim: int) -> tuple[int, int, list[float]]:
     """Deterministic stand-in for an image decode + feature extraction:
-    md5-seeded pseudo-features, pseudo width/height from the digest."""
+    md5-chained pseudo-features (uniform in [-0.5, 0.5), L2-normalized),
+    pseudo width/height from the digest. Pure md5 arithmetic — not an
+    engine RNG — so any engine with md5 reproduces it bit-for-bit (the
+    registry oracle replays it in DuckDB SQL)."""
     digest = hashlib.md5(blob).digest()
     width = 16 + digest[0] % 64
     height = 16 + digest[1] % 64
-    seed = int.from_bytes(digest[2:10], "little", signed=False) % (2**32)
-    rng = np.random.default_rng(seed)
-    feat = rng.normal(size=dim)
-    nrm = np.linalg.norm(feat)
-    return width, height, (feat / nrm if nrm > 0 else feat)
+    feat = []
+    for i in range(dim):
+        h = int(hashlib.md5(blob + b":%d" % i).hexdigest()[:7], 16)
+        feat.append(h / float(2**28) - 0.5)  # exact: 28-bit int / 2^28
+    n = 0.0
+    for x in feat:
+        n += x * x
+    n = math.sqrt(n)
+    return width, height, ([x / n for x in feat] if n > 0 else feat)
 
 
 def extract_features(
@@ -90,7 +97,7 @@ def extract_features(
                 out["width"].append(w)
                 out["height"].append(h)
                 out["byte_len"].append(len(raw))
-                out["features"].append(feat.tolist())
+                out["features"].append(feat)
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)

@@ -1434,20 +1434,26 @@ def chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state element is prepended). `cur` below is string_split(s, chr(30))[-1].
 _SQL_CUR = "string_split(s, chr(30))[-1]"
 _SQL_JOINED = f"CASE WHEN {_SQL_CUR} = '' THEN x ELSE {_SQL_CUR} || ' ' || x END"
+
+
+def _sql_greedy_fold(pieces: str, max_chars: int) -> str:
+    """DuckDB replay of greedy_pack_expr over a string-list expression:
+    returns the packed chunk list."""
+    return (
+        f"list_filter(string_split(list_reduce(list_prepend('', {pieces}), "
+        f"(s, x) -> CASE WHEN {_SQL_CUR} = '' OR length({_SQL_JOINED}) <= {max_chars} "
+        f"THEN substr(s, 1, length(s) - length({_SQL_CUR})) || ({_SQL_JOINED}) "
+        f"ELSE s || chr(30) || x END), chr(30)), c -> c <> '')"
+    )
+
+
 _SQL_CHUNK_WORDS = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
 ),
 folded AS (
-  SELECT doc_id,
-         list_filter(string_split(
-           list_reduce(list_prepend('', toks),
-             (s, x) -> CASE
-               WHEN {_SQL_CUR} = '' OR length({_SQL_JOINED}) <= {_CHUNK_CHARS}
-               THEN substr(s, 1, length(s) - length({_SQL_CUR})) || ({_SQL_JOINED})
-               ELSE s || chr(30) || x END),
-           chr(30)), c -> c <> '') AS chunks
+  SELECT doc_id, {_sql_greedy_fold('toks', _CHUNK_CHARS)} AS chunks
   FROM toks
 )
 SELECT doc_id, CAST(i AS INT) AS chunk_id,
@@ -1472,14 +1478,18 @@ def chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1-based = pos+1), sequential per-dim folds, L2 normalize — every step
 # bit-identical to the Spark expression form.
 _EMBED_DIM = 32
-_SQL_EMBED_CTES = f"""
-chunks AS ({_SQL_CHUNK_WORDS}),
+
+
+def _sql_embed_ctes(src: str = "chunks") -> str:
+    """staged/raw/embedded CTE block replaying hash_embed over a
+    (doc_id, chunk_id, chunk, chunk_chars) relation named ``src``."""
+    return f"""
 staged AS (
   SELECT doc_id, chunk_id, chunk_chars,
          list_transform(list_filter(string_split(chunk, ' '), x -> x <> ''),
            (x, i) -> {{'b': ('0x' || substr(md5(x), 1, 7))::BIGINT % {_EMBED_DIM},
                        'w': 1.0 / i}}) AS buckets
-  FROM chunks
+  FROM {src}
 ),
 raw AS (
   SELECT doc_id, chunk_id, chunk_chars,
@@ -1497,6 +1507,11 @@ embedded AS (
          END AS emb
   FROM raw
 )"""
+
+
+_SQL_EMBED_CTES = f"""
+chunks AS ({_SQL_CHUNK_WORDS}),
+{_sql_embed_ctes('chunks')}"""
 
 _SQL_PIPELINE_CHUNKS_EMBED = f"""
 WITH {_SQL_EMBED_CTES}
@@ -1550,13 +1565,53 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _csv_docs(spark, sf_dir).orderBy("doc_id")
 
 
-@register("csv_chunks_embed", oracle=None)
+# DuckDB replay of the CSV ingest pipeline. The CSV copy is
+# byte-identical to the documents table (csv_roundtrip is hash-checked)
+# so the oracle reads documents directly. RE2 has no lookbehind, so the
+# sentence split '(?<=[.!?])\s+' is replayed as replace-then-split
+# (punct + whitespace -> punct + US separator) — identical boundaries.
+_SQL_CSV_CHUNKS_EMBED = f"""
+WITH sec AS (
+  SELECT doc_id, source,
+         unnest(list_filter(list_transform(
+           regexp_split_to_array(text, '(?m)^#{{1,6}}\\s+'),
+           p -> regexp_replace(p, '^\\s+|\\s+$', '', 'g')), p -> p <> '')) AS section
+  FROM documents
+),
+sent AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           string_split(
+             regexp_replace(concat_ws(chr(10), source, '[SECTION]', section),
+                            '([.!?])\\s+', '\\1' || chr(31), 'g'),
+             chr(31)),
+           x -> trim(x)), x -> x <> '') AS sentences
+  FROM sec
+),
+folded AS (
+  SELECT doc_id, {_sql_greedy_fold('sentences', _CHUNK_CHARS * 2)} AS chunks
+  FROM sent
+),
+cchunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         chunks[CAST(i + 1 AS INT)] AS chunk,
+         CAST(length(chunks[CAST(i + 1 AS INT)]) AS INT) AS chunk_chars
+  FROM (SELECT doc_id, chunks, unnest(range(0, len(chunks))) AS i FROM folded)
+),
+{_sql_embed_ctes('cchunks')}
+SELECT doc_id, chunk_id, chunk_chars, {_sql_ser_f32('emb')} AS embedding
+FROM embedded
+"""
+
+
+@register("csv_chunks_embed", oracle=_SQL_CSV_CHUNKS_EMBED)
 def csv_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL O33 ingest pipeline from the CSV entry point: CSV ->
     regex section split -> sentence-aware chunking -> '{source}
     [SECTION] {chunk}' formatting (build_vecbin_chunked.py:144-300) ->
-    normalized hash embeddings. Rows-only (greedy fold chunker has no
-    SQL form); chunker semantics are tested in tests/test_textops.py."""
+    normalized hash embeddings. Oracle: the pipeline replayed in DuckDB
+    over the documents table (the CSV is a proven byte-exact roundtrip
+    of it); chunker semantics also tested in tests/test_textops.py."""
     docs = _csv_docs(spark, sf_dir)
     sections = text_ops.split_sections(docs).join(
         docs.select("doc_id", "source"), "doc_id"
@@ -2778,27 +2833,64 @@ def doc_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ops.ivf_search(index, queries, 5, nprobe=_IVF_NPROBE, metric="cosine")
 
 
-@register("multimodal_features", oracle=None)
+_MM_DIM = 16
+# the fake decoder is pure md5 arithmetic over the blob bytes (== the
+# utf-8 text bytes), so DuckDB replays it exactly: width/height from the
+# digest's first two bytes, features from an md5 chain, L2-normalized
+_SQL_MM_FEAT = f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(16 + ('0x' || substr(md5(text), 1, 2))::INT % 64 AS INT) AS width,
+         CAST(16 + ('0x' || substr(md5(text), 3, 2))::INT % 64 AS INT) AS height,
+         CAST(octet_length(encode(text)) AS INT) AS byte_len,
+         list_transform(range(0, {_MM_DIM}),
+           i -> ('0x' || substr(md5(text || ':' || i), 1, 7))::BIGINT
+                / 268435456.0 - 0.5) AS raw
+  FROM documents
+)
+SELECT doc_id, width, height, byte_len,
+       {_sql_ser_f32("list_transform(raw, x -> x / sqrt(list_dot_product(raw, raw)))")} AS features
+FROM f
+"""
+
+
+@register("multimodal_features", oracle=_SQL_MM_FEAT)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: blob attach -> mapInPandas decode (STUB
-    decoder; deterministic md5-seeded features) -> typed output. No SQL
-    oracle (opaque binary + RNG features); invariants in
-    tests/test_multimodal.py."""
+    decoder; deterministic md5-chained features) -> typed output.
+    Oracle: DuckDB replays the md5 feature arithmetic over the same
+    bytes; Arrow/batching invariants in tests/test_multimodal.py."""
     from nano_vectordb_spark.operators.multimodal import attach_blob, extract_features
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(docs, dim=16)
+    feats = extract_features(docs, dim=_MM_DIM)
     # canonical string serialization (driver canonicalizer needs hashable cols)
     return feats.withColumn("features", _ser_f32_col("features"))
 
 
+# DuckDB 1.0 cannot substring a BLOB directly; hex round-trip slices
+# byte-exactly (2 hex chars per byte)
+_SQL_MM_FRAMES = """
+WITH f AS (
+  SELECT doc_id, encode(text) AS b,
+         greatest(octet_length(encode(text)) // 4, 1) AS w
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_id,
+       unhex(substring(hex(b), CAST(i * w * 2 + 1 AS INT), 128)) AS frame_bytes
+FROM (SELECT doc_id, b, w, unnest(range(0, 4)) AS i FROM f)
+WHERE i * w < octet_length(b)
+"""
+
+
 @register(
     "multimodal_frames",
-    oracle=None,
+    oracle=_SQL_MM_FRAMES,
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (video plumbing analog):
-    bounded evenly-spaced slices, pure narrow transform."""
+    bounded evenly-spaced slices, pure narrow transform. Oracle: the
+    same byte-wise slicing replayed over the blob bytes in DuckDB."""
     from nano_vectordb_spark.operators.multimodal import attach_blob, frame_sample
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
