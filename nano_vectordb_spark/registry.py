@@ -2413,6 +2413,83 @@ def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_HLL = f"""
+WITH r AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))::INT AS reg,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 8))::BIGINT AS w
+  FROM events
+),
+regs AS (
+  SELECT event_type, reg,
+         max(CASE WHEN w = 0 THEN 33
+                  ELSE 32 - CAST(floor(log2(CAST(w AS DOUBLE))) AS INT)
+             END) AS rho
+  FROM r GROUP BY event_type, reg
+),
+agg AS (
+  SELECT event_type,
+         count(*) AS present,
+         sum(power(2.0, -rho)) AS s_present
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         round(CASE WHEN '{0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096!r}'::DOUBLE
+                         / (s_present + (4096.0 - present)) <= 10240.0
+                     AND (4096.0 - present) > 0
+                    THEN 4096.0 * ln(4096.0 / (4096.0 - present))
+                    ELSE '{0.7213 / (1.0 + 1.079 / 4096) * 4096 * 4096!r}'::DOUBLE
+                         / (s_present + (4096.0 - present)) END, 6) AS approx_distinct
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT est.event_type, est.approx_distinct, ex.exact_distinct,
+       round(abs(est.approx_distinct - ex.exact_distinct) / ex.exact_distinct, 6)
+         AS rel_err
+FROM est JOIN ex ON ex.event_type = est.event_type
+"""
+
+
+@register("distinct_users_hll", oracle=_SQL_HLL)
+def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-independent HLL (operators/sketch.py): md5-arithmetic
+    register updates -> max-mergeable (day -> month in-plan) ->
+    harmonic estimator with linear-counting correction. The
+    oracle-checkable sibling of distinct_users_sketch: DuckDB replays
+    the identical sketch and estimate (the harmonic sum is exact dyadic
+    arithmetic, so it is order-independent across engines). Emits the
+    exact distinct count and relative error alongside."""
+    from nano_vectordb_spark.operators import sketch as sketch_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketch_ops.hll_registers(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        "user_id",
+        ["day", "event_type"],
+    )
+    monthly = sketch_ops.hll_merge(daily, ["event_type"])
+    est = sketch_ops.hll_estimate(monthly, ["event_type"]).withColumnRenamed(
+        "approx_distinct", "approx_distinct"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "approx_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 @register("distinct_users_sketch", oracle=None)
 def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (DataSketches HLL via

@@ -26,3 +26,30 @@ def test_hll_union_estimate_within_bounds(spark):
         assert n_days >= 1
         # default lgK=12 HLL: rse ~1.6%; allow 5% headroom
         assert abs(approx - exact[et]) <= max(1, 0.05 * exact[et]), (et, approx, exact[et])
+
+
+def test_md5_hll_accuracy_and_mergeability(spark):
+    """The engine-independent md5 HLL (operators/sketch.py): estimate
+    within HLL error bounds, and the sketch merges associatively —
+    building per-day then merging must equal building directly."""
+    from nano_vectordb_spark.operators import sketch as sk
+    from nano_vectordb_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+
+    rows = registry.REGISTRY["distinct_users_hll"].fn(spark, SF_CORRECT).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        # lgK=12 -> rse ~1.6%; allow 5% headroom
+        assert r.rel_err <= 0.05, (r.event_type, r.approx_distinct, r.exact_distinct)
+
+    daily = sk.hll_registers(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        "user_id",
+        ["day", "event_type"],
+    )
+    merged = sk.hll_merge(daily, ["event_type"])
+    direct = sk.hll_registers(ev, "user_id", ["event_type"])
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b  # merge of finer sketches == sketch built directly
