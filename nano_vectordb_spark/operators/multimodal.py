@@ -19,11 +19,20 @@ from __future__ import annotations
 
 import hashlib
 import math
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark import cloudpickle
+
+# Worker-shipped closures here reference module-level helpers
+# (_fake_decode). By default cloudpickle serializes those by reference,
+# which requires this package to be importable on every executor — not
+# true when an external harness drives Spark from a different cwd.
+# By-value registration makes the shipped task self-contained.
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 
 def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:

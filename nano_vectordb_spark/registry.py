@@ -2640,7 +2640,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pivot as explicit conditional aggregation — deterministic and
 # engine-portable (engine-native PIVOT column ordering differs)
 _SQL_EVENTS_PIVOT = """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+SELECT strftime(ts, '%Y-%m-%d') AS day,
        CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
@@ -2656,8 +2656,11 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot coverage: daily event-type count matrix via the DataFrame
     pivot operator (oracle expresses the same as FILTER aggregates)."""
     ev = load_table(spark, sf_dir, "events")
+    # day as a plain string: DATE-typed outputs render differently across
+    # the engines' pandas conversions (datetime.date vs datetime64), which
+    # breaks the driver's value hash; strings are representation-stable
     p = (
-        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
         .count()
     )
@@ -3003,7 +3006,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB 1.0 cannot substring a BLOB directly; hex round-trip slices
-# byte-exactly (2 hex chars per byte)
+# byte-exactly (2 hex chars per byte). Output stays hex: binary cells
+# arrive as unhashable bytearrays in the driver's canonicalizer.
 _SQL_MM_FRAMES = """
 WITH f AS (
   SELECT doc_id, encode(text) AS b,
@@ -3011,7 +3015,7 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, CAST(i AS INT) AS frame_id,
-       unhex(substring(hex(b), CAST(i * w * 2 + 1 AS INT), 128)) AS frame_bytes
+       substring(hex(b), CAST(i * w * 2 + 1 AS INT), 128) AS frame_hex
 FROM (SELECT doc_id, b, w, unnest(range(0, 4)) AS i FROM f)
 WHERE i * w < octet_length(b)
 """
@@ -3024,8 +3028,12 @@ WHERE i * w < octet_length(b)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads (video plumbing analog):
     bounded evenly-spaced slices, pure narrow transform. Oracle: the
-    same byte-wise slicing replayed over the blob bytes in DuckDB."""
+    same byte-wise slicing replayed over the blob bytes in DuckDB.
+    Frames serialize to hex (canonicalizer-safe; byte-exact)."""
     from nano_vectordb_spark.operators.multimodal import attach_blob, frame_sample
 
     docs = attach_blob(load_table(spark, sf_dir, "documents"))
-    return frame_sample(docs, n_frames=4)
+    frames = frame_sample(docs, n_frames=4)
+    return frames.select(
+        "doc_id", "frame_id", F.hex("frame_bytes").alias("frame_hex")
+    )

@@ -15,14 +15,22 @@ operator exactly — asserted in tests/test_streaming.py).
 
 from __future__ import annotations
 
+import sys
 import uuid
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
+from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# _sessionize_group ships to executors by name unless this module is
+# registered for by-value pickling; executors in an externally-driven
+# session (different cwd, no PYTHONPATH entry for the repo) cannot
+# import it otherwise.
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 GAP_US = 1800 * 1_000_000
 
