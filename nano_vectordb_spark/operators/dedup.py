@@ -123,17 +123,49 @@ def shingle_hashes(sh: DataFrame) -> DataFrame:
 
 
 def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
-    hs = shingle_hashes(sh)
-    mins = [
-        F.array_min(
-            F.transform("hs", lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
-        ).alias(f"m{i}")
-        for i, (a, b) in enumerate(minhash_perms(k))
-    ]
-    sig = hs.select("doc_id", *mins)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
-    )
+    """Vectorized MinHash: one md5 per distinct shingle per Arrow batch
+    (hashlib at C speed, memoized) and all k permutations in a single
+    NumPy broadcast. The expression form costs k interpreted array
+    walks per row (higher-order functions never enter codegen) — same
+    trick that took simhash64 from 11 s to 1-2 s at sf0.1. Hash and
+    permutation constants are unchanged, so the DuckDB oracle replay
+    still matches bit-for-bit: h = int(md5(shingle)[:7], 16), then
+    min((h*a + b) mod P) per permutation."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    perms = minhash_perms(k)
+    pa = np.array([p[0] for p in perms], dtype=np.int64)
+    pb = np.array([p[1] for p in perms], dtype=np.int64)
+    p_mod = MINHASH_P
+
+    @pandas_udf("array<long>")
+    def _sig(shingle_arrs):  # pd.Series[list[str]] -> pd.Series[list[int]]
+        cache: dict[str, int] = {}
+
+        def sh_hash(s: str) -> int:
+            h = cache.get(s)
+            if h is None:
+                h = cache[s] = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+            return h
+
+        out = []
+        for shingles in shingle_arrs:
+            if shingles is None or len(shingles) == 0:
+                out.append(None)
+                continue
+            hs = np.fromiter(
+                (sh_hash(s) for s in shingles), dtype=np.int64, count=len(shingles)
+            )
+            # hs < 2^28 and a < P < 2^31, so hs*a + b < 2^59: no overflow
+            sig = ((hs[:, None] * pa[None, :] + pb[None, :]) % p_mod).min(axis=0)
+            out.append(sig)
+        return pd.Series(out)
+
+    return sh.select("doc_id", _sig("shingles").alias("sig"))
 
 
 def minhash_signatures(
@@ -142,6 +174,69 @@ def minhash_signatures(
     """(doc_id, sig array<long> of length k): sig[i] = min over shingles
     of (a_i * h + b_i) mod P."""
     return _signatures_from_shingles(ngram_shingles(df, n, text_col, id_col), k)
+
+
+def _shingles_and_sig(
+    df: DataFrame, k: int, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """One fused pass: (doc_id, shingles, n_sh, sig). Tokenize, build
+    distinct word n-grams, hash each once (hashlib md5, memoized per
+    batch), and take all k permutation minima in a single NumPy
+    broadcast. Semantically identical to ngram_shingles +
+    minhash_signatures (same tokens: split on ' ' dropping empties;
+    docs with < n tokens are dropped), but one Arrow pass instead of
+    interpreted higher-order expressions per row — shingle building and
+    k array walks never enter codegen in expression form."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    perms = minhash_perms(k)
+    pa = np.array([p[0] for p in perms], dtype=np.int64)
+    pb = np.array([p[1] for p in perms], dtype=np.int64)
+    p_mod = MINHASH_P
+    ngram = n
+
+    def run(batches):
+        cache: dict[str, int] = {}
+
+        def sh_hash(s):
+            h = cache.get(s)
+            if h is None:
+                h = cache[s] = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+            return h
+
+        for pdf in batches:
+            ids, shingles_out, n_sh, sigs = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                if len(toks) < ngram:
+                    continue  # no shingle exists; ngram_shingles drops too
+                grams = list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + ngram])
+                        for i in range(len(toks) - ngram + 1)
+                    )
+                )
+                hs = np.fromiter(
+                    (sh_hash(s) for s in grams), dtype=np.int64, count=len(grams)
+                )
+                # hs < 2^28, a < P < 2^31: products stay under 2^59
+                sig = ((hs[:, None] * pa[None, :] + pb[None, :]) % p_mod).min(axis=0)
+                ids.append(doc_id)
+                shingles_out.append(grams)
+                n_sh.append(len(grams))
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {"doc_id": ids, "shingles": shingles_out, "n_sh": n_sh, "sig": sigs}
+            )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
+        run, "doc_id long, shingles array<string>, n_sh int, sig array<long>"
+    )
 
 
 def minhash_lsh_pairs(
@@ -158,14 +253,16 @@ def minhash_lsh_pairs(
     exact Jaccard and filtered at threshold. The band join shuffles on
     the band signature — tiny keys, no N^2."""
     rows = k // bands
-    # The shingle table feeds three plan branches (signatures + both
-    # verification sides): persist it once, spread over the cluster
-    # parallelism (a single input file otherwise yields one partition).
+    # One fused shingle+signature pass feeds three plan branches (the
+    # band join's two sides + verification): persist it once, spread
+    # over the cluster parallelism (a single input file otherwise
+    # yields one partition).
     spark = df.sparkSession
-    sh_cached = ngram_shingles(
-        df.repartition(spark.sparkContext.defaultParallelism), n, text_col, id_col
+    base = _shingles_and_sig(
+        df.repartition(spark.sparkContext.defaultParallelism), k, n, text_col, id_col
     ).persist()
-    sig = _signatures_from_shingles(sh_cached, k)
+    sh_cached = base.select("doc_id", "shingles")
+    sig = base.select("doc_id", "sig")
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda bi: F.struct(

@@ -1802,10 +1802,15 @@ SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_JACCARD_T}
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified.
     The oracle runs the identical algorithm (same permutation
-    constants), so candidate sets match exactly."""
-    return dedup_ops.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), _JACCARD_T
-    )
+    constants), so candidate sets match exactly. The built plan (with
+    its persisted shingle+signature base) is memoized per sf_dir so
+    repeat invocations reuse one cache instead of stacking persists."""
+    key = ("minhash_lsh", sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = dedup_ops.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), _JACCARD_T
+        )
+    return _INDEX_CACHE[key]
 
 
 def _sql_simhash_pairs() -> str:
