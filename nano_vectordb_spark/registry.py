@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from nano_vectordb_spark.functions import quantize as qz
 from nano_vectordb_spark.functions import text as tx
 from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
+from nano_vectordb_spark.operators import components as comp_ops
 from nano_vectordb_spark.operators import dedup as dedup_ops
 from nano_vectordb_spark.operators import gt as gt_ops
 from nano_vectordb_spark.operators import metrics as metrics_ops
@@ -1811,6 +1812,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"), _JACCARD_T
         )
     return _INDEX_CACHE[key]
+
+
+# component = min reachable id; DuckDB walks the transitive closure
+# recursively (fine at oracle scale), Spark runs log-diameter
+# min-label propagation (operators/components.py)
+_SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_sql_minhash_lsh()}),
+e AS (
+  SELECT a_id AS s, b_id AS d FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+walk(id, r) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT w.id, e2.d FROM walk w JOIN e e2 ON w.r = e2.s
+),
+comp AS (
+  SELECT id, least(id, min(r)) AS component FROM walk GROUP BY id
+),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS group_size
+  FROM comp GROUP BY component
+)
+SELECT CAST(c.id AS BIGINT) AS id, CAST(c.component AS BIGINT) AS component,
+       s.group_size, c.id = c.component AS keep
+FROM comp c JOIN sizes s USING (component)
+"""
+
+
+@register("dedup_components", oracle=_SQL_DEDUP_COMPONENTS)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP resolution: MinHash-LSH pairs -> connected
+    components -> one keeper per cluster. Duplicates are transitive,
+    so corpus cleaning must decide keep/drop per component, not per
+    pair (pairwise removal over-deletes or leaves transitive dups).
+    Spark side: log-diameter min-label propagation with pointer
+    jumping over the label table (operators/components.py); oracle
+    walks the same graph's transitive closure with a recursive CTE."""
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    return comp_ops.dedup_groups(edges)
 
 
 def _sql_simhash_pairs() -> str:

@@ -101,3 +101,36 @@ def test_simhash64_near_for_near_texts(spark):
     # the two halves are independent hashes: a doc is hamming-0 to itself
     sh = dedup.simhash64(df).filter("doc_id = 0").first()
     assert sh.sim_hi != sh.sim_lo  # distinct rehash constants actually used
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A long chain forces multiple propagation rounds (pointer
+    jumping); disjoint cliques and singleton-free coverage come along.
+    Expected components from a brute-force union-find."""
+    from nano_vectordb_spark.operators.components import (
+        connected_components,
+        dedup_groups,
+    )
+
+    edges = (
+        # chain 0-1-2-...-9 (diameter 9: exercises the log-round jump)
+        [(i, i + 1) for i in range(9)]
+        # separate triangle {20,21,22}
+        + [(20, 21), (21, 22), (20, 22)]
+        # pair {30, 31}
+        + [(31, 30)]
+    )
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {
+        (r.id, r.component)
+        for r in connected_components(df).collect()
+    }
+    want = {(i, 0) for i in range(10)}
+    want |= {(i, 20) for i in (20, 21, 22)}
+    want |= {(30, 30), (31, 30)}
+    assert got == want
+
+    groups = {r.id: r for r in dedup_groups(df).collect()}
+    assert groups[5].group_size == 10 and not groups[5].keep
+    assert groups[0].keep and groups[20].keep and groups[30].keep
+    assert not groups[31].keep and groups[31].group_size == 2
