@@ -32,6 +32,8 @@ from nano_vectordb_spark.operators import dedup as dedup_ops
 from nano_vectordb_spark.operators import gt as gt_ops
 from nano_vectordb_spark.operators import metrics as metrics_ops
 from nano_vectordb_spark.operators import ivf as ivf_ops
+from nano_vectordb_spark.operators import lexical as lexical_ops
+from nano_vectordb_spark.operators import pipeline as pipe_ops
 from nano_vectordb_spark.operators import pq as pq_ops
 from nano_vectordb_spark.operators import refine as refine_ops
 from nano_vectordb_spark.operators import sample as sample_ops
@@ -3084,3 +3086,227 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_id", F.hex("frame_bytes").alias("frame_hex")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: stratified sampling, mixture weighting,
+# sequence packing, BM25 lexical search (operators/pipeline.py,
+# operators/lexical.py)
+# --------------------------------------------------------------------------
+
+_STRAT_N = 20
+
+_SQL_STRATIFIED = f"""
+SELECT doc_id, lang, source, n_chars, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('{SEED}:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= {_STRAT_N}
+"""
+
+
+@register("sample_stratified", oracle=_SQL_STRATIFIED)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: {_STRAT_N} docs per language (the
+    per-stratum analog of reference O21 seeded query sampling,
+    tools/nvdb_make_query.cpp:56-75). One shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = pipe_ops.stratified_sample(docs, "lang", _STRAT_N, seed=SEED)
+    return s.select("doc_id", "lang", "source", "n_chars", "sample_rank")
+
+
+# target mixture shares: source src{i} gets weight i+1 (normalized) — a
+# deliberately non-uniform plan so every keep_rate is distinct
+_MIX_SHARES = {f"src{i}": float(i + 1) for i in range(20)}
+_MIX_TOTAL = sum(_MIX_SHARES.values())
+
+# CAST('…' AS DOUBLE) from a *string*: DuckDB types bare decimal
+# literals as DECIMAL and its decimal->double cast double-rounds, both
+# off Spark's double literal by 1 ulp; string->double parsing is
+# correctly rounded, so the repr round-trips bit-exactly
+_SQL_MIX_TGT = ",\n    ".join(
+    f"('{s}', CAST('{v / _MIX_TOTAL!r}' AS DOUBLE))"
+    for s, v in sorted(_MIX_SHARES.items())
+)
+
+_SQL_MIX_WEIGHTS_CTES = f"""
+toks_m AS (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM toks_m GROUP BY source
+),
+tgt(source, target_share) AS (VALUES
+    {_SQL_MIX_TGT}),
+shares AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+         CAST(p.n_tokens AS DOUBLE) / CAST(sum(p.n_tokens) OVER () AS DOUBLE) AS natural_share,
+         g.target_share
+  FROM per_src p JOIN tgt g USING (source)
+),
+rated AS (
+  SELECT *, target_share / natural_share AS rate_raw FROM shares
+),
+weights AS (
+  SELECT source, n_docs, n_tokens, natural_share, target_share,
+         rate_raw / max(rate_raw) OVER () AS keep_rate
+  FROM rated
+)"""
+
+
+@register(
+    "mixture_weights",
+    oracle=f"""
+WITH {_SQL_MIX_WEIGHTS_CTES}
+SELECT * FROM weights
+""",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mixture plan: per-source token counts, natural vs target
+    share, downsample-only keep rates. One aggregation shuffle; the
+    share math runs over the 20-row per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tx.tokens_expr("text")).cast("long")
+    )
+    return pipe_ops.mixture_weights(docs, _MIX_SHARES)
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+WITH {_SQL_MIX_WEIGHTS_CTES}
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN weights w USING (source)
+WHERE CAST(('0x' || substr(md5('{SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT AS DOUBLE)
+      / 268435456.0 < w.keep_rate
+""",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize the mixture plan: deterministic keyed-hash Bernoulli
+    thinning against the broadcast keep-rate table — map-only over the
+    corpus, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tx.tokens_expr("text")).cast("long")
+    )
+    w = pipe_ops.mixture_weights(docs, _MIX_SHARES)
+    s = pipe_ops.mixture_sample(docs, w, seed=SEED)
+    return s.select("doc_id", "source", "lang", "n_chars")
+
+
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 8
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH RECURSIVE toks_p AS (
+  SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT bucket, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id ASC) AS rn
+  FROM toks_p
+),
+packed AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0 AS pack_id, n_tokens AS acc
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens ELSE p.acc + o.n_tokens END
+  FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT bucket, CAST(pack_id AS INT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id ASC), ',') AS doc_ids
+FROM packed GROUP BY bucket, pack_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into {_PACK_BUDGET}-token packs across
+    {_PACK_BUCKETS} parallel hash buckets; the per-bucket fold is a
+    native JVM aggregate (no Python). Oracle: the identical greedy
+    recurrence as a DuckDB recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tx.tokens_expr("text")).cast("long")
+    )
+    return pipe_ops.pack_sequences(docs, _PACK_BUDGET, _PACK_BUCKETS)
+
+
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["window", "sort", "stream"]),
+    (2, ["batch", "scan", "merge", "part"]),
+]
+_BM25_K = 10
+
+
+def _bm25_oracle() -> str:
+    from nano_vectordb_spark.operators.lexical import B, K1
+
+    vocab = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    vlist = ", ".join(f"'{t}'" for t in vocab)
+    qvals = ",\n    ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, x -> list_contains([{vlist}], x)) AS qtoks
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d
+),
+posting AS (SELECT doc_id, dl, unnest(qtoks) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM posting GROUP BY doc_id, term
+),
+idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+qmap(query_id, term) AS (VALUES
+    {qvals}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - i.df + 0.5) / (i.df + 0.5))
+         * (tf.tf * {K1 + 1.0!r}
+            / (tf.tf + {K1!r} * ({1.0 - B!r} + {B!r}
+               * (CAST(tf.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS s
+  FROM tf JOIN idf i USING (term) JOIN qmap q USING (term) CROSS JOIN stats s
+),
+summed AS (
+  SELECT query_id, doc_id,
+         round(list_aggregate(list(s ORDER BY term ASC), 'sum'), 6) AS score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM summed)
+WHERE rank <= {_BM25_K}
+"""
+
+
+@register("doc_search_bm25", oracle=_bm25_oracle)
+def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-k over documents — the lexical complement
+    of doc_search / doc_search_ivf. The query-vocabulary filter runs
+    before the explode, so only query-term postings shuffle; scores sum
+    via a term-ordered sequential fold (cross-engine bit contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_ops.bm25_search(spark, docs, _BM25_QUERIES, k=_BM25_K)

@@ -33,6 +33,7 @@ _BNLJ_OK = {
     "opq_refine_search",
     "opq_learned_refine_search",
     "embedding_neardup_pairs",  # guarded verification baseline (<=20k rows)
+    "doc_search_bm25",        # broadcast 1-row corpus stats x |vocab|-row idf
 }
 
 NAMES = sorted(registry.REGISTRY)
