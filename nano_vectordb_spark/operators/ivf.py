@@ -118,22 +118,182 @@ def ivf_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    strategy: str = "two_phase",
 ) -> DataFrame:
     """Stage 2: scan only the probed clusters and rank top-k per query
-    (reference O28). The join on cluster_id is the IN-filter/partition-
-    prune; the probe table is Q x nprobe rows — broadcast."""
-    probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("__qvec")
+    (reference O28).
+
+    ``strategy="join"`` is the declarative semantic definition: probes
+    join onto the assigned table (the IN-filter/partition-prune) and a
+    codegen'd fold scores each (query, candidate) pair.
+
+    ``strategy="two_phase"`` (default) is the scale/speed path, the IVF
+    analog of the flat two-phase scan (operators/topk.py O10-O12): the
+    probed clusters are scanned once, each Arrow batch is scored with
+    one NumPy matmul restricted to the queries actually probing that
+    batch's clusters (on the persisted layout a batch is one cluster,
+    so compute is exactly the probing pairs), masked per (query,
+    cluster), partially top-k'd per batch, and merged; the final Q x k
+    candidates are exact-rescored with the sequential fold so the
+    output is bit-identical to the join definition."""
+    if strategy == "join":
+        probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("__qvec"),
+            )
         )
+        pruned = index.assigned.join(
+            F.broadcast(probes), "cluster_id"
+        )  # keeps only probed (query, cluster) slices
+        scored = pruned.join(q, "query_id").select(
+            "query_id",
+            F.col(id_col).alias("vec_id"),
+            score_expr(metric, vec_col, "__qvec").alias("score"),
+        )
+        return rank_topk(scored, k, metric=metric)
+    if strategy != "two_phase":
+        raise ValueError(f"strategy must be 'join' or 'two_phase', got {strategy!r}")
+    return _ivf_search_two_phase(
+        index, queries, k, nprobe, metric, id_col, vec_col, query_id_col, query_vec_col
     )
-    pruned = index.assigned.join(
-        F.broadcast(probes), "cluster_id"
-    )  # keeps only probed (query, cluster) slices
-    scored = pruned.join(q, "query_id").select(
-        "query_id",
+
+
+def _ivf_search_two_phase(
+    index, queries, k, nprobe, metric, id_col, vec_col, query_id_col, query_vec_col
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from nano_vectordb_spark.operators.topk import (
+        MAX_BROADCAST_QUERIES,
+        _rank_window,
+        exact_rescore,
+    )
+
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"two_phase broadcasts the query batch and supports at most "
+            f"{MAX_BROADCAST_QUERIES} queries (the reference's Q contract)."
+        )
+    spark = index.assigned.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, score double, rank int"
+        )
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+    qpos = {int(qid): j for j, qid in enumerate(qids)}
+
+    # probe table is Q x nprobe — collect it to a (nlist, Q) allow-mask
+    prows = probe_clusters(
+        index, queries, nprobe, query_id_col, query_vec_col
+    ).collect()
+    mask = np.zeros((index.nlist, len(qids)), dtype=bool)
+    for r in prows:
+        mask[r["cluster_id"], qpos[int(r["query_id"])]] = True
+    clusters = sorted({int(r["cluster_id"]) for r in prows})
+
+    largest = metric != "l2"
+    sc = spark.sparkContext
+    b_qids, b_qmat, b_mask = sc.broadcast(qids), sc.broadcast(qmat), sc.broadcast(mask)
+
+    def local_topk(batches):
+        qi, qm, mk = b_qids.value, b_qmat.value, b_mask.value
+        qnorm = np.linalg.norm(qm, axis=1) if metric == "cosine" else None
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cl = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            # queries probing any cluster present in this batch (on the
+            # partitioned layout: exactly the batch's probing queries)
+            qsel = np.flatnonzero(mk[np.unique(cl)].any(axis=0))
+            if qsel.size == 0:
+                continue
+            vals = pdf["embedding"].to_numpy()
+            try:
+                bm = np.concatenate(vals).reshape(len(vals), -1).astype(np.float64)
+            except ValueError:
+                bm = np.array(list(vals), dtype=np.float64)
+            qm_s = qm[qsel]
+            if metric == "dot":
+                s = bm @ qm_s.T
+            elif metric == "cosine":
+                s = (bm @ qm_s.T) / (
+                    np.linalg.norm(bm, axis=1)[:, None] * qnorm[qsel][None, :]
+                )
+            else:
+                s = (
+                    (bm * bm).sum(axis=1)[:, None]
+                    - 2.0 * (bm @ qm_s.T)
+                    + (qm_s * qm_s).sum(axis=1)[None, :]
+                )
+            allowed = mk[cl][:, qsel]  # (n, Qs)
+            fill = -np.inf if largest else np.inf
+            s = np.where(allowed, s, fill)
+            bkey = -s if largest else s
+            n = s.shape[0]
+            if n > k:
+                part = np.argpartition(bkey, k - 1, axis=0)[:k]
+                sel_key = np.take_along_axis(bkey, part, axis=0)
+                boundary = sel_key.max(axis=0)
+                ties_all = (bkey == boundary[None, :]).sum(axis=0)
+                ties_sel = (sel_key == boundary[None, :]).sum(axis=0)
+                for j in np.flatnonzero(ties_all > ties_sel):
+                    part[:, j] = np.lexsort((ids, bkey[:, j]))[:k]
+                sel_ids = ids[part]  # (k, Qs)
+                sel_s = np.take_along_axis(s, part, axis=0)
+            else:
+                sel_ids = np.broadcast_to(ids[:, None], (n, qsel.size)).copy()
+                sel_s = s
+            keep = np.isfinite(sel_s)  # drop masked fill rows
+            kk = sel_s.shape[0]
+            qcol = np.broadcast_to(qi[qsel][None, :], (kk, qsel.size))
+            out_q.append(qcol[keep])
+            out_i.append(sel_ids[keep])
+            out_s.append(sel_s[keep])
+        if not out_q:
+            return
+        fq = np.concatenate(out_q)
+        fi = np.concatenate(out_i)
+        fs = np.concatenate(out_s)
+        # per-partition winner set: first k per query by (score, vec_id)
+        key = -fs if largest else fs
+        order = np.lexsort((fi, key, fq))
+        fq, fi, fs = fq[order], fi[order], fs[order]
+        grp_start = np.r_[0, np.flatnonzero(np.diff(fq)) + 1]
+        pos = np.arange(fq.size) - np.repeat(grp_start, np.diff(np.r_[grp_start, fq.size]))
+        keep = pos < k
+        yield pd.DataFrame(
+            {"query_id": fq[keep], "vec_id": fi[keep], "score": fs[keep]}
+        )
+
+    pruned = index.assigned.filter(F.col("cluster_id").isin(clusters))
+    partials = pruned.select(
         F.col(id_col).alias("vec_id"),
-        score_expr(metric, vec_col, "__qvec").alias("score"),
+        F.col(vec_col).alias("embedding"),
+        F.col("cluster_id"),
+    ).mapInPandas(local_topk, "query_id long, vec_id long, score double")
+    cand = (
+        partials.withColumn("rank", F.row_number().over(_rank_window(metric)))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
     )
-    return rank_topk(scored, k, metric=metric)
+    return exact_rescore(
+        index.assigned,
+        queries,
+        cand,
+        metric=metric,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
