@@ -107,3 +107,68 @@ def quality_expr(toks: Column, text: ColumnOrName) -> Column:
         + F.lit(0.3) * (F.lit(1.0) - stopword_ratio_expr(toks))
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio_expr(text))
     )
+
+
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams; empty when len(toks) < n.
+
+    Guarded with `when` because Spark's `sequence(1, m)` produces a
+    DESCENDING [1, 0] when m = 0 — the naive form would fabricate
+    grams for short docs.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    return F.when(F.size(toks) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def max_run_expr(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a
+    sorted array (0 for empty). A native fold — the zero-shuffle way
+    to get "count of the most frequent element" per row, vs the
+    explode + groupBy plan that shuffles every n-gram. Elements must
+    be non-empty strings ("" is the run sentinel).
+    """
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, acc0, merge, lambda acc: acc["best"])
+
+
+def dup_run_total_expr(sorted_arr: Column) -> Column:
+    """Total count of elements that belong to runs of length > 1 in a
+    sorted array — i.e. how many n-gram occurrences are duplicated
+    within the document (Gopher-style repetition signal). Same
+    zero-shuffle fold shape as max_run_expr.
+    """
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        flushed = acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["dup"]).otherwise(flushed).alias("dup"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        acc0,
+        merge,
+        lambda acc: acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0)),
+    )

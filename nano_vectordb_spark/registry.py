@@ -3310,3 +3310,212 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a term-ordered sequential fold (cross-engine bit contract)."""
     docs = load_table(spark, sf_dir, "documents")
     return lexical_ops.bm25_search(spark, docs, _BM25_QUERIES, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Training-corpus hygiene: repetition signals, PII redaction,
+# benchmark decontamination. Extensions past the reference's text
+# pipeline (scripts/build_vecbin_chunked.py:144-225) toward what an
+# LLM training-data pipeline filters on before embedding.
+# ---------------------------------------------------------------------------
+
+_SQL_REPETITION = f"""
+WITH t AS ({_SQL_TOKS}),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bstat AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+  FROM t WHERE len(toks) >= 3
+),
+tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+tstat AS (
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+         sum(c) AS n_tg
+  FROM tgc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(t.toks)) AS DOUBLE)
+         / CAST(len(t.toks) AS DOUBLE) AS distinct_ratio,
+       COALESCE(CAST(b.top_c AS DOUBLE) / CAST(b.n_bg AS DOUBLE), 0.0)
+         AS top_bigram_frac,
+       COALESCE(CAST(s.dup_occ AS DOUBLE) / CAST(s.n_tg AS DOUBLE), 0.0)
+         AS dup_trigram_frac
+FROM t
+LEFT JOIN bstat b ON t.doc_id = b.doc_id
+LEFT JOIN tstat s ON t.doc_id = s.doc_id
+"""
+
+
+@register("repetition_stats", oracle=_SQL_REPETITION)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: distinct-token
+    ratio, share of tokens in the most frequent bigram, share of
+    trigram occurrences that are duplicated.
+
+    Scale shape: entirely per-row native folds over sorted n-gram
+    arrays (functions/text.py max_run_expr / dup_run_total_expr) —
+    zero shuffle, embarrassingly parallel, vs the oracle's
+    explode + groupBy formulation which shuffles every n-gram at
+    100 TB. The oracle states the semantics; the fold is the plan.
+    """
+    d = _toks_df(spark, sf_dir)
+    n = F.size("toks")
+    bg = F.array_sort(tx.ngrams_expr(F.col("toks"), 2))
+    tg = F.array_sort(tx.ngrams_expr(F.col("toks"), 3))
+    n_bg = F.size(bg)
+    n_tg = F.size(tg)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct("toks")).cast("double") / n.cast("double")).alias(
+            "distinct_ratio"
+        ),
+        F.when(
+            n_bg > 0, tx.max_run_expr(bg).cast("double") / n_bg.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(
+            n_tg > 0, tx.dup_run_total_expr(tg).cast("double") / n_tg.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
+# PII patterns kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# backrefs/lookaround.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+# The synthetic corpus contains no PII, so both engines inject the same
+# deterministic doc_id-derived contacts — the oracle then checks real
+# match/replace behavior instead of vacuous zeros.
+_SQL_PII_AUG = """
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS aug
+  FROM documents
+"""
+
+_SQL_PII = f"""
+WITH a AS ({_SQL_PII_AUG})
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+FROM a
+"""
+
+
+@register("pii_redact", oracle=_SQL_PII)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails / phone numbers /
+    IPv4 addresses with native regexp expressions (codegen'd, no
+    Python). Output carries md5(redacted) so the full redacted text is
+    value-checked without shipping long strings through the gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (did % 256).cast("string"),
+        F.lit("."),
+        ((did * 7) % 256).cast("string"),
+    )
+    d = docs.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("aug", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("aug", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_count("aug", F.lit(_PII_IP)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+_DECON_N = 8  # shingle width (13-gram is the published norm; 8 fits the corpus)
+_DECON_MOD = 10  # doc_id % MOD == 0 -> benchmark split
+
+_SQL_DECON = f"""
+WITH t AS ({_SQL_TOKS}),
+s AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(toks) - {_DECON_N - 2}),
+           i -> array_to_string(toks[i:i+{_DECON_N - 1}], ' ')))) AS sh
+  FROM t WHERE len(toks) >= {_DECON_N}
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hh FROM s
+),
+bench AS (SELECT doc_id AS bench_id, hh FROM h WHERE doc_id % {_DECON_MOD} = 0),
+train AS (SELECT doc_id, hh FROM h WHERE doc_id % {_DECON_MOD} <> 0)
+SELECT train.doc_id AS doc_id,
+       CAST(count(DISTINCT train.hh) AS BIGINT) AS n_shared_shingles,
+       CAST(count(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs
+FROM train JOIN bench ON train.hh = bench.hh
+GROUP BY train.doc_id
+"""
+
+
+@register("decontaminate", oracle=_SQL_DECON)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    {_DECON_N}-token shingle with the held-out benchmark split
+    (doc_id % {_DECON_MOD} == 0 stands in for the eval set). The
+    standard contamination check run before training-corpus release.
+
+    Scale shape: distinct shingles per doc, 60-bit md5 hashes, then an
+    inverted-index equi-join on the hash — posting-list sized shuffle,
+    never doc x doc. Both engines hash identically, so the comparison
+    is exact even under (astronomically unlikely) hash collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.ngram_shingles(docs, n=_DECON_N)
+    hashed = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long").alias("hh"),
+    )
+    bench = hashed.filter(F.col("doc_id") % _DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "hh"
+    )
+    train = hashed.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        train.join(bench, "hh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("hh").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )

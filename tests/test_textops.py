@@ -177,3 +177,49 @@ def test_doc_search_ivf_self_match(spark):
     assert len(top1) == 5
     # a query vector's own cluster is always probed, so it finds itself
     assert all(q == v for q, v in top1.items())
+
+
+# --- repetition folds (registry: repetition_stats) ----------------------
+
+def _fold_vals(spark, arrs: list[list[str]]) -> list[tuple[int, int]]:
+    from nano_vectordb_spark.functions import text as tx
+
+    df = spark.createDataFrame([(a,) for a in arrs], "arr array<string>")
+    rows = (
+        df.select(
+            tx.max_run_expr(F.array_sort("arr")).alias("mx"),
+            tx.dup_run_total_expr(F.array_sort("arr")).alias("dup"),
+        )
+        .collect()
+    )
+    return [(r.mx, r.dup) for r in rows]
+
+
+def test_run_folds_match_python_counter(spark):
+    from collections import Counter
+
+    cases = [
+        [],
+        ["a"],
+        ["a", "a"],
+        ["a", "b", "a", "a", "c", "b"],
+        ["x"] * 5,
+        ["a", "b", "c"],
+    ]
+    got = _fold_vals(spark, cases)
+    for arr, (mx, dup) in zip(cases, got):
+        c = Counter(arr)
+        assert mx == (max(c.values()) if c else 0)
+        assert dup == sum(v for v in c.values() if v > 1)
+
+
+def test_ngrams_expr_short_docs(spark):
+    from nano_vectordb_spark.functions import text as tx
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("one two",), ("one two three",)], "text string"
+    )
+    rows = df.select(
+        tx.ngrams_expr(tx.tokens_expr("text"), 3).alias("g")
+    ).collect()
+    assert [r.g for r in rows] == [[], [], [], ["one two three"]]
