@@ -38,6 +38,25 @@ class IvfIndex:
     centroids: DataFrame  # (cluster_id int, centroid array<double>)
     assigned: DataFrame   # base columns + cluster_id
     nlist: int
+    # (nlist, D) float64 matrix of the same centroids, kept from the
+    # driver-side fit (or lazily collected once for a reloaded index) so
+    # probing needs no Spark job — see centroids_matrix().
+    centroids_np: object = None
+
+
+def centroids_matrix(index: IvfIndex):
+    """Centroids as a (nlist, D) float64 NumPy matrix, cached on the
+    index. In-process builds already have it (the Lloyd fit runs driver
+    side); a persisted/reloaded index pays one tiny collect (nlist
+    rows), once."""
+    import numpy as np
+
+    if index.centroids_np is None:
+        rows = index.centroids.orderBy("cluster_id").collect()
+        index.centroids_np = np.asarray(
+            [r.centroid for r in rows], dtype=np.float64
+        )
+    return index.centroids_np
 
 
 def ivf_build(
@@ -65,7 +84,14 @@ def ivf_build(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cluster_id int, centroid array<double>",
     )
-    return IvfIndex(centroids=centroids, assigned=assigned, nlist=nlist)
+    import numpy as np
+
+    return IvfIndex(
+        centroids=centroids,
+        assigned=assigned,
+        nlist=nlist,
+        centroids_np=np.asarray(cent, dtype=np.float64),
+    )
 
 
 def ivf_write(index: IvfIndex, path: str) -> None:
@@ -189,16 +215,25 @@ def _ivf_search_two_phase(
         )
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
-    qpos = {int(qid): j for j, qid in enumerate(qids)}
 
-    # probe table is Q x nprobe — collect it to a (nlist, Q) allow-mask
-    prows = probe_clusters(
-        index, queries, nprobe, query_id_col, query_vec_col
-    ).collect()
-    mask = np.zeros((index.nlist, len(qids)), dtype=bool)
-    for r in prows:
-        mask[r["cluster_id"], qpos[int(r["query_id"])]] = True
-    clusters = sorted({int(r["cluster_id"]) for r in prows})
+    # Stage-1 probing runs driver-side in NumPy (queries AND centroids
+    # are both already on the driver — the fit is driver-side), saving
+    # a Spark job per search. The arithmetic replays probe_clusters
+    # bit-exactly: per-dim (a-b)*(a-b) terms accumulated left-to-right
+    # in float64 (the l2sq_expr sequential fold), ranked by
+    # (score asc, cluster_id asc).
+    cent = centroids_matrix(index)  # (nlist, D)
+    nq = len(qids)
+    acc = np.zeros((cent.shape[0], nq))
+    for d in range(cent.shape[1]):
+        diff = cent[:, d][:, None] - qmat[:, d][None, :]
+        acc += diff * diff
+    npb = min(nprobe, index.nlist)
+    cids = np.arange(cent.shape[0])
+    mask = np.zeros((index.nlist, nq), dtype=bool)
+    for j in range(nq):
+        mask[np.lexsort((cids, acc[:, j]))[:npb], j] = True
+    clusters = sorted(np.flatnonzero(mask.any(axis=1)).tolist())
 
     largest = metric != "l2"
     sc = spark.sparkContext
