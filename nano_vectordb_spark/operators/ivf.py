@@ -111,6 +111,28 @@ def ivf_read(spark: SparkSession, path: str, nlist: int | None = None) -> IvfInd
     return IvfIndex(centroids=centroids, assigned=assigned, nlist=nlist)
 
 
+def probe_ids_np(cent, qmat, nprobe):
+    """Driver-side stage-1 probing: for each query row of ``qmat``
+    (Q, D), the top-nprobe nearest centroids of ``cent`` (nlist, D).
+
+    Replays probe_clusters bit-exactly — per-dim (a-b)*(a-b) terms
+    accumulated left-to-right in float64 (the l2sq_expr sequential
+    fold), ranked by (score asc, cluster_id asc) — so callers that
+    substitute it for the Spark job keep oracle hash-parity. Returns a
+    list of Q int arrays of cluster ids."""
+    import numpy as np
+
+    acc = np.zeros((cent.shape[0], qmat.shape[0]))
+    for d in range(cent.shape[1]):
+        diff = cent[:, d][:, None] - qmat[:, d][None, :]
+        acc += diff * diff
+    npb = min(nprobe, cent.shape[0])
+    cids = np.arange(cent.shape[0])
+    return [
+        np.lexsort((cids, acc[:, j]))[:npb] for j in range(qmat.shape[0])
+    ]
+
+
 def probe_clusters(
     index: IvfIndex,
     queries: DataFrame,
@@ -224,15 +246,9 @@ def _ivf_search_two_phase(
     # (score asc, cluster_id asc).
     cent = centroids_matrix(index)  # (nlist, D)
     nq = len(qids)
-    acc = np.zeros((cent.shape[0], nq))
-    for d in range(cent.shape[1]):
-        diff = cent[:, d][:, None] - qmat[:, d][None, :]
-        acc += diff * diff
-    npb = min(nprobe, index.nlist)
-    cids = np.arange(cent.shape[0])
     mask = np.zeros((index.nlist, nq), dtype=bool)
-    for j in range(nq):
-        mask[np.lexsort((cids, acc[:, j]))[:npb], j] = True
+    for j, probed in enumerate(probe_ids_np(cent, qmat, nprobe)):
+        mask[probed, j] = True
     clusters = sorted(np.flatnonzero(mask.any(axis=1)).tolist())
 
     largest = metric != "l2"

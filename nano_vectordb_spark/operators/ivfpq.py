@@ -25,10 +25,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
 
-from nano_vectordb_spark.operators.ivf import IvfIndex, ivf_build, probe_clusters
+from nano_vectordb_spark.operators.ivf import IvfIndex, ivf_build, probe_ids_np
 from nano_vectordb_spark.operators.refine import refine
 from nano_vectordb_spark.operators.topk import rank_topk
 
@@ -112,12 +112,17 @@ def ivfpq_search(
     """Probe nprobe lists, ADC-score residual codes (L2), top-k per
     query, ascending."""
     spark = index.codes.sparkSession
-    probes = probe_clusters(index.ivf, queries, nprobe)
-    # per-(query, probed-cluster) LUT: ||q_res_m - codebook_m[c]||^2
-    probe_rows = probes.collect()
+    # stage-1 probing runs driver-side (queries and centroids are both
+    # tiny and already here) — no Spark job; bit-exact vs probe_clusters
+    qrows = queries.select("query_id", "embedding").collect()
+    qmat = np.asarray([r.embedding for r in qrows], dtype=np.float64)
+    probe_rows = [
+        Row(query_id=int(qrows[j].query_id), cluster_id=int(c))
+        for j, probed in enumerate(probe_ids_np(index.centroids_np, qmat, nprobe))
+        for c in probed
+    ]
     qmap = {
-        r.query_id: np.asarray(r.embedding, dtype=np.float64)
-        for r in queries.select("query_id", "embedding").collect()
+        int(r.query_id): np.asarray(r.embedding, dtype=np.float64) for r in qrows
     }
     dsub = index.dim // index.m
     lut_rows = []
