@@ -184,3 +184,32 @@ def test_simhash64_band_join_is_exact(spark, docs, t):
         + bin(sig[a][1] ^ sig[b][1]).count("1") <= t
     )
     assert got == want, (docs, t)
+
+
+@given(
+    arrs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "x y"]), max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SPARK_SETTINGS
+def test_run_folds_match_counter(spark, arrs):
+    """max_run/dup_run_total over a sorted array == Counter facts
+    (registry: repetition_stats)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark.functions import text as tx
+
+    df = spark.createDataFrame([(a,) for a in arrs], "arr array<string>")
+    rows = df.select(
+        "arr",
+        tx.max_run_expr(F.array_sort("arr")).alias("mx"),
+        tx.dup_run_total_expr(F.array_sort("arr")).alias("dup"),
+    ).collect()
+    for r in rows:
+        c = Counter(r.arr)
+        assert r.mx == (max(c.values()) if c else 0)
+        assert r.dup == sum(v for v in c.values() if v > 1)
