@@ -16,8 +16,22 @@ bucket selectivity (set it near the typical interval length).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _epoch_micros(df: DataFrame, col: str) -> Column:
+    """Epoch-micros of a timestamp column, NTZ-safe.
+
+    unix_micros only accepts TIMESTAMP (LTZ); the events table loads as
+    TIMESTAMP_NTZ (see sources/tables.py), where the timezone-free
+    equivalent is a MICROSECOND diff against the NTZ epoch."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.timestamp_diff(
+            "MICROSECOND", F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'"), F.col(col)
+        )
+    return F.unix_micros(F.col(col))
 
 
 def range_join(
@@ -34,13 +48,13 @@ def range_join(
     payload columns. Exact: bucketing only prunes, never drops — an
     interval overlaps every bucket it spans (end exclusive)."""
     bus = int(bucket_seconds) * 1_000_000  # bucket width in micros
-    l_b = left.withColumn("__bkt", F.floor(F.unix_micros(F.col(ts)) / bus))
+    l_b = left.withColumn("__bkt", F.floor(_epoch_micros(left, ts) / bus))
     r_b = right.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(start)) / bus),
-                F.floor((F.unix_micros(F.col(end)) - 1) / bus),
+                F.floor(_epoch_micros(right, start) / bus),
+                F.floor((_epoch_micros(right, end) - 1) / bus),
             )
         ),
     )

@@ -2318,7 +2318,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH gaps AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN unix_micros(ts) - unix_micros(lag(ts) OVER w) > 1800000000 THEN 1
+              WHEN ts - lag(ts) OVER w > INTERVAL '30' MINUTE THEN 1
               ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2516,7 +2516,7 @@ def distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     daily = sketch_ops.hll_registers(
-        ev.withColumn("day", F.date_trunc("day", "ts")),
+        ev.withColumn("day", F.col("ts").cast("date")),
         "user_id",
         ["day", "event_type"],
     )
@@ -2550,7 +2550,7 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count is asserted in tests/test_metrics_extra.py."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
-        F.date_trunc("day", "ts").alias("day"), "event_type"
+        F.col("ts").cast("date").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
     return (
         daily.groupBy("event_type")
@@ -2606,13 +2606,42 @@ GROUP BY GROUPING SETS ((bucket_day, event_type), (bucket_hour, event_type),
 """
 
 
+def _ntz_bucket_sql(col: str, micros: int) -> str:
+    """Timezone-free truncation of a TIMESTAMP_NTZ column to a bucket
+    width in micros. Spark's date_trunc coerces NTZ to LTZ (boundaries
+    then shift with the session timezone); integer epoch-micros math
+    against the NTZ epoch does not."""
+    e = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return (
+        f"timestampadd(MICROSECOND, (timestampdiff(MICROSECOND, {e}, {col})"
+        f" div {micros}) * {micros}, {e})"
+    )
+
+
+_SQL_HYPERTABLE_SPARK = f"""
+SELECT grouping(bucket_day) + 2 * grouping(bucket_hour) AS grain_id,
+       bucket_day, bucket_hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (SELECT event_type, value,
+             {_ntz_bucket_sql('ts', 86_400_000_000)} AS bucket_day,
+             {_ntz_bucket_sql('ts', 3_600_000_000)} AS bucket_hour
+      FROM events)
+GROUP BY GROUPING SETS ((bucket_day, event_type), (bucket_hour, event_type),
+                        (event_type))
+"""
+
+
 @register("events_hypertable_rollup", oracle=_SQL_HYPERTABLE)
 def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: one pass produces the
     hourly, daily, and all-time rollups via GROUPING SETS (the
     timescale-style multi-granularity materialization; at scale each
-    grain is a partial agg over the same scan — no second read)."""
-    return _sql_view_query(spark, sf_dir, _SQL_HYPERTABLE)
+    grain is a partial agg over the same scan — no second read). The
+    Spark side buckets with timezone-free NTZ epoch math; the DuckDB
+    oracle's date_trunc is naive-timestamp arithmetic, already
+    timezone-free."""
+    return _sql_view_query(spark, sf_dir, _SQL_HYPERTABLE_SPARK)
 
 
 _SQL_ROLLUP = """

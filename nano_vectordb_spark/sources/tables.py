@@ -42,14 +42,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     ensure_read_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-    # as epoch-ns LongType. The generator emits microsecond-aligned
-    # values, so integer `div 1000` to timestamp_micros is lossless.
+    # events.ts normalizes to TIMESTAMP_NTZ — wall-clock micros with no
+    # session-timezone dependence, matching DuckDB's naive TIMESTAMP on
+    # the oracle side. Two parquet layouts appear in the wild:
+    #   * TIMESTAMP(MICROS, isAdjustedToUTC=false) -> already NTZ; no-op.
+    #   * TIMESTAMP(NANOS) + nanosAsLong -> epoch-ns LongType; values are
+    #     microsecond-aligned so `div 1000` is lossless; timestampadd
+    #     against the NTZ epoch is timezone-free (timestamp_micros would
+    #     yield LTZ, whose wall time shifts with the session timezone).
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 

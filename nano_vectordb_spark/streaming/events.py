@@ -17,8 +17,40 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.tables import ensure_read_confs
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ts as TIMESTAMP (LTZ).
+
+    Watermarks only accept TIMESTAMP, but the batch loader normalizes ts
+    to TIMESTAMP_NTZ (sources/tables.py). Rebase the NTZ wall time to
+    the UTC instant with the same wall clock — timestampdiff against the
+    NTZ epoch then timestamp_micros is timezone-free, so watermarks and
+    window boundaries are identical under any session timezone."""
+    ensure_read_confs(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dt = batch_schema["ts"].dataType
+    if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)")
+            ),
+        )
+    return stream
 
 
 def windowed_event_counts_stream(
@@ -32,20 +64,7 @@ def windowed_event_counts_stream(
     memory sink, Trigger.AvailableNow), returned as the final batch
     result with columns (window_start, event_type, n_events, total_value).
     """
-    events_path = f"{sf_dir}/events.parquet"
-    ensure_read_confs(spark)
-    batch_schema = spark.read.parquet(events_path).schema
-    # the file source wants a directory; glob-filter to the events table
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    # ts arrives as epoch-ns long (see sources/tables.py); convert the same way
-    from pyspark.sql import types as T
-
-    if isinstance(batch_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -56,7 +75,11 @@ def windowed_event_counts_stream(
             ).alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # back to NTZ (UTC wall clock) so the output is
+            # session-timezone-independent, like every batch query
+            F.expr(
+                f"timestampadd(MICROSECOND, unix_micros(w.start), {_NTZ_EPOCH})"
+            ).alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -86,18 +109,7 @@ def dedup_events_stream(
     set cannot live in memory unbounded; expiry after the watermark is
     the standard contract). Returns per-event_type counts of the
     deduplicated stream so the result is a stable small relation."""
-    events_path = f"{sf_dir}/events.parquet"
-    ensure_read_confs(spark)
-    batch_schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    from pyspark.sql import types as T
-
-    if isinstance(batch_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])

@@ -34,8 +34,13 @@ cloudpickle.register_pickle_by_value(sys.modules[__name__])
 
 GAP_US = 1800 * 1_000_000
 
+# timestamp_ntz: the input ts is NTZ (sources/tables.py) and pandas
+# carries naive wall-clock values, so an NTZ output round-trips
+# verbatim — a plain `timestamp` would re-interpret the naive values in
+# the session timezone and shift under non-UTC driver sessions.
 OUT_SCHEMA = (
-    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    "user_id long, session_start timestamp_ntz, session_end timestamp_ntz,"
+    " n_events long"
 )
 STATE_SCHEMA = "start long, end long, n long"
 
