@@ -533,35 +533,52 @@ def simhash64(
 
     @pandas_udf("struct<sim_hi:long,sim_lo:long>")
     def _sig(texts):  # pd.Series -> pd.DataFrame (scalar struct UDF)
-        cache: dict[str, int] = {}
-
-        def tok_hash(t: str) -> int:
-            h = cache.get(t)
-            if h is None:
-                h = cache[t] = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
-            return h
-
-        out = {"sim_hi": [], "sim_lo": []}
-        for text in texts:
-            toks = [t for t in (text or "").split(" ") if t]
-            if not toks:
-                out["sim_hi"].append(None)
-                out["sim_lo"].append(None)
-                continue
-            hs = np.fromiter(
-                (tok_hash(t) for t in toks), dtype=np.int64, count=len(toks)
+        # One flattened pass over the whole Arrow batch: md5 each
+        # DISTINCT token once, then segment-sum the unpacked bit matrix
+        # per document with add.reduceat — no per-document Python loop.
+        tok_lists = [
+            [t for t in (text or "").split(" ") if t] for text in texts
+        ]
+        lens = np.array([len(ts) for ts in tok_lists], dtype=np.int64)
+        nonempty = lens > 0
+        n_docs = len(tok_lists)
+        if not nonempty.any():
+            return pd.DataFrame(
+                {"sim_hi": [None] * n_docs, "sim_lo": [None] * n_docs}
             )
-            for name, (c1, c2) in zip(("sim_hi", "sim_lo"), consts):
-                h32 = ((hs * c1 + c2) % 4_294_967_296).astype(np.uint32)
-                bits = np.unpackbits(
-                    h32.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
-                )  # (n_toks, 32), column j = bit j (little-endian bytes)
-                ones = bits.sum(axis=0, dtype=np.int64)
-                positive = (2 * ones - len(toks)) > 0  # sum of +/-1 per bit
-                val = int(
-                    (positive.astype(np.uint64) << np.arange(32, dtype=np.uint64)).sum()
-                )
-                out[name].append(val)
+        flat = np.array(
+            [t for ts in tok_lists for t in ts], dtype=object
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        uh = np.fromiter(
+            (
+                int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+                for t in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        hs = uh[inv]  # (total_tokens,)
+        # segment offsets over the nonempty docs only (reduceat needs
+        # strictly valid starts; empty docs are filled with None below)
+        seg_lens = lens[nonempty]
+        offsets = np.zeros(len(seg_lens), dtype=np.int64)
+        np.cumsum(seg_lens[:-1], out=offsets[1:])
+        out = {}
+        shifts = np.arange(32, dtype=np.uint64)
+        for name, (c1, c2) in zip(("sim_hi", "sim_lo"), consts):
+            h32 = ((hs * c1 + c2) % 4_294_967_296).astype(np.uint32)
+            bits = np.unpackbits(
+                h32.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+            )  # (total_tokens, 32), column j = bit j
+            ones = np.add.reduceat(
+                bits.astype(np.int64), offsets, axis=0
+            )  # (n_nonempty, 32)
+            positive = (2 * ones - seg_lens[:, None]) > 0  # +/-1 sums
+            vals = (positive.astype(np.uint64) << shifts[None, :]).sum(axis=1)
+            col = np.full(n_docs, None, dtype=object)
+            col[nonempty] = [int(v) for v in vals]
+            out[name] = col
         return pd.DataFrame(out)
 
     return (
