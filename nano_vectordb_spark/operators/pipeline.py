@@ -68,6 +68,37 @@ def stratified_sample(
     )
 
 
+def seeded_shuffle(
+    df: DataFrame,
+    seed: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle into training shards.
+
+    Pretraining wants a reproducible global permutation of the corpus
+    per epoch. A single global rank is a one-reducer funnel, so the
+    scale shape is the standard shard shuffle: a keyed md5 assigns each
+    row a shard (pmod of the hash) and a position within the shard
+    (row_number over the hash order) — n_shards independent window
+    sorts, one shuffle on the shard key, no global bottleneck. Readers
+    consume shards in any order; within-shard order is the permutation.
+    Reproducible in any engine with md5 (same recipe as
+    stratified_sample); change `seed` per epoch for a fresh permutation.
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__k").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__k", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__k")
+    )
+
+
 def mixture_weights(
     docs: DataFrame,
     target_shares: dict[str, float],

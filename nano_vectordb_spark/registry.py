@@ -1594,9 +1594,16 @@ def pipeline_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _csv_docs_path(sf_dir: str) -> str:
+    """Content-addressed CSV cache path: keyed by the source parquet's
+    (mtime_ns, size), not just sf_dir — the driver regenerates
+    /root/testdata between rounds, and a stale /tmp copy written from
+    the previous round's documents table must never be reused."""
     import hashlib
+    import os as _os
 
-    return "/tmp/nvdb_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return "/tmp/nvdb_csv_" + hashlib.md5(key.encode()).hexdigest()[:8]
 
 
 def _csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1608,6 +1615,41 @@ def _csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(f"{path}/_SUCCESS"):
         csv_src.write_documents_csv(load_table(spark, sf_dir, "documents"), path)
     return csv_src.read_documents_csv(spark, path)
+
+
+def _jsonl_docs_path(sf_dir: str) -> str:
+    """Content-addressed JSONL cache path (same staleness rule as
+    _csv_docs_path: keyed by the source parquet's stat so a /tmp copy
+    from a previous testdata generation is never reused)."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    key = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return "/tmp/nvdb_jsonl_" + hashlib.md5(key.encode()).hexdigest()[:8]
+
+
+@register(
+    "jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source fidelity (sources/jsonl.py): documents written to
+    JSON-lines — the de-facto training-corpus interchange format — and
+    read back with the explicit schema must equal the parquet table
+    exactly. JSONL escapes newlines/quotes per field, so files stay
+    line-splittable (parallel reads at any byte offset), unlike
+    multiLine CSV."""
+    import os as _os
+
+    from nano_vectordb_spark.sources import jsonl as jsonl_src
+
+    path = _jsonl_docs_path(sf_dir)
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        jsonl_src.write_documents_jsonl(
+            load_table(spark, sf_dir, "documents"), path
+        )
+    return jsonl_src.read_documents_jsonl(spark, path).orderBy("doc_id")
 
 
 @register(
@@ -3143,6 +3185,37 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     s = pipe_ops.stratified_sample(docs, "lang", _STRAT_N, seed=SEED)
     return s.select("doc_id", "lang", "source", "n_chars", "sample_rank")
+
+
+_SHUFFLE_SEED = "epoch0"
+_SHUFFLE_SHARDS = 8
+
+_SQL_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(key, 1, 15))::BIGINT % {_SHUFFLE_SHARDS} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY ('0x' || substr(key, 1, 15))::BIGINT % {_SHUFFLE_SHARDS}
+         ORDER BY key, doc_id) AS INT) AS pos
+FROM k
+"""
+
+
+@register("corpus_shuffle", oracle=_SQL_SHUFFLE)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle into {_SHUFFLE_SHARDS} training
+    shards (operators/pipeline.seeded_shuffle): keyed-md5 shard
+    assignment + within-shard position. The scale-correct global
+    permutation — per-shard window sorts, never a one-reducer global
+    rank."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return pipe_ops.seeded_shuffle(
+        docs, seed=_SHUFFLE_SEED, n_shards=_SHUFFLE_SHARDS
+    ).select("doc_id", "shard", "pos")
 
 
 # target mixture shares: source src{i} gets weight i+1 (normalized) — a
