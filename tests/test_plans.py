@@ -121,3 +121,15 @@ def test_hypertable_rollup_single_scan(spark):
     # all three grains come from ONE events scan (Expand), not re-reads
     assert plan.count("Scan parquet") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_corpus_shuffle_single_exchange(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["corpus_shuffle"].fn(spark, SF_CORRECT)
+    # shard shuffle = exactly one hash exchange on the shard key; the
+    # within-shard position is a window sort inside each partition (no
+    # global single-reducer rank anywhere in the plan)
+    assert count_exchanges(df) == 1, physical_plan(df, "simple")
+    plan = physical_plan(df, "simple")
+    assert "Exchange SinglePartition" not in plan, plan
