@@ -171,6 +171,32 @@ def topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_filtered",
+    oracle=f"""
+SELECT vec_id,
+       list_dot_product(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+FROM embeddings
+WHERE label = 1
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+)
+def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: exact top-k restricted to a metadata
+    predicate (label = 1) — the standard vector-DB filter feature in
+    its pre-filter form. The equality predicate reaches the parquet
+    scan as a pushed filter (pinned in tests/test_plans.py), so at
+    100 TB only matching row groups are decoded and scored;
+    post-filtering an ANN result would under-fill k instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return topk_ops.topk(
+        emb.filter(F.col("label") == 1), qvec, K, metric="dot"
+    )
+
+
+@register(
     "topk_l2",
     oracle=f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)

@@ -133,3 +133,14 @@ def test_corpus_shuffle_single_exchange(spark):
     assert count_exchanges(df) == 1, physical_plan(df, "simple")
     plan = physical_plan(df, "simple")
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_topk_filtered_pushes_predicate_to_scan(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["topk_filtered"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "formatted")
+    # the metadata predicate must reach the parquet reader, and the
+    # top-k must stay the per-partition-heap + merge shape
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
