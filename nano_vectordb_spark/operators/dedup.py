@@ -308,6 +308,115 @@ def minhash_lsh_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def _banded_sigs(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band_id, band_sig): one row per LSH band, band_sig =
+    '_'-joined slice of the signature (the minhash_lsh_pairs recipe)."""
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.alias("band_id"),
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.slice("sig", bi * rows + 1, rows), lambda v: v.cast("string")
+                ),
+            ).alias("band_sig"),
+        ),
+    )
+    return sig.select("doc_id", F.explode(band_arr).alias("band")).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_sig").alias("band_sig"),
+    )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup: which docs of an incoming batch
+    near-duplicate an existing corpus (same MinHash constants and band
+    scheme as minhash_lsh_pairs, so the two compose into one policy).
+
+    Only batch x corpus candidates are generated — never corpus x
+    corpus (the corpus is already deduplicated) and never batch x
+    batch (that is minhash_lsh_pairs' job on the batch alone). The
+    corpus side is hashed once (in production the band table persists
+    alongside the corpus and this stage is a read); each ingest then
+    costs one shingle+signature pass over the BATCH plus a band
+    equi-join whose shuffle is sized by the batch's posting lists —
+    per-ingest work scales with the batch, not the corpus.
+
+    Returns (doc_id, n_corpus_dups, max_jaccard) for every batch doc
+    with at least one verified near-dup in the corpus.
+    """
+    rows = k // bands
+    spark = corpus.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    c_base = _shingles_and_sig(
+        corpus.repartition(par), k, n, text_col, id_col
+    ).persist()
+    b_base = _shingles_and_sig(
+        batch.repartition(par), k, n, text_col, id_col
+    ).persist()
+    c_bands = _banded_sigs(c_base.select("doc_id", "sig"), bands, rows)
+    b_bands = _banded_sigs(b_base.select("doc_id", "sig"), bands, rows)
+    cand = (
+        b_bands.alias("a")
+        .join(
+            c_bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    j = (
+        cand.join(
+            b_base.select(
+                F.col("doc_id").alias("new_id"),
+                F.col("shingles").alias("sa"),
+                F.col("n_sh").alias("na"),
+            ),
+            "new_id",
+        )
+        .join(
+            c_base.select(
+                F.col("doc_id").alias("corpus_id"),
+                F.col("shingles").alias("sb"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "corpus_id",
+        )
+        .select(
+            "new_id",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.size(F.array_intersect("sa", "sb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        j.filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count("*").alias("n_corpus_dups"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumnRenamed("new_id", "doc_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash long): 32-bit SimHash — bit j is set when the
     sum over tokens of ±1 (by bit j of the 28->32-bit token hash,

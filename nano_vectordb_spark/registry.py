@@ -1823,7 +1823,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_lsh(source: str = "documents") -> str:
+def _sql_minhash_base(source: str = "documents") -> str:
+    """Shared CTE prefix: shingles -> token hashes -> 16-slot MinHash
+    signature -> 4-band table (identical constants to
+    operators/dedup.py)."""
     perms = dedup_ops.minhash_perms(16)
     p = dedup_ops.MINHASH_P
     mins = ",\n         ".join(
@@ -1836,8 +1839,7 @@ def _sql_minhash_lsh(source: str = "documents") -> str:
         + " AS band_sig FROM sig"
         for bi in range(4)
     )
-    return f"""
-WITH sh AS ({_sql_shingles(source)}),
+    return f"""sh AS ({_sql_shingles(source)}),
 hs AS (
   SELECT doc_id,
          list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS hs
@@ -1850,7 +1852,12 @@ sig AS (
 ),
 banded AS (
 {band_selects}
-),
+)"""
+
+
+def _sql_minhash_lsh(source: str = "documents") -> str:
+    return f"""
+WITH {_sql_minhash_base(source)},
 cand AS (
   SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
   FROM banded a JOIN banded b
@@ -1882,6 +1889,50 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"), _JACCARD_T
         )
     return _INDEX_CACHE[key]
+
+
+_INCR_MOD = 10  # doc_id % 10 == 0 stands in for the incoming batch
+
+
+def _sql_minhash_incremental() -> str:
+    return f"""
+WITH {_sql_minhash_base()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id % {_INCR_MOD} = 0 AND b.doc_id % {_INCR_MOD} <> 0
+),
+verified AS (
+  SELECT c.new_id, c.corpus_id,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.new_id
+  JOIN sh sb ON sb.doc_id = c.corpus_id
+)
+SELECT new_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_corpus_dups,
+       max(jaccard) AS max_jaccard
+FROM verified WHERE jaccard >= {_JACCARD_T}
+GROUP BY new_id
+"""
+
+
+@register("dedup_incremental", oracle=_sql_minhash_incremental())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: flag incoming-batch docs (doc_id %
+    {_INCR_MOD} == 0 stands in for the new batch) that near-duplicate
+    the existing corpus (operators/dedup.minhash_lsh_incremental).
+    The production shape for continuous ingestion: only batch x corpus
+    candidates are generated — the corpus band table is built once and
+    persisted alongside the corpus, so per-ingest cost scales with the
+    batch, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
+    return dedup_ops.minhash_lsh_incremental(corpus, batch, _JACCARD_T)
 
 
 # component = min reachable id; DuckDB walks the transitive closure
