@@ -1891,6 +1891,78 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+_VOCAB_TOP = 100
+
+_SQL_VOCAB = f"""
+WITH t AS ({_SQL_TOKS}),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+agg AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM terms GROUP BY term
+)
+SELECT term, n_occurrences, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, term ASC) AS INT) AS rank
+FROM agg
+ORDER BY n_occurrences DESC, term ASC
+LIMIT {_VOCAB_TOP}
+"""
+
+
+@register("vocab_top_terms", oracle=_SQL_VOCAB)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-{_VOCAB_TOP} terms by occurrence count
+    with document frequency — the input a tokenizer-training or
+    stopword-selection pass needs. Scale shape: explode -> hash
+    aggregate (count partials map-side before the term shuffle), then
+    a TakeOrdered top-k; the full vocabulary never sorts globally.
+    Window rank over {_VOCAB_TOP} surviving rows is driver-trivial."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select(F.explode(tx.tokens_expr("text")).alias("term"), "doc_id")
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        .limit(_VOCAB_TOP)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+    return agg.withColumn("rank", F.row_number().over(w))
+
+
+_SQL_TEXT_NORM = """
+SELECT doc_id,
+       md5(norm) AS norm_md5,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm
+  FROM documents
+)
+"""
+
+
+@register("text_normalize", oracle=_SQL_TEXT_NORM)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (corpus-cleaning stage): lowercase, collapse
+    all whitespace runs to one space, trim. Pure native expressions —
+    zero shuffle, whole-stage codegen; the md5 of the normalized text
+    proves byte-identical output across engines without shipping the
+    text column through the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \t\n\r]+", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 _INCR_MOD = 10  # doc_id % 10 == 0 stands in for the incoming batch
 
 
