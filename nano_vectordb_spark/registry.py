@@ -3046,6 +3046,20 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_events_stream(spark, sf_dir)
 
 
+@register("stream_click_attribution", oracle=_SQL_RANGE_JOIN)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join
+    (streaming/events.click_attribution_stream): clicks joined to the
+    purchase window they land in, with watermarks on BOTH streams plus
+    the event-time range predicate bounding join state — the canonical
+    hard Structured-Streaming shape. Oracle: the batch range-join SQL
+    (events_range_join's oracle) — stream and batch must agree row for
+    row."""
+    from nano_vectordb_spark.streaming.events import click_attribution_stream
+
+    return click_attribution_stream(spark, sf_dir)
+
+
 @register(
     "stream_sessionize",
     oracle="""

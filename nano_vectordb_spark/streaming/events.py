@@ -127,3 +127,69 @@ def dedup_events_stream(
     q.awaitTermination()
     q.stop()
     return spark.table(name)
+
+
+def click_attribution_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    attribution: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: clicks attributed to the purchase
+    window they fall in (same semantics as the batch range join,
+    registry.events_range_join — the batch SQL is this query's oracle).
+
+    The canonical hard streaming shape: an event-time range condition
+    between two watermarked streams. The watermarks plus the time-range
+    predicate bound BOTH sides' join state (Spark evicts rows once they
+    can no longer match any future row) — without them a stream-stream
+    join buffers forever. Output columns convert back to NTZ so the
+    result is session-timezone-independent like every batch query.
+    """
+    stream = _event_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"user_id = p_user AND ts >= p_ts"
+            f" AND ts < p_ts + INTERVAL {attribution}"
+        ),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(ts), {_NTZ_EPOCH})"
+        ).alias("ts"),
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(p_ts), {_NTZ_EPOCH})"
+        ).alias("win_start"),
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(p_ts + INTERVAL {attribution}),"
+            f" {_NTZ_EPOCH})"
+        ).alias("win_end"),
+        F.col("p_value").alias("purchase_value"),
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
