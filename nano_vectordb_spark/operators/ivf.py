@@ -94,6 +94,31 @@ def ivf_build(
     )
 
 
+def ivf_add(
+    index: IvfIndex, new_rows: DataFrame, vec_col: str = "embedding"
+) -> IvfIndex:
+    """Incremental insert (the FAISS ``add()`` contract): assign new
+    vectors to their nearest EXISTING centroid — no refit — and union
+    them into the layout. The assignment is the same broadcast-matmul
+    map pass as the build's (no shuffle); on a persisted index the new
+    rows append as files inside their cluster_id partition directories,
+    so probe-time partition pruning is unchanged. Deterministic:
+    because assignment depends only on the frozen centroids, searching
+    after add equals searching an index whose assignment pass ran over
+    the union from the start."""
+    from nano_vectordb_spark.functions import kmeans as km
+
+    assigned_new = km.assign_clusters(
+        new_rows, centroids_matrix(index), vec_col=vec_col
+    )
+    return IvfIndex(
+        centroids=index.centroids,
+        assigned=index.assigned.unionByName(assigned_new),
+        nlist=index.nlist,
+        centroids_np=index.centroids_np,
+    )
+
+
 def ivf_write(index: IvfIndex, path: str) -> None:
     """Persist the index as its physical layout: base partitioned by
     cluster_id (so probing prunes partitions) + a centroids table."""

@@ -664,11 +664,14 @@ def _oracle_centroids_np() -> "object":
     return _fit_cached("ivf_centroids", fit)
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(cent=None) -> str:
     """DuckDB replay of ivf_search: assign every row to its nearest
     centroid literal, probe top-nprobe centroids per query, rank dot
-    top-k within the probed lists."""
-    cent = _oracle_centroids_np()
+    top-k within the probed lists. ``cent`` overrides the centroid set
+    (default: the full-fixture fit) — assignment/probe/rank SQL is
+    identical either way."""
+    if cent is None:
+        cent = _oracle_centroids_np()
     values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
     l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
     l2_q = _sql_l2("CAST(q.embedding AS DOUBLE[])", "c.centroid")
@@ -732,6 +735,62 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _ivf_index(spark, sf_dir)
     return ivf_ops.ivf_search(
         index, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
+    )
+
+
+_IVF_ADD_MOD = 10  # vec_id % 10 == 0 stands in for the inserted batch
+
+
+def _oracle_centroids_add_np() -> "object":
+    """Centroids for the incremental-add entry: the IDENTICAL seeded
+    fit, but trained on the pre-insert corpus (vec_id % _IVF_ADD_MOD
+    != 0) — first-N prefix of the FILTERED table in file order, exactly
+    what collect_train_sample sees on the Spark side."""
+
+    def fit():
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        from nano_vectordb_spark.functions import kmeans as km
+
+        tbl = papq.read_table(
+            f"{_ORACLE_SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = tbl.column("vec_id").to_pylist()
+        embs = tbl.column("embedding").to_pylist()
+        rows = [e for i, e in zip(ids, embs) if i % _IVF_ADD_MOD != 0]
+        rows = rows[: km.train_rows_for(_IVF_NLIST)]
+        return km.lloyd_fit(
+            np.asarray(rows, dtype=np.float64), _IVF_NLIST, seed=SEED
+        )
+
+    return _fit_cached("ivf_centroids_add", fit)
+
+
+def _ivf_add_oracle() -> str:
+    return _ivf_oracle(cent=_oracle_centroids_add_np())
+
+
+@register("ivf_search_after_add", oracle=_ivf_add_oracle)
+def ivf_search_after_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance: build IVF on the pre-insert
+    corpus (vec_id % {_IVF_ADD_MOD} != 0), ivf_add the remaining batch
+    (assign-to-frozen-centroids, union into the layout — the FAISS
+    add() contract), then search the whole index. The oracle replays
+    assignment over ALL vectors against the pre-insert centroid
+    literals, which equals build-then-add exactly because assignment
+    depends only on the frozen centroids."""
+    key = ("ivf_add", sf_dir)
+    if key not in _INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % _IVF_ADD_MOD != 0)
+        batch = emb.filter(F.col("vec_id") % _IVF_ADD_MOD == 0)
+        idx = ivf_ops.ivf_build(corpus, nlist=_IVF_NLIST, seed=SEED)
+        idx = ivf_ops.ivf_add(idx, batch)
+        idx.assigned = idx.assigned.cache()
+        _INDEX_CACHE[key] = idx
+    return ivf_ops.ivf_search(
+        _INDEX_CACHE[key], _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
     )
 
 

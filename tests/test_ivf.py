@@ -63,3 +63,26 @@ def test_partition_layout_roundtrip(setup, tmp_path):
     a = ivf_ops.ivf_search(index, queries, K, nprobe=4).orderBy("query_id", "rank")
     b = ivf_ops.ivf_search(loaded, queries, K, nprobe=4).orderBy("query_id", "rank")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_ivf_add_equals_bulk_assignment(setup):
+    base, queries, index, gt = setup
+    # split the base, rebuild on one part, add the other: because
+    # assignment depends only on the frozen centroids, search must
+    # equal the same index with all rows assigned from the start
+    part_a = base.filter("vec_id % 5 <> 0")
+    part_b = base.filter("vec_id % 5 = 0")
+    idx_a = ivf_ops.ivf_build(part_a, nlist=NLIST, seed=42)
+    idx_added = ivf_ops.ivf_add(idx_a, part_b)
+    assert idx_added.assigned.count() == base.count()
+    from nano_vectordb_spark.functions import kmeans as km
+
+    bulk = ivf_ops.IvfIndex(
+        centroids=idx_a.centroids,
+        assigned=km.assign_clusters(base, ivf_ops.centroids_matrix(idx_a)),
+        nlist=idx_a.nlist,
+        centroids_np=idx_a.centroids_np,
+    )
+    a = ivf_ops.ivf_search(idx_added, queries, K, nprobe=4).orderBy("query_id", "rank")
+    b = ivf_ops.ivf_search(bulk, queries, K, nprobe=4).orderBy("query_id", "rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
