@@ -3026,6 +3026,25 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_props_variant", oracle=_SQL_PROPS_JSON)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured coverage via Spark 4's VARIANT type: parse the
+    props JSON ONCE into a variant column, then extract typed fields
+    with variant_get. At 100 TB this is the right plan —
+    get_json_object re-parses the string per extraction, while variant
+    parses once into a binary representation that every later
+    extraction and shuffle reuses. Same aggregates (and oracle) as
+    events_props_json, so both paths are proven semantically equal."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k.cast("bigint")).alias("sum_k"),
+    )
+
+
 # conversion windows make the funnel discriminative: click within 1 hour
 # of first view, purchase within 1 hour of that click
 _SQL_FUNNEL = """

@@ -134,3 +134,37 @@ def test_connected_components_chain_and_cliques(spark):
     assert groups[5].group_size == 10 and not groups[5].keep
     assert groups[0].keep and groups[20].keep and groups[30].keep
     assert not groups[31].keep and groups[31].group_size == 2
+
+
+def test_incremental_consistent_with_full_pairs(spark):
+    """dedup_incremental must equal the cross (batch x corpus) slice of
+    minhash_lsh_pairs over the full table, aggregated per batch doc —
+    same band scheme, so incremental ingest and batch dedup compose
+    into one policy with no seam."""
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    t = 0.6
+    batch_pred = F.col("doc_id") % 10 == 0
+    incr = dedup.minhash_lsh_incremental(
+        docs.filter(~batch_pred), docs.filter(batch_pred), t
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, t)
+    cross = pairs.filter(
+        ((F.col("a_id") % 10 == 0) & (F.col("b_id") % 10 != 0))
+        | ((F.col("a_id") % 10 != 0) & (F.col("b_id") % 10 == 0))
+    ).select(
+        F.when(F.col("a_id") % 10 == 0, F.col("a_id"))
+        .otherwise(F.col("b_id"))
+        .alias("doc_id"),
+        "jaccard",
+    )
+    expected = cross.groupBy("doc_id").agg(
+        F.count("*").alias("n_corpus_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    a = sorted(tuple(r) for r in incr.collect())
+    b = sorted(tuple(r) for r in expected.collect())
+    assert a == b and len(a) > 0
