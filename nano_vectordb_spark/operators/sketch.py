@@ -89,3 +89,68 @@ def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
         # disagree on in the last ulp (everything else here is exact)
         F.round(est, 6).alias("approx_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter / frequency summary
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def cm_bucket_expr(term, row: int):
+    """Bucket of `term` in sketch row `row`: 28-bit md5 prefix of
+    'row:term' mod width — pure md5 arithmetic, reproducible in any
+    engine (same recipe as the HLL registers above)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), term)), 1, 7), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(CM_WIDTH)).cast("int")
+
+
+def cm_sketch(term_counts: DataFrame) -> DataFrame:
+    """(row, bucket, n): the count-min table from exact per-term counts.
+
+    Scale shape: the upstream term count already partially aggregates
+    map-side; the sketch itself is a second, TINY aggregation onto at
+    most depth x width cells. sum is associative/commutative, so
+    per-partition (or per-day) sketches merge by cell-wise addition
+    without rescanning — the same mergeability argument as the HLL
+    register table.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), cm_bucket_expr(F.col("term"), r).alias("bucket")
+            )
+            for r in range(CM_DEPTH)
+        ]
+    )
+    return (
+        term_counts.select("n", F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, terms: DataFrame) -> DataFrame:
+    """Point queries against the sketch: est(term) = min over rows of
+    the term's bucket cell. The sketch is <= depth x width rows, so the
+    join broadcasts; count-min never underestimates (est >= true)."""
+    lookups = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        cm_bucket_expr(F.col("term"), r).alias("bucket"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    joined = lookups.join(F.broadcast(sketch), ["row", "bucket"])
+    return joined.groupBy("term").agg(F.min("n").alias("est_n"))

@@ -2022,6 +2022,64 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_TOP = 20
+
+_SQL_HEAVY_HITTERS = f"""
+WITH t AS ({_SQL_TOKS}),
+terms AS (SELECT unnest(toks) AS term FROM t),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM terms GROUP BY term),
+rows_(r) AS (VALUES (0), (1), (2), (3)),
+cells AS (
+  SELECT r.r AS row,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 7))::BIGINT
+              % 1024 AS INT) AS bucket,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM tc, rows_ r
+  GROUP BY 1, 2
+),
+top AS (SELECT term, n AS true_n FROM tc ORDER BY n DESC, term ASC LIMIT {_CM_TOP}),
+lk AS (
+  SELECT term, true_n, r.r AS row,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || term), 1, 7))::BIGINT
+              % 1024 AS INT) AS bucket
+  FROM top, rows_ r
+)
+SELECT lk.term, lk.true_n, CAST(min(c.n) AS BIGINT) AS est_n,
+       CAST(min(c.n) - lk.true_n AS BIGINT) AS overcount
+FROM lk JOIN cells c ON c.row = lk.row AND c.bucket = lk.bucket
+GROUP BY lk.term, lk.true_n
+"""
+
+
+@register("heavy_hitters_cm", oracle=_SQL_HEAVY_HITTERS)
+def heavy_hitters_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters (operators/sketch.cm_sketch): the
+    mergeable frequency summary next to the HLL distinct sketch. The
+    sketch is at most depth x width cells built from map-side-partial
+    term counts; per-partition (or per-day) sketches merge by cell-wise
+    addition without rescanning, and point estimates never
+    underestimate (overcount >= 0 by construction). md5 bucket
+    arithmetic makes the whole sketch — and every estimate — replayable
+    in DuckDB exactly."""
+    from nano_vectordb_spark.operators import sketch as sketch_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tx.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    sk = sketch_ops.cm_sketch(tc)
+    top = tc.orderBy(F.col("n").desc(), F.col("term").asc()).limit(_CM_TOP)
+    est = sketch_ops.cm_estimate(sk, top.select("term"))
+    return top.withColumnRenamed("n", "true_n").join(est, "term").select(
+        "term",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
 _INCR_MOD = 10  # doc_id % 10 == 0 stands in for the incoming batch
 
 
