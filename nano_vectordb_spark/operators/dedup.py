@@ -36,6 +36,18 @@ from nano_vectordb_spark.functions.vector import dot_expr
 MINHASH_P = 2_147_483_647
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster parallelism before a
+    UDF-heavy stage — a single input file otherwise yields one
+    partition and a single-threaded Arrow pass. No-op when the source
+    already has enough partitions (the 100 TB case, where adding a
+    repartition would be a pure extra shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_perms(k: int) -> list[tuple[int, int]]:
     """Fixed, engine-independent permutation constants (embedded
     literally into the oracle SQL as well)."""
@@ -255,12 +267,8 @@ def minhash_lsh_pairs(
     rows = k // bands
     # One fused shingle+signature pass feeds three plan branches (the
     # band join's two sides + verification): persist it once, spread
-    # over the cluster parallelism (a single input file otherwise
-    # yields one partition).
-    spark = df.sparkSession
-    base = _shingles_and_sig(
-        df.repartition(spark.sparkContext.defaultParallelism), k, n, text_col, id_col
-    ).persist()
+    # over the cluster parallelism.
+    base = _shingles_and_sig(_spread(df), k, n, text_col, id_col).persist()
     sh_cached = base.select("doc_id", "shingles")
     sig = base.select("doc_id", "sig")
     band_arr = F.transform(
@@ -357,14 +365,8 @@ def minhash_lsh_incremental(
     with at least one verified near-dup in the corpus.
     """
     rows = k // bands
-    spark = corpus.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    c_base = _shingles_and_sig(
-        corpus.repartition(par), k, n, text_col, id_col
-    ).persist()
-    b_base = _shingles_and_sig(
-        batch.repartition(par), k, n, text_col, id_col
-    ).persist()
+    c_base = _shingles_and_sig(_spread(corpus), k, n, text_col, id_col).persist()
+    b_base = _shingles_and_sig(_spread(batch), k, n, text_col, id_col).persist()
     c_bands = _banded_sigs(c_base.select("doc_id", "sig"), bands, rows)
     b_bands = _banded_sigs(b_base.select("doc_id", "sig"), bands, rows)
     cand = (
@@ -422,8 +424,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     sum over tokens of ±1 (by bit j of the 28->32-bit token hash,
     rehashed so all 32 bits are populated) is positive."""
     toks = tokens_expr(F.col(text_col))
-    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-        F.size("toks") > 0
+    d = _spread(
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+            F.size("toks") > 0
+        )
     )
     # rehash the 28-bit token hash onto 32 bits deterministically
     th = d.select(
@@ -691,7 +695,7 @@ def simhash64(
         return pd.DataFrame(out)
 
     return (
-        df.filter(F.size(tokens_expr(F.col(text_col))) > 0)
+        _spread(df.filter(F.size(tokens_expr(F.col(text_col))) > 0))
         .select(F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("__s"))
         .select("doc_id", "__s.sim_hi", "__s.sim_lo")
     )
