@@ -36,6 +36,7 @@ from nano_vectordb_spark.operators import lexical as lexical_ops
 from nano_vectordb_spark.operators import pipeline as pipe_ops
 from nano_vectordb_spark.operators import pq as pq_ops
 from nano_vectordb_spark.operators import refine as refine_ops
+from nano_vectordb_spark.operators import rerank as rerank_ops
 from nano_vectordb_spark.operators import sample as sample_ops
 from nano_vectordb_spark.operators import textops as text_ops
 from nano_vectordb_spark.operators import topk as topk_ops
@@ -2019,6 +2020,81 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("norm_md5"),
         F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+_MMR_POOL = 50
+
+_SQL_MMR = f"""
+WITH RECURSIVE
+q AS ({_SQL_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= {_MMR_POOL}
+),
+norms AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> x / sqrt(list_aggregate(
+             list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
+             'sum'))) AS en
+  FROM embeddings
+),
+cn AS (
+  SELECT c.query_id, c.vec_id, c.score, n.en
+  FROM cand c JOIN norms n USING (vec_id)
+),
+sel(query_id, step, vec_id, score, selected) AS (
+  SELECT query_id, 1, vec_id, score, [vec_id]
+  FROM (SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rn
+        FROM cn) WHERE rn = 1
+  UNION ALL
+  SELECT s.query_id, s.step + 1, pick.vec_id, pick.score,
+         list_append(s.selected, pick.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c.vec_id, c.score
+    FROM cn c
+    WHERE c.query_id = s.query_id
+      AND NOT list_contains(s.selected, c.vec_id)
+    ORDER BY 0.5 * c.score - 0.5 * (
+        SELECT max(list_dot_product(c.en, c2.en))
+        FROM cn c2
+        WHERE c2.query_id = s.query_id
+          AND list_contains(s.selected, c2.vec_id)
+      ) DESC, c.vec_id ASC
+    LIMIT 1) pick
+  WHERE s.step < {K}
+)
+SELECT query_id, vec_id, score, CAST(step AS INT) AS mmr_rank FROM sel
+"""
+
+
+@register("topk_mmr", oracle=_SQL_MMR)
+def topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified search: MMR rerank (operators/rerank.py) of the
+    two-phase top-{_MMR_POOL} candidate head down to {K} results per
+    query with lambda=0.5 (exact dyadic — no decimal-literal rounding
+    risk). The greedy is driver-side NumPy over the head only — zero
+    extra Spark jobs, like IVF probing — and the oracle replays every
+    selection decision in a DuckDB recursive CTE with LATERAL argmax,
+    bit-exact thanks to sequential-fold dots and per-element
+    normalization."""
+    return rerank_ops.mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"),
+        _queries_df(spark, sf_dir),
+        K,
+        pool=_MMR_POOL,
     )
 
 
