@@ -739,6 +739,87 @@ def ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_clusters_oracle() -> str:
+    """DuckDB replay of the cluster profile: assign every row to its
+    nearest centroid literal, then per-cluster count + min/max squared
+    distance (min/max are order-independent, so doubles compare exactly
+    — a float SUM would not)."""
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    l2_d = _sql_l2("CAST(a.embedding AS DOUBLE[])", "c.centroid")
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+d AS (
+  SELECT a.cluster_id, {l2_d} AS d2
+  FROM assigned a JOIN centroids c USING (cluster_id)
+)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+       min(d2) AS min_d2, max(d2) AS max_d2
+FROM d GROUP BY cluster_id
+"""
+
+
+@register("embedding_clusters", oracle=_ivf_clusters_oracle)
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering profile: per-cluster population and tightness
+    (min/max squared distance to the centroid) over the IVF k-means
+    partitioning — the topic-bucketing / corpus-organization view of
+    the same index the search path uses. min/max are order-independent,
+    keeping doubles hash-exact across engines (a float sum would
+    accumulate in engine-specific order)."""
+    from nano_vectordb_spark.functions.vector import l2sq_expr
+
+    idx = _ivf_index(spark, sf_dir)
+    joined = idx.assigned.join(F.broadcast(idx.centroids), "cluster_id")
+    d2 = l2sq_expr("embedding", "centroid")
+    return joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.min(d2).alias("min_d2"),
+        F.max(d2).alias("max_d2"),
+    )
+
+
+_SQL_TRAILING_SPARK = """
+SELECT user_id, ts, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_trailing_1h
+FROM (SELECT *, timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS ts_us
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+_SQL_TRAILING_DUCK = """
+SELECT user_id, ts, event_type,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS value_trailing_1h
+FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("events_trailing_window", oracle=_SQL_TRAILING_DUCK)
+def events_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window coverage: per event, the count and exact
+    DECIMAL sum of the same user's events in the trailing hour. The
+    frame orders by timezone-free epoch micros on BOTH engines, so peer
+    -row (equal-timestamp) semantics coincide; the DECIMAL sum is exact
+    in any accumulation order, which is what lets the doubles
+    hash-match."""
+    return _sql_view_query(spark, sf_dir, _SQL_TRAILING_SPARK)
+
+
 _IVF_ADD_MOD = 10  # vec_id % 10 == 0 stands in for the inserted batch
 
 
