@@ -2618,6 +2618,50 @@ def latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metrics_ops.latency_stats(ev, "value", ["event_type"])
 
 
+@register(
+    "doc_length_percentiles",
+    oracle="""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: exact interpolated percentiles of
+    document length per (lang, source) — the distribution report a
+    curation pass uses to pick length filters. Same O18 percentile
+    machinery generalized off the latency column; interpolation is
+    (1-f)*a + f*b on sorted integers in both engines, so the doubles
+    hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.lit([0.5, 0.9, 0.99]))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            pct.alias("__pct"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n",
+            F.col("__pct")[0].alias("p50"),
+            F.col("__pct")[1].alias("p90"),
+            F.col("__pct")[2].alias("p99"),
+            "min_chars",
+            "max_chars",
+        )
+    )
+
+
 def _sql_view_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from nano_vectordb_spark.sources.tables import register_views
 
