@@ -2032,6 +2032,63 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+_UPSERT_MOD = 7
+
+_SQL_UPSERT = f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, 1 AS version FROM documents
+),
+updates AS (
+  SELECT doc_id, text || ' [v2]' AS text, lang, source, 2 AS version
+  FROM documents WHERE doc_id % {_UPSERT_MOD} = 0
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM merged
+)
+SELECT doc_id, md5(text) AS text_md5, lang, source,
+       CAST(version AS INT) AS version
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("corpus_upsert", oracle=_SQL_UPSERT)
+def corpus_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh by last-write-wins upsert: a batch of updated
+    documents (doc_id % {_UPSERT_MOD} == 0, text amended) merges into
+    the corpus, newest version winning per doc_id — the SCD-style merge
+    every corpus snapshot pipeline runs. Scale shape: union + one
+    shuffle on doc_id (window rank), no join; the text md5 in the
+    output proves exactly which version survived."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", "lang", "source", F.lit(1).alias("version")
+    )
+    updates = docs.filter(F.col("doc_id") % _UPSERT_MOD == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [v2]")).alias("text"),
+        "lang",
+        "source",
+        F.lit(2).alias("version"),
+    )
+    merged = base.unionByName(updates)
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            "lang",
+            "source",
+            F.col("version").cast("int").alias("version"),
+        )
+    )
+
+
 _VOCAB_TOP = 100
 
 _SQL_VOCAB = f"""
