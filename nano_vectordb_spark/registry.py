@@ -3158,6 +3158,34 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_LOCAL_SUPPLIER_VOLUME)
 
 
+_SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue,
+       c_acctbal
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("returned_items_report", oracle=_SQL_RETURNED_ITEMS)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returned
+    items in a quarter — a 4-table join where every dimension side
+    (customer after the date-restricted orders, nation) broadcasts and
+    lineitem is scanned once with the returnflag + date filters pushed
+    down. Exact DECIMAL revenue (order-insensitive) cast to double,
+    ranked with a deterministic custkey tie-break."""
+    return _sql_view_query(spark, sf_dir, _SQL_RETURNED_ITEMS)
+
+
 _SQL_HYPERTABLE = """
 SELECT grouping(bucket_day) + 2 * grouping(bucket_hour) AS grain_id,
        bucket_day, bucket_hour, event_type,

@@ -144,3 +144,12 @@ def test_topk_filtered_pushes_predicate_to_scan(spark):
     # top-k must stay the per-partition-heap + merge shape
     assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_returned_items_joins_broadcast(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["returned_items_report"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
