@@ -3158,6 +3158,77 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_LOCAL_SUPPLIER_VOLUME)
 
 
+_SQL_NATION_VOLUME = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders    ON o_orderkey = l_orderkey
+JOIN customer  ON c_custkey = o_custkey
+JOIN supplier  ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, l_year
+"""
+
+
+@register("nation_trade_volume", oracle=_SQL_NATION_VOLUME)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue per (supplier nation,
+    customer nation, ship year). The year comes from
+    year(CAST(l_shipdate AS DATE)) — the cast is wall-clock on NTZ, so
+    the bucketing is timezone-free on both engines. Every dimension in
+    the six-table chain broadcasts; lineitem scans once."""
+    return _sql_view_query(spark, sf_dir, _SQL_NATION_VOLUME)
+
+
+_SQL_NATION_PRESENCE = """
+WITH co AS (
+  SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+su AS (
+  SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(COALESCE(co.nk, su.nk) AS INT) AS nationkey,
+       n_customers, n_suppliers
+FROM co FULL OUTER JOIN su ON co.nk = su.nk
+"""
+
+
+@register("nation_presence", oracle=_SQL_NATION_PRESENCE)
+def nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-nation customer and supplier
+    counts reconciled, preserving nations present on only one side
+    (NULL on the other) — the join type the rest of the registry
+    doesn't otherwise exercise."""
+    return _sql_view_query(spark, sf_dir, _SQL_NATION_PRESENCE)
+
+
+_SQL_BALANCE_QUARTILES = """
+SELECT c_mktsegment, quartile,
+       CAST(count(*) AS BIGINT) AS n,
+       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+FROM (SELECT c_mktsegment, c_acctbal,
+             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+      FROM customer)
+GROUP BY c_mktsegment, quartile
+"""
+
+
+@register("customer_balance_quartiles", oracle=_SQL_BALANCE_QUARTILES)
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window coverage: account-balance quartiles per market
+    segment (windows PARTITIONed by segment run in parallel — no
+    global sort), with a custkey tie-break making bucket assignment
+    deterministic; min/max per bucket are order-independent doubles."""
+    return _sql_view_query(spark, sf_dir, _SQL_BALANCE_QUARTILES)
+
+
 _SQL_RETURNED_ITEMS = """
 SELECT c_custkey, c_name, n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
