@@ -2032,6 +2032,62 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+_SQL_BIGRAM_COMMONNESS = f"""
+WITH t AS ({_SQL_TOKS}),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+counts AS (SELECT bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY bg)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(min(c.c) AS BIGINT) AS min_freq,
+       CAST(sum(c.c) AS DOUBLE) / count(*) AS avg_freq
+FROM bg b JOIN counts c USING (bg)
+GROUP BY b.doc_id
+"""
+
+
+@register("bigram_commonness", oracle=_SQL_BIGRAM_COMMONNESS)
+def bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistical fluency signal: per document, how common its
+    word bigrams are in the corpus (count of bigrams, rarest-bigram
+    frequency, average frequency) — the cheap stand-in for LM
+    perplexity filtering that needs no model. Deliberately built on
+    integer sums (exact in any order) plus one IEEE division, never a
+    float log whose libm rounding differs across engines. Scale shape:
+    explode -> count (map-side partial) -> posting join on the bigram,
+    like every inverted-index op here."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens_expr("text")
+    big = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+    )
+    counts = big.groupBy("bg").agg(F.count("*").alias("c"))
+    return (
+        big.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.min("c").alias("min_freq"),
+            (F.sum("c").cast("double") / F.count("*")).alias("avg_freq"),
+        )
+    )
+
+
 _UPSERT_MOD = 7
 
 _SQL_UPSERT = f"""
