@@ -2032,6 +2032,61 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+_SPLIT_SEED = "split0"
+
+_SQL_DATA_SPLIT = f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_chars,
+               ('0x' || substr(md5('{_SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
+        FROM documents)
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM assigned
+GROUP BY split
+"""
+
+
+@register("data_split", oracle=_SQL_DATA_SPLIT)
+def data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by keyed md5 of the
+    doc id — stable under corpus growth (a doc's split never changes
+    when other docs arrive), reproducible in any engine, no RNG. The
+    md5 over the ordered id list proves the exact membership of every
+    split, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{_SPLIT_SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    assigned = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id"))).cast("array<string>"), ",")
+        ).alias("ids_md5"),
+    )
+
+
 _SQL_BIGRAM_COMMONNESS = f"""
 WITH t AS ({_SQL_TOKS}),
 bg AS (
