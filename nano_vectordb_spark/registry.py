@@ -2032,6 +2032,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+def _sql_corpus_release() -> str:
+    clean = _sql_corpus_clean()
+    return f"""
+WITH cleaned AS ({clean}),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, n_tokens,
+               ('0x' || substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS bucket
+        FROM cleaned)
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM assigned
+GROUP BY split
+"""
+
+
+@register("corpus_release", oracle=_sql_corpus_release)
+def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition a dataset release runs end-to-end:
+    quality filter -> language filter -> exact dedup -> near-dup
+    removal (all of corpus_clean) -> deterministic train/val/test
+    assignment -> per-split counts, token totals, and an md5 over the
+    ordered surviving ids. Every stage is an oracle-matched primitive,
+    so the release manifest itself hash-matches — membership of each
+    split is proven, not sampled."""
+    cleaned = corpus_clean(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split0:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    assigned = cleaned.select(
+        "doc_id",
+        "n_tokens",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list(F.col("doc_id"))).cast("array<string>"), ",")
+        ).alias("ids_md5"),
+    )
+
+
 _SPLIT_SEED = "split0"
 
 _SQL_DATA_SPLIT = f"""
