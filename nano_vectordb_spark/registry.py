@@ -3398,6 +3398,88 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_BALANCE_QUARTILES)
 
 
+_SQL_GAPFILL_DUCK = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hb
+),
+spans AS (
+  SELECT event_type, min(hb) AS lo, max(hb) AS hi FROM b GROUP BY event_type
+),
+grid AS (
+  SELECT s.event_type, g.hb
+  FROM spans s, LATERAL (SELECT unnest(range(s.lo, s.hi + 1)) AS hb) g
+)
+SELECT grid.event_type,
+       CAST(grid.hb AS BIGINT) AS hour_bucket,
+       COALESCE(b.n, 0) AS n_events,
+       b.n IS NULL AS gap_filled
+FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.hb = grid.hb
+"""
+
+
+@register("events_gapfill", oracle=_SQL_GAPFILL_DUCK)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the timescale time_bucket_gapfill
+    analog): per event_type, emit EVERY hour bucket between that type's
+    first and last event, zero-filling silent hours and flagging them.
+    Buckets are timezone-free epoch-hour integers on both engines.
+    Scale shape: the dense grid explodes from one tiny (type, lo, hi)
+    row per series — never from the raw events — then left-joins the
+    hourly partial counts."""
+    ev = load_table(spark, sf_dir, "events")
+    hb = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(3_600_000_000)
+    )
+    b = ev.select("event_type", F.floor(hb).alias("hb")).groupBy(
+        "event_type", "hb"
+    ).agg(F.count("*").alias("n"))
+    spans = b.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = spans.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    return grid.join(b, ["event_type", "hb"], "left").select(
+        "event_type",
+        F.col("hb").cast("long").alias("hour_bucket"),
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n_events"),
+        F.col("n").isNull().alias("gap_filled"),
+    )
+
+
+_SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, measure,
+       CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey % 1000 = 0
+) UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+"""
+
+
+@register("lineitem_unpivot", oracle=_SQL_UNPIVOT)
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long melt) coverage: the four lineitem measures
+    as (measure, val) rows — the inverse of events_pivot. Pure
+    projection + generator, zero shuffle; the orderkey filter keeps the
+    gate output bounded."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 1000 == 0
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
 _SQL_RETURNED_ITEMS = """
 SELECT c_custkey, c_name, n_name,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
