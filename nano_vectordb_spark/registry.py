@@ -3452,6 +3452,59 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FULFILLMENT = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(min(delay_days) AS BIGINT) AS min_days,
+       quantile_cont(delay_days, 0.5) AS p50_days,
+       quantile_cont(delay_days, 0.95) AS p95_days,
+       CAST(max(delay_days) AS BIGINT) AS max_days
+FROM (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("order_fulfillment_latency", oracle=_SQL_FULFILLMENT)
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class: the
+    orders-lineitem join with a timezone-free whole-day difference
+    (both timestamps cast to wall-clock DATE first), then exact
+    interpolated percentiles over integer day counts. At scale the
+    orders side is date- and column-pruned before a broadcast toward
+    the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("delay_days")
+    )
+    pct = F.percentile("delay_days", F.lit([0.5, 0.95]))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min("delay_days").cast("long").alias("min_days"),
+            pct.alias("__pct"),
+            F.max("delay_days").cast("long").alias("max_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lineitems",
+            "min_days",
+            F.col("__pct")[0].alias("p50_days"),
+            F.col("__pct")[1].alias("p95_days"),
+            "max_days",
+        )
+    )
+
+
 _SQL_UNPIVOT = """
 SELECT l_orderkey, l_linenumber, measure,
        CAST(val AS DOUBLE) AS val
