@@ -3429,13 +3429,15 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per series — never from the raw events — then left-joins the
     hourly partial counts."""
     ev = load_table(spark, sf_dir, "events")
-    hb = (
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        )
-        / F.lit(3_600_000_000)
+    # integer `div`, not floor(double /): a double quotient one micro
+    # under an hour boundary can round onto the boundary once epoch
+    # magnitudes grow, while BIGINT floor-division is exact forever
+    # (and matches DuckDB's // exactly)
+    hb = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " div 3600000000"
     )
-    b = ev.select("event_type", F.floor(hb).alias("hb")).groupBy(
+    b = ev.select("event_type", hb.alias("hb")).groupBy(
         "event_type", "hb"
     ).agg(F.count("*").alias("n"))
     spans = b.groupBy("event_type").agg(
