@@ -3454,6 +3454,25 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BRAND_MARGIN = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lineitems,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_value
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+@register("brand_margin", oracle=_SQL_BRAND_MARGIN)
+def brand_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand realized revenue vs retail value: the part dimension
+    broadcasts against one lineitem scan; exact DECIMAL arithmetic
+    keeps both sums order-insensitive before the final double cast."""
+    return _sql_view_query(spark, sf_dir, _SQL_BRAND_MARGIN)
+
+
 _SQL_FULFILLMENT = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_lineitems,
