@@ -3398,6 +3398,49 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_BALANCE_QUARTILES)
 
 
+@register(
+    "events_partitioned_scan",
+    oracle="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type
+""",
+)
+def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-partitioned table layout — THE 100 TB fact-table layout:
+    events written partitionBy(event_date), then a one-day query reads
+    ONLY that day's directory (PartitionFilters, pinned in
+    tests/test_plans.py) — the date-range analog of the IVF
+    cluster-partitioned layout. The /tmp copy is content-addressed
+    against the source parquet's stat so regenerated testdata never
+    collides with a stale layout."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    path = "/tmp/nvdb_evpart_" + hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    if not _os.path.exists(f"{path}/_SUCCESS"):
+        ev = load_table(spark, sf_dir, "events")
+        ev.withColumn("event_date", F.col("ts").cast("date")).write.mode(
+            "overwrite"
+        ).partitionBy("event_date").parquet(path)
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 _SQL_GAPFILL_DUCK = """
 WITH b AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS hb,

@@ -153,3 +153,12 @@ def test_returned_items_joins_broadcast(spark):
     plan = physical_plan(df, "simple")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_events_partitioned_scan_prunes_partitions(spark):
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["events_partitioned_scan"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "formatted")
+    # the one-day filter must prune to a single event_date directory
+    assert "PartitionFilters" in plan and "event_date" in plan, plan
