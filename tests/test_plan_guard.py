@@ -49,3 +49,21 @@ def test_no_unsanctioned_cartesian(spark, name):
             f"{name}: BroadcastNestedLoopJoin in plan but not whitelisted as a "
             f"broadcast-small-side pattern"
         )
+
+
+def test_all_outputs_canonicalizer_safe(spark):
+    """The driver's canonicalizer (pandas sort_values + value hashing)
+    crashes on unhashable cells — no entry may emit array / map /
+    struct / binary columns. Round 1 lost six queries to this; this
+    guard makes the invariant permanent."""
+    bad: list[tuple[str, list[str]]] = []
+    for name, entry in sorted(registry.REGISTRY.items()):
+        df = entry.fn(spark, SF_SMOKE)
+        unsafe = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct", "binary")
+        ]
+        if unsafe:
+            bad.append((name, unsafe))
+    assert not bad, f"canonicalizer-unsafe outputs: {bad}"
