@@ -40,10 +40,21 @@ def _spread(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster parallelism before a
     UDF-heavy stage — a single input file otherwise yields one
     partition and a single-threaded Arrow pass. No-op when the source
-    already has enough partitions (the 100 TB case, where adding a
-    repartition would be a pure extra shuffle)."""
+    already spans enough files (the 100 TB case, where adding a
+    repartition would be a pure extra shuffle).
+
+    The narrowness heuristic reads the scan's file listing
+    (``df.inputFiles()``) instead of ``df.rdd.getNumPartitions()``:
+    the latter compiles the full physical plan on every call and, under
+    AQE, reports the pre-AQE partition count. Non-file sources (local
+    relations) return an empty listing and are left untouched — Spark
+    already parallelizes them across defaultParallelism slices."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - defensive: source w/o listing
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -365,7 +376,11 @@ def minhash_lsh_incremental(
     with at least one verified near-dup in the corpus.
     """
     rows = k // bands
-    c_base = _shingles_and_sig(_spread(corpus), k, n, text_col, id_col).persist()
+    # Only the BATCH side is spread: per-ingest cost must scale with the
+    # batch, and in production the corpus band table is precomputed and
+    # persisted alongside the corpus (already wide at scale) — adding a
+    # corpus repartition per ingest would contradict that cost model.
+    c_base = _shingles_and_sig(corpus, k, n, text_col, id_col).persist()
     b_base = _shingles_and_sig(_spread(batch), k, n, text_col, id_col).persist()
     c_bands = _banded_sigs(c_base.select("doc_id", "sig"), bands, rows)
     b_bands = _banded_sigs(b_base.select("doc_id", "sig"), bands, rows)

@@ -363,8 +363,14 @@ def _ivf_search_two_phase(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id")
     )
+    # Rescore against the SAME pruned scan used for the partial phase:
+    # every candidate was produced from a probed cluster, so joining the
+    # candidate set back to `pruned` is semantically identical to joining
+    # against the full base, but keeps the nprobe/nlist partition pruning
+    # (a full-base rescore would re-read 100% of base bytes and forfeit
+    # the scan-skip win at scale).
     return exact_rescore(
-        index.assigned,
+        pruned,
         queries,
         cand,
         metric=metric,

@@ -152,5 +152,12 @@ def cm_estimate(sketch: DataFrame, terms: DataFrame) -> DataFrame:
             )
         ).alias("c"),
     ).select("term", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-    joined = lookups.join(F.broadcast(sketch), ["row", "bucket"])
-    return joined.groupBy("term").agg(F.min("n").alias("est_n"))
+    # LEFT join: a queried term whose (row,bucket) cell is absent from
+    # the sketch hit zero items there — the count-min estimate for that
+    # cell is 0, and min() must see it (an inner join would silently
+    # take min over fewer than CM_DEPTH cells and overestimate, or drop
+    # unseen terms entirely).
+    joined = lookups.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("est_n")
+    )

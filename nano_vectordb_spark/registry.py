@@ -618,6 +618,31 @@ _IVF_NLIST = 16
 _IVF_NPROBE = 4
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
 
+
+def _materialize_once(path: str, write_fn, marker: str = "_SUCCESS") -> None:
+    """Concurrency-safe /tmp materialization for the content-addressed
+    layout caches: write to a PID-suffixed temp dir and atomically
+    rename into place. Two sessions racing over the same testdata can
+    otherwise interleave `exists(_SUCCESS)` / `mode("overwrite")` and
+    one reads a half-overwritten layout. The rename loser just discards
+    its copy; a dead session's partial dir (no marker) is replaced."""
+    import os as _os
+    import shutil as _shutil
+
+    if _os.path.exists(_os.path.join(path, marker)):
+        return
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    write_fn(tmp)
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        if _os.path.exists(_os.path.join(path, marker)):
+            _shutil.rmtree(tmp, ignore_errors=True)  # race lost: keep winner
+        else:
+            _shutil.rmtree(path, ignore_errors=True)  # stale partial dir
+            _os.rename(tmp, path)
+
 # the driver's correctness gate runs at this fixture; lazy oracles that
 # embed fit-derived literals compute them from the same parquet
 _ORACLE_SF = "/root/testdata/sf0.01"
@@ -895,8 +920,11 @@ def ivf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = "/tmp/nvdb_ivf_" + hashlib.md5(
             f"{sf_dir}:{fp}".encode()
         ).hexdigest()[:8]
-        if not _os.path.exists(f"{path}/centroids"):
-            ivf_ops.ivf_write(idx, path)
+        _materialize_once(
+            path,
+            lambda p: ivf_ops.ivf_write(idx, p),
+            marker="centroids/_SUCCESS",
+        )
         _INDEX_CACHE[key] = ivf_ops.ivf_read(spark, path, nlist=_IVF_NLIST)
     return ivf_ops.ivf_search(
         _INDEX_CACHE[key], _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
@@ -1779,8 +1807,12 @@ def _csv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.sources import csv as csv_src
 
     path = _csv_docs_path(sf_dir)
-    if not _os.path.exists(f"{path}/_SUCCESS"):
-        csv_src.write_documents_csv(load_table(spark, sf_dir, "documents"), path)
+    _materialize_once(
+        path,
+        lambda p: csv_src.write_documents_csv(
+            load_table(spark, sf_dir, "documents"), p
+        ),
+    )
     return csv_src.read_documents_csv(spark, path)
 
 
@@ -1812,10 +1844,12 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.sources import jsonl as jsonl_src
 
     path = _jsonl_docs_path(sf_dir)
-    if not _os.path.exists(f"{path}/_SUCCESS"):
-        jsonl_src.write_documents_jsonl(
-            load_table(spark, sf_dir, "documents"), path
-        )
+    _materialize_once(
+        path,
+        lambda p: jsonl_src.write_documents_jsonl(
+            load_table(spark, sf_dir, "documents"), p
+        ),
+    )
     return jsonl_src.read_documents_jsonl(spark, path).orderBy("doc_id")
 
 
@@ -2501,10 +2535,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are generated — the corpus band table is built once and
     persisted alongside the corpus, so per-ingest cost scales with the
     batch, not the corpus."""
-    docs = load_table(spark, sf_dir, "documents")
-    batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
-    return dedup_ops.minhash_lsh_incremental(corpus, batch, _JACCARD_T)
+    key = ("dedup_incremental", sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)
+        corpus = docs.filter(F.col("doc_id") % _INCR_MOD != 0)
+        # memoized like minhash_lsh_pairs: the op persists its two
+        # signature DataFrames, so re-running the entry per gate/bench
+        # invocation would re-persist both sides and leak cached blocks
+        _INDEX_CACHE[key] = dedup_ops.minhash_lsh_incremental(
+            corpus, batch, _JACCARD_T
+        )
+    return _INDEX_CACHE[key]
 
 
 # component = min reachable id; DuckDB walks the transitive closure
@@ -3423,11 +3465,13 @@ def events_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/tmp/nvdb_evpart_" + hashlib.md5(
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
-    if not _os.path.exists(f"{path}/_SUCCESS"):
+    def _write(p: str) -> None:
         ev = load_table(spark, sf_dir, "events")
         ev.withColumn("event_date", F.col("ts").cast("date")).write.mode(
             "overwrite"
-        ).partitionBy("event_date").parquet(path)
+        ).partitionBy("event_date").parquet(p)
+
+    _materialize_once(path, _write)
     part = spark.read.parquet(path)
     return (
         part.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
@@ -4645,3 +4689,96 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
         )
     )
+
+
+# ==========================================================================
+# Driver-gate basket ordering (round 3)
+#
+# The driver's correctness gate checks the FIRST 50 entries in
+# registration order (CORRECTNESS_r02 stopped at entry #50, leaving 54
+# entries — including every r1 failure and SURVEY §2's O18/O19 — with no
+# official driver verdict).  The round-2 VERDICT's top item: curate the
+# top-50 into a covering set.  This list is that set:
+#   * one representative per SURVEY.md §2 operator (O2-O29, O32-O33),
+#   * the 9 entries that FAILED in round 1 and were never re-gated,
+#   * O18 (latency_percentiles) + O19 (scan_cost_model),
+#   * one-or-more representatives per never-gated family (streaming,
+#     multimodal, doc search, dedup tail, LLM pipeline, relational).
+# Entries beyond #50 keep their original relative order and rotate into
+# the gate window in round 4 (tracked in COVERAGE.md).
+# ==========================================================================
+
+GATE_BASKET_R3: tuple[str, ...] = (
+    # -- SURVEY §2 operator representatives (re-gated from the r2-green set)
+    "topk_dot",                 # O4/O8/O9
+    "topk_l2",                  # O7
+    "topk_f16",                 # O5/O22
+    "topk_i8",                  # O6
+    "topk_multi_twophase",      # O10-O12/O14
+    "gt_build",                 # O16
+    "recall_i8_vs_f32",         # O17
+    "slice_first_n",            # O2/O20
+    "sample_queries",           # O21
+    "sanity_stats",             # O24
+    "quantize_i8",              # O23
+    "quant_error_stats",        # O3
+    "refine_i8",                # O29/O32
+    "ivf_search",               # O26/O28
+    "pq_adc_search",            # O27 (PQ-ADC)
+    "opq_learned_refine_search",# O27 (learned OPQ)
+    "ivfpq_refine_search",      # O27 (IVF-PQ)
+    "csv_chunks_embed",         # O33 end-to-end
+    # -- the 9 round-1 failures, never re-gated in round 2
+    "pricing_summary",
+    "top_revenue_customers",
+    "events_running_window",
+    "events_sessionize",
+    "events_asof_purchase",
+    "events_range_join",
+    "events_salted_agg",
+    "latency_percentiles",      # also O18
+    "embedding_neardup_lsh",
+    # -- O19
+    "scan_cost_model",
+    # -- never-gated families: streaming
+    "stream_event_counts",
+    "stream_dedup",
+    "stream_click_attribution",
+    "stream_sessionize",
+    # -- never-gated families: multimodal
+    "multimodal_features",
+    "multimodal_frames",
+    # -- never-gated families: semantic/lexical doc search
+    "doc_search",
+    "doc_search_bm25",
+    # -- never-gated families: dedup tail
+    "dedup_components",
+    "simhash64_pairs",
+    "corpus_clean",
+    # -- never-gated families: LLM training-data pipeline
+    "mixture_sample",
+    "pack_sequences",
+    "pii_redact",
+    "decontaminate",
+    # -- never-gated families: relational tail
+    "events_hypertable_rollup",
+    "events_funnel",
+    "events_props_variant",
+    "events_gapfill",
+    "distinct_users_hll",
+    "orders_rollup",
+    "events_partitioned_scan",
+)
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in GATE_BASKET_R3 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R3 names unknown entries: {missing}")
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R3}
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()

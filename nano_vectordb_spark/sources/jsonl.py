@@ -32,14 +32,11 @@ def write_documents_jsonl(df: DataFrame, path: str) -> None:
 
 
 def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
-    df = (
+    # FAILFAST surfaces corrupt lines; the explicit schema fixes the
+    # field names/types, so no post-read schema check is needed (a read
+    # with .schema(...) always yields exactly those fields)
+    return (
         spark.read.schema(DOCUMENTS_SCHEMA)
-        # surface corrupt lines instead of silently nulling them
         .option("mode", "FAILFAST")
         .json(path)
     )
-    if [f.name for f in df.schema.fields] != [
-        f.name for f in DOCUMENTS_SCHEMA.fields
-    ]:
-        raise ValueError("documents JSONL schema mismatch")
-    return df

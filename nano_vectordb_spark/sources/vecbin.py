@@ -184,12 +184,41 @@ def read_gtbin(
     return spark.createDataFrame(rows, "query_id long, k int, gt_ids array<bigint>")
 
 
+# Driver-residency guard: the single-file legacy artifact is inherently
+# driver-assembled (positional row ids, one contiguous payload); cap it
+# like the other driver-resident paths (topk.py MAX_BROADCAST_QUERIES,
+# rerank.py MAX_HEAD_ROWS) so a mis-call on a big table errors instead
+# of OOMing the driver.
+MAX_EXPORT_ROWS = 1_000_000
+
+
 def export_vecbin(
     df: DataFrame, path: str, dtype: int = DTYPE_F32, vec_col: str = "embedding"
 ) -> None:
     """Export a vector DataFrame to vecbin, ordered by vec_id (row id is
-    positional in the file format, gtbin_format.h:32)."""
-    rows = df.select("vec_id", vec_col).orderBy("vec_id").collect()
+    positional in the file format, gtbin_format.h:32).
+
+    dtypes: F32 passthrough; F16 rounds every value to IEEE-754 half
+    with round-to-nearest-even (NumPy's float64->float16 cast — the
+    same RNE kernel as functions/quantize.f16_round_expr; artifact
+    layout per tools/nvdb_convert_f16.cpp:183-196); I8 is per-row
+    max-abs symmetric quantization with appended float32 scales.
+
+    A vecbin file is an interchange artifact, not the at-rest store —
+    exports above MAX_EXPORT_ROWS raise instead of collecting."""
+    rows = (
+        df.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(MAX_EXPORT_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_EXPORT_ROWS:
+        raise ValueError(
+            f"export_vecbin assembles the single-file artifact on the "
+            f"driver and supports at most {MAX_EXPORT_ROWS} rows; got "
+            f"more. Export a slice, or keep the corpus in parquet (the "
+            f"at-rest format)."
+        )
     mat = np.asarray([r[1] for r in rows], dtype=np.float64)
     if dtype == DTYPE_I8:
         scales = np.abs(mat).max(axis=1) / 127.0

@@ -138,3 +138,35 @@ def test_export_then_read_matches_parquet(spark, tmp_path):
     a = [list(r.embedding) for r in emb.orderBy("vec_id").collect()]
     b = [list(r.embedding) for r in back.orderBy("vec_id").collect()]
     assert a == b
+
+
+def test_export_f16_rne_roundtrip(spark, tmp_path):
+    """F16 export (tools/nvdb_convert_f16.cpp:183-196 layout): every
+    payload value is the RNE half rounding of the source — identical to
+    functions/quantize.f16_round_local — and the artifact reloads."""
+    from tests.conftest import SF_SMOKE
+
+    from nano_vectordb_spark.functions.quantize import f16_round_local
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    p = str(tmp_path / "exp16.vecbin")
+    vb.export_vecbin(emb, p, vb.DTYPE_F16)
+    with open(p, "rb") as f:
+        head = f.read(64)
+    assert head[:8] == vb.MAGIC
+    dtype = int.from_bytes(head[12:16], "little")
+    assert dtype == vb.DTYPE_F16
+    back = vb.read_vecbin(spark, p)
+    src = [list(r.embedding) for r in emb.orderBy("vec_id").collect()]
+    got = [list(r.embedding) for r in back.orderBy("vec_id").collect()]
+    want = [f16_round_local(v) for v in src]
+    assert got == want
+
+
+def test_export_over_cap_raises(spark, tmp_path, monkeypatch):
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    monkeypatch.setattr(vb, "MAX_EXPORT_ROWS", 10)
+    with pytest.raises(ValueError, match="at most 10 rows"):
+        vb.export_vecbin(emb, str(tmp_path / "big.vecbin"), vb.DTYPE_F32)
