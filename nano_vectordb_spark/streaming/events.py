@@ -23,6 +23,43 @@ from ..sources.tables import ensure_read_confs
 
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
+# State-store partition count for the demo streams. A streaming agg
+# creates/commits one state store per shuffle partition per microbatch
+# — pure fixed overhead when the key cardinality (windows x event_type,
+# or user_id sessions) is far below the batch-side shuffle parallelism.
+# Sizing state partitions to the keyspace is the standard Structured
+# Streaming knob; at production scale a caller passes a bigger value.
+STREAM_STATE_PARTITIONS = 8
+
+
+def run_stream_to_table(
+    spark: SparkSession,
+    sdf: DataFrame,
+    prefix: str,
+    output_mode: str,
+    state_partitions: int = STREAM_STATE_PARTITIONS,
+) -> DataFrame:
+    """Start ``sdf`` as a memory-sink AvailableNow query and return the
+    materialized result table. ``spark.sql.shuffle.partitions`` is
+    scoped to ``state_partitions`` around query start (the conf is read
+    at stream start and frozen into the checkpoint), then restored."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with ts as TIMESTAMP (LTZ).
@@ -85,17 +122,7 @@ def windowed_event_counts_stream(
             "total_value",
         )
     )
-    name = f"ev_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return run_stream_to_table(spark, agg, "ev", "complete")
 
 
 def dedup_events_stream(
@@ -116,17 +143,7 @@ def dedup_events_stream(
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_events"))
     )
-    name = f"dd_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return run_stream_to_table(spark, deduped, "dd", "complete")
 
 
 def click_attribution_stream(
@@ -182,14 +199,4 @@ def click_attribution_stream(
         ).alias("win_end"),
         F.col("p_value").alias("purchase_value"),
     )
-    name = f"attr_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return run_stream_to_table(spark, joined, "attr", "append")

@@ -16,7 +16,6 @@ operator exactly — asserted in tests/test_streaming.py).
 from __future__ import annotations
 
 import sys
-import uuid
 from collections.abc import Iterator
 from typing import Any
 
@@ -110,14 +109,6 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    from nano_vectordb_spark.streaming.events import run_stream_to_table
+
+    return run_stream_to_table(spark, sessions, "sess", "append")
