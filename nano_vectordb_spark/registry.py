@@ -4420,7 +4420,7 @@ _BM25_QUERIES = [
 _BM25_K = 10
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = _BM25_K) -> str:
     from nano_vectordb_spark.operators.lexical import B, K1
 
     vocab = sorted({t for _, terms in _BM25_QUERIES for t in terms})
@@ -4468,7 +4468,7 @@ SELECT query_id, doc_id, score, rank FROM (
          CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY score DESC, doc_id ASC) AS INT) AS rank
   FROM summed)
-WHERE rank <= {_BM25_K}
+WHERE rank <= {k}
 """
 
 
@@ -4687,6 +4687,234 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("hh").alias("n_shared_shingles"),
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval + corpus-shaping extensions (round 3): RRF fusion of
+# the lexical and semantic rankers, quantile-threshold quality
+# filtering, and the token-length histogram that sizes sequence
+# packing. All native expressions; oracles replay every stage.
+# ---------------------------------------------------------------------------
+
+_RRF_POOL = 20
+_RRF_K = 10
+_RRF_C = 60
+
+
+def _rrf_oracle() -> str:
+    qvals = ",\n    ".join(
+        f"({-(qid + 1)}, 0, '{' '.join(terms)}', 0)"
+        for qid, terms in _BM25_QUERIES
+    )
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank FROM ({_bm25_oracle(_RRF_POOL)})
+),
+units AS (
+  SELECT doc_id, 0 AS chunk_id, text AS chunk,
+         CAST(length(text) AS INT) AS chunk_chars
+  FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {qvals}) v(doc_id, chunk_id, chunk, chunk_chars)
+),
+{_sql_embed_ctes('units')},
+demb AS (SELECT doc_id AS vec_id, emb FROM embedded WHERE doc_id >= 0),
+qemb AS (SELECT -doc_id - 1 AS query_id, emb FROM embedded WHERE doc_id < 0),
+sem AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT q.query_id, d.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(d.emb, q.emb) DESC, d.vec_id ASC) AS rank
+    FROM demb d CROSS JOIN qemb q)
+  WHERE rank <= {_RRF_POOL}
+),
+fused AS (
+  SELECT CAST(coalesce(l.query_id, s.query_id) AS BIGINT) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_C} + l.rank), 0.0)
+           + coalesce(1.0 / ({_RRF_C} + s.rank), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, rrf_score, rank FROM (
+  SELECT query_id, doc_id, rrf_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+  FROM fused)
+WHERE rank <= {_RRF_K}
+"""
+
+
+@register("hybrid_search_rrf", oracle=_rrf_oracle)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with semantic
+    embedding ranking by reciprocal-rank fusion (Cormack et al. 2009:
+    score = sum over rankers of 1/(C + rank), C=60) — the
+    standard hybrid-search surface a vector database exposes next to
+    pure ANN. Both rankers are the proven entries (doc_search_bm25 /
+    doc_search machinery): lexical top-pool via posting-list
+    shuffles, semantic top-pool via the two-phase broadcast
+    scan; fusion is one full-outer join on (query, doc) — tiny, Q x
+    2*pool rows. RRF needs only ranks, never score calibration, so the
+    plan stays join-of-two-topk at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = lexical_ops.bm25_search(spark, docs, _BM25_QUERIES, k=_RRF_POOL).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    units = docs.select(
+        "doc_id",
+        F.lit(0).alias("chunk_id"),
+        F.col("text").alias("chunk"),
+        F.length("text").cast("int").alias("chunk_chars"),
+    )
+    qrows = docs.sparkSession.createDataFrame(
+        [(-(qid + 1), 0, " ".join(terms), 0) for qid, terms in _BM25_QUERIES],
+        "doc_id long, chunk_id int, chunk string, chunk_chars int",
+    )
+    emb = text_ops.hash_embed(units.unionByName(qrows), dim=_EMBED_DIM)
+    demb = emb.filter(F.col("doc_id") >= 0).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    qemb = emb.filter(F.col("doc_id") < 0).select(
+        (-F.col("doc_id") - 1).alias("query_id"), "embedding"
+    )
+    sem = topk_ops.topk_multi(demb, qemb, _RRF_POOL, strategy="two_phase")
+    sem = topk_ops.exact_rescore(demb, qemb, sem).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "doc_id",
+        (
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("lex_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("sem_rank").isNotNull(),
+                F.lit(1.0) / (F.lit(_RRF_C) + F.col("sem_rank")),
+            ).otherwise(F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= _RRF_K)
+
+
+_QF_Q = 0.25
+
+
+@register(
+    "quality_filter_quantile",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains([{_SQL_EN_STOP}], x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN length(lower(text)) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(lower(text)) AS DOUBLE) END AS punct_ratio
+  FROM t
+),
+s AS (
+  SELECT doc_id, lang,
+         0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+           + 0.3 * (1.0 - stopword_ratio)
+           + 0.2 * (1.0 - punct_ratio) AS quality
+  FROM m
+),
+thr AS (SELECT lang, quantile_cont(quality, {_QF_Q}) AS q_thr FROM s GROUP BY lang)
+SELECT s.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE s.quality >= t.q_thr) AS BIGINT) AS n_kept,
+       max(t.q_thr) AS q_threshold
+FROM s JOIN thr t ON s.lang = t.lang
+GROUP BY s.lang
+""",
+)
+def quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality filtering — the corpus-shaping form
+    of quality_score: per-language P25 threshold
+    (exact interpolated percentile, the proven
+    F.percentile/quantile_cont cross-engine pair), docs below it
+    dropped. Per-lang thresholds avoid one language's score
+    distribution starving another. The threshold relation is
+    |languages| rows — broadcast back; the corpus sees one scan + one
+    group-agg, no self-shuffle."""
+    d = _toks_df(spark, sf_dir)
+    s = d.select(
+        "doc_id",
+        "lang",
+        tx.quality_expr(F.col("toks"), "text").alias("quality"),
+    )
+    thr = s.groupBy("lang").agg(
+        F.percentile("quality", F.lit(_QF_Q)).alias("q_thr")
+    )
+    return (
+        s.join(F.broadcast(thr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("quality") >= F.col("q_thr")).alias("n_kept"),
+            F.max("q_thr").alias("q_threshold"),
+        )
+    )
+
+
+_TLH_WIDTH = 16
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS}),
+b AS (
+  SELECT CAST(len(toks) // {_TLH_WIDTH} AS INT) AS bucket,
+         CAST(len(toks) AS INT) AS n
+  FROM t
+)
+SELECT bucket,
+       CAST(bucket * {_TLH_WIDTH} AS INT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS sum_tokens,
+       CAST(min(n) AS INT) AS min_tokens,
+       CAST(max(n) AS INT) AS max_tokens
+FROM b
+GROUP BY bucket
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram in fixed 16-token buckets
+    (integer arithmetic — exact cross-engine, unlike log buckets) —
+    the distribution pack_sequences' budget is sized from. One scan,
+    one map-side-combined agg on a small key space."""
+    d = _toks_df(spark, sf_dir)
+    n = F.size("toks")
+    return (
+        d.select((n.cast("long") / F.lit(_TLH_WIDTH)).cast("int").alias("__b"), n.alias("__n"))
+        .select(
+            F.col("__b").alias("bucket"),
+            (F.col("__b") * _TLH_WIDTH).cast("int").alias("bucket_lo"),
+            "__n",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("long").alias("sum_tokens"),
+            F.min("__n").cast("int").alias("min_tokens"),
+            F.max("__n").cast("int").alias("max_tokens"),
         )
     )
 

@@ -34,6 +34,7 @@ _BNLJ_OK = {
     "opq_learned_refine_search",
     "embedding_neardup_pairs",  # guarded verification baseline (<=20k rows)
     "doc_search_bm25",        # broadcast 1-row corpus stats x |vocab|-row idf
+    "hybrid_search_rrf",      # embeds doc_search_bm25's broadcast-stats join
 }
 
 NAMES = sorted(registry.REGISTRY)
