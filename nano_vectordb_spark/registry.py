@@ -690,28 +690,32 @@ def _oracle_centroids_np() -> "object":
     return _fit_cached("ivf_centroids", fit)
 
 
-def _ivf_oracle(cent=None) -> str:
+def _ivf_oracle(cent=None, pred: str | None = None) -> str:
     """DuckDB replay of ivf_search: assign every row to its nearest
     centroid literal, probe top-nprobe centroids per query, rank dot
     top-k within the probed lists. ``cent`` overrides the centroid set
     (default: the full-fixture fit) — assignment/probe/rank SQL is
-    identical either way."""
+    identical either way. ``pred`` optionally restricts the searched
+    rows by a metadata predicate over the assigned relation (filtered
+    ANN; assignment itself always runs over the full corpus, matching
+    an index built before the filter is known)."""
     if cent is None:
         cent = _oracle_centroids_np()
     values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
     l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
     l2_q = _sql_l2("CAST(q.embedding AS DOUBLE[])", "c.centroid")
+    where_pred = f" AND ({pred})" if pred else ""
     return f"""
 WITH centroids(cluster_id, centroid) AS (VALUES
     {values}),
 q AS ({_SQL_QUERIES}),
 assigned AS (
   SELECT vec_id, embedding, cluster_id FROM (
-    SELECT e.vec_id, e.embedding, c.cluster_id,
+    SELECT e.vec_id, e.embedding, e.label, c.cluster_id,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
     FROM embeddings e CROSS JOIN centroids c)
-  WHERE rn = 1
+  WHERE rn = 1{where_pred}
 ),
 probes AS (
   SELECT query_id, cluster_id FROM (
@@ -4916,6 +4920,69 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("__n").cast("int").alias("min_tokens"),
             F.max("__n").cast("int").alias("max_tokens"),
         )
+    )
+
+
+_RADIUS_THR = 0.3
+
+
+@register(
+    "radius_search",
+    oracle=f"""
+WITH q AS ({_SQL_QUERIES})
+SELECT query_id, vec_id, score FROM (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS score
+  FROM embeddings e CROSS JOIN q)
+WHERE score >= {_RADIUS_THR}
+""",
+)
+def radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (the FAISS range_search contract, the k-less
+    sibling of top-k): every (query, vector) pair with cosine
+    similarity at or above a radius threshold. The plan is the scan
+    shape range search wants at 100 TB: broadcast the query batch,
+    score inside whole-stage codegen, filter — map-only, zero
+    shuffles, output size bounded by the radius rather than Q x k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    qb = F.broadcast(q.select("query_id", F.col("embedding").alias("__qvec")))
+    return (
+        emb.crossJoin(qb)
+        .select(
+            "query_id",
+            "vec_id",
+            topk_ops.score_expr("cosine", "embedding", "__qvec").alias("score"),
+        )
+        .filter(F.col("score") >= _RADIUS_THR)
+    )
+
+
+def _ivf_filtered_oracle() -> str:
+    return _ivf_oracle(pred="label = 1")
+
+
+@register("ivf_search_filtered", oracle=_ivf_filtered_oracle)
+def ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN over the IVF index — the searched rows are
+    restricted by a predicate (label = 1) at probe time, on an index
+    that was built before the filter was known (the vector-DB filtered
+    -search contract; assignment is unchanged, so no refit). The
+    predicate composes with partition pruning: the scan reads only
+    probed cluster directories AND pushes the label filter into the
+    parquet reader, so selectivity multiplies with the nprobe/nlist
+    byte skip. Post-filtering a plain ANN result would under-fill k."""
+    idx = _ivf_index(spark, sf_dir)
+    filtered = ivf_ops.IvfIndex(
+        centroids=idx.centroids,
+        assigned=idx.assigned.filter(F.col("label") == 1),
+        nlist=idx.nlist,
+        centroids_np=idx.centroids_np,
+    )
+    return ivf_ops.ivf_search(
+        filtered, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
     )
 
 
