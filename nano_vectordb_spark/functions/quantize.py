@@ -98,3 +98,60 @@ def quantize_i8_df(df, vec_col: str = "embedding"):
     O23 as a derived table."""
     with_scale = df.withColumn("scale", i8_scale_expr(vec_col))
     return with_scale.withColumn("embedding_i8", i8_encode_expr(vec_col, F.col("scale")))
+
+
+# --------------------------------------------------------------------------
+# SQ8: per-DIMENSION trained scalar quantization (the FAISS
+# ScalarQuantizer QT_8bit family), complementing the per-ROW max-abs
+# codec above. Training learns (vmin_j, vdiff_j) per dimension from a
+# bounded id prefix — the same sample-bounded training contract as the
+# k-means fits (functions/kmeans.py) — then encode/reconstruct/score
+# stay pure codegen expressions.
+# --------------------------------------------------------------------------
+
+SQ8_LEVELS = 255.0
+
+
+def sq8_train(df, vec_col: str = "embedding", id_col: str = "vec_id",
+              train_cap: int = 100_000) -> tuple[list[float], list[float]]:
+    """Learn per-dimension (vmin, vdiff) on rows with id < train_cap.
+
+    Distributed shape: posexplode -> hash aggregate (min/max partially
+    aggregate map-side), D result rows collect to the driver. min/max
+    are order-independent and exact on float32 inputs, so the fit is
+    deterministic and engine-reproducible.
+    """
+    rows = (
+        df.filter(F.col(id_col) < train_cap)
+        .select(F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+        .collect()
+    )
+    d = 1 + max(r["dim"] for r in rows)
+    vmin, vdiff = [0.0] * d, [0.0] * d
+    for r in rows:
+        vmin[r["dim"]] = float(r["vmin"])
+        vdiff[r["dim"]] = float(r["vmax"]) - float(r["vmin"])
+    return vmin, vdiff
+
+
+def sq8_recon_expr(vec: ColumnOrName, vmin: list[float], vdiff: list[float]) -> Column:
+    """Encode-then-reconstruct in one codegen expression:
+
+      code_j = RNE(clamp((x_j - vmin_j) / vdiff_j * 255, 0, 255))
+      recon_j = vmin_j + code_j / 255 * vdiff_j   (vdiff_j = 0 -> vmin_j)
+
+    Operation order is fixed left-to-right so DuckDB replays it
+    bit-exactly (bround == round_even, verified for the i8 codec)."""
+    vm = F.lit([float(v) for v in vmin]).cast("array<double>")
+    vd = F.lit([float(v) for v in vdiff]).cast("array<double>")
+
+    def recon(x: Column, i: Column) -> Column:
+        m = F.element_at(vm, i + 1)
+        d = F.element_at(vd, i + 1)
+        t = (x.cast("double") - m) / d * F.lit(SQ8_LEVELS)
+        code = F.bround(F.greatest(F.lit(0.0), F.least(F.lit(SQ8_LEVELS), t)))
+        return F.when(d == 0.0, m).otherwise(m + code / F.lit(SQ8_LEVELS) * d)
+
+    return F.transform(_col(vec), recon)

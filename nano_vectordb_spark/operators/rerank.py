@@ -53,6 +53,26 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / np.sqrt(acc)[:, None]
 
 
+def _exact_scores(mat: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
+    """Relevance of every head row to the query with the engine's exact
+    sequential-fold semantics (operators/topk.score_expr's definitions,
+    accumulated per-dimension left-to-right in doubles)."""
+    if metric == "dot":
+        return _seq_dot_matrix(mat, q[None, :])[:, 0]
+    if metric == "cosine":
+        dots = _seq_dot_matrix(mat, q[None, :])[:, 0]
+        bn = np.zeros(mat.shape[0])
+        qn = 0.0
+        for d in range(mat.shape[1]):
+            bn += mat[:, d] * mat[:, d]
+            qn += q[d] * q[d]
+        return dots / (np.sqrt(bn) * np.sqrt(qn))
+    # MMR trades relevance against similarity in the same space; a
+    # distance metric would need a sign convention the objective doesn't
+    # define — reject instead of silently maximizing distance.
+    raise ValueError(f"mmr_rerank supports dot/cosine relevance, got {metric!r}")
+
+
 def mmr_rerank(
     base: DataFrame,
     queries: DataFrame,
@@ -72,6 +92,10 @@ def mmr_rerank(
         base.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__v")),
         "vec_id",
     ).select("query_id", "vec_id", "score", "__v")
+    qvecs = {
+        int(r[0]): np.asarray(r[1], dtype=np.float64)
+        for r in queries.select("query_id", "embedding").collect()
+    }
     rows = head.limit(MAX_HEAD_ROWS + 1).collect()
     if len(rows) > MAX_HEAD_ROWS:
         raise ValueError(
@@ -86,8 +110,14 @@ def mmr_rerank(
     for qid in sorted(by_q):
         rs = by_q[qid]
         ids = np.asarray([r[1] for r in rs], dtype=np.int64)
-        scores = np.asarray([r[2] for r in rs], dtype=np.float64)
         mat = np.asarray([r[3] for r in rs], dtype=np.float64)
+        # Recompute relevance with the exact sequential fold rather than
+        # trusting the two-phase partials: the BLAS matmul's reduction
+        # order (and so its last ulp) depends on partition/batch layout,
+        # which would make MMR's output partition-dependent and break
+        # the bit-exact oracle contract. The head is already
+        # driver-resident, so this costs one (pool x D) pass.
+        scores = _exact_scores(mat, qvecs[qid], metric)
         en = _normalize_rows(mat)
         sim = _seq_dot_matrix(en, en)
         selected: list[int] = []

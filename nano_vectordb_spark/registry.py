@@ -4986,6 +4986,279 @@ def ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Binary (1-bit sign) quantization + Hamming candidate search
+# --------------------------------------------------------------------------
+
+_BINQ_R = 50
+
+# DuckDB replay of the two-half sign signature (operators/binaryq.py):
+# bit j of the lo/hi word is 1 iff dim j / j+32 is strictly positive.
+_SQL_BINQ_SIG = """
+  SELECT vec_id,
+    CAST(list_aggregate(list_transform(range(0,32),
+      i -> CASE WHEN embedding[CAST(i AS INT)+1] > 0
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS sig_lo,
+    CAST(list_aggregate(list_transform(range(32,64),
+      i -> CASE WHEN embedding[CAST(i AS INT)+1] > 0
+                THEN (CAST(1 AS BIGINT) << CAST(i-32 AS INT))
+                ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT) AS sig_hi
+  FROM embeddings
+"""
+
+
+@register(
+    "topk_binary_rescore",
+    oracle=f"""
+WITH sig AS ({_SQL_BINQ_SIG}),
+qs AS (SELECT sig_lo, sig_hi FROM sig WHERE vec_id = 0),
+cand AS (
+  SELECT s.vec_id,
+         CAST(bit_count(xor(s.sig_lo, (SELECT sig_lo FROM qs)))
+            + bit_count(xor(s.sig_hi, (SELECT sig_hi FROM qs))) AS INT) AS hamming
+  FROM sig s
+  ORDER BY hamming ASC, s.vec_id ASC
+  LIMIT {_BINQ_R}
+),
+scored AS (
+  SELECT c.vec_id, c.hamming,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT vec_id, hamming, score, rank FROM (
+  SELECT vec_id, hamming, score,
+         CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {K}
+""",
+)
+def topk_binary_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantization search: the coarsest rung of the
+    reference's precision ladder (O5/O6/O23 codecs + the staged
+    candidates->refine pipeline O32). The 8-byte-per-vector signature
+    table is materialized once as its own parquet sink (vec_id, sig_lo,
+    sig_hi — 32x fewer scan bytes than f32 at D=64); stage 1 ranks it
+    by xor+bit_count Hamming distance into a TakeOrderedAndProject
+    top-{_BINQ_R}; stage 2 broadcast-joins the {_BINQ_R} survivors back
+    to the f32 table for an exact dot rescore. At 100 TB the
+    full-precision table is probed by id, never scanned."""
+    import hashlib
+    import os as _os
+
+    from nano_vectordb_spark.operators import binaryq as binq
+
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    path = "/tmp/nvdb_binsig_" + hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+
+    def _write(p: str) -> None:
+        emb_w = load_table(spark, sf_dir, "embeddings")
+        binq.with_signature(emb_w).select("vec_id", "sig_lo", "sig_hi").write.mode(
+            "overwrite"
+        ).parquet(p)
+
+    _materialize_once(path, _write)
+    sig = spark.read.parquet(path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return binq.topk_binary_rescore(sig, emb, qvec, K, rescore_r=_BINQ_R)
+
+
+# --------------------------------------------------------------------------
+# SQ8: per-dimension trained scalar quantization (FAISS QT_8bit family)
+# --------------------------------------------------------------------------
+
+_SQ8_TRAIN_CAP = 100_000
+
+
+def _sq8_fit(spark: SparkSession, sf_dir: str):
+    key = ("sq8", sf_dir)
+    if key not in _INDEX_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _INDEX_CACHE[key] = qz.sq8_train(emb, train_cap=_SQ8_TRAIN_CAP)
+    return _INDEX_CACHE[key]
+
+
+def _sq8_fit_oracle_np():
+    """Reproduce sq8_train's (vmin, vdiff) for the oracle fixture in
+    NumPy: min/max are order-independent and exact on float32, so the
+    values match the Spark aggregation bit-for-bit."""
+
+    def fit():
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        tbl = papq.read_table(
+            f"{_ORACLE_SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+        rows = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float32)
+        rows = rows[ids < _SQ8_TRAIN_CAP]
+        vmin = rows.min(axis=0)
+        vmax = rows.max(axis=0)
+        return (
+            [float(v) for v in vmin],
+            [float(vmax[j]) - float(vmin[j]) for j in range(len(vmin))],
+        )
+
+    return _fit_cached("sq8_ranges", fit)
+
+
+def _sq8_oracle() -> str:
+    vmin, vdiff = _sq8_fit_oracle_np()
+    vm, vd = _dlist(vmin), _dlist(vdiff)
+    recon = f"""list_transform(range(0, 64), j -> CASE
+      WHEN ({vd})[CAST(j AS INT)+1] = 0.0 THEN ({vm})[CAST(j AS INT)+1]
+      ELSE ({vm})[CAST(j AS INT)+1]
+           + round_even(greatest(0.0, least(255.0,
+               (CAST(embedding[CAST(j AS INT)+1] AS DOUBLE) - ({vm})[CAST(j AS INT)+1])
+               / ({vd})[CAST(j AS INT)+1] * 255.0)), 0)
+             / 255.0 * ({vd})[CAST(j AS INT)+1] END)"""
+    return f"""
+SELECT vec_id,
+       list_dot_product({recon},
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+"""
+
+
+@register("sq8_search", oracle=_sq8_oracle)
+def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION trained scalar quantization search (the FAISS
+    ScalarQuantizer QT_8bit family) — the trained sibling of the
+    reference's per-ROW max-abs int8 codec (O6/O23). (vmin_j, vdiff_j)
+    ranges are learned on a bounded id prefix (the k-means
+    sample-bounded training contract); encode/reconstruct/score is one
+    codegen expression over the scan, so ranking runs in the quantized
+    space exactly like topk_i8 — same 4x scan-byte reduction, but the
+    codebook is global instead of per-row (no per-row scale column)."""
+    vmin, vdiff = _sq8_fit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.lit([float(x) for x in qvec]).cast("array<double>")
+    from nano_vectordb_spark.functions.vector import dot_expr
+
+    scored = emb.select(
+        "vec_id",
+        dot_expr(qz.sq8_recon_expr("embedding", vmin, vdiff), qlit).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(K)
+
+
+# --------------------------------------------------------------------------
+# ORC source/sink roundtrip
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+FROM documents
+""",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage (the columnar sibling of the parquet
+    path — Spark-native, splittable, predicate-pushdown-capable):
+    documents written to ORC once (content-addressed /tmp cache), read
+    back with the explicit schema, and proven byte-identical via md5 of
+    every text against the parquet original."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    path = "/tmp/nvdb_orc_" + hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+
+    def _write(p: str) -> None:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(p)
+
+    _materialize_once(path, _write)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(path)
+    return docs.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS}),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY term
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)), 6) AS score
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT doc_id, term, tf, df, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {_TFIDF_TOP}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{_TFIDF_TOP} terms by
+    tf x ln(N/df) — the classic curation/labeling signal next to BM25
+    (which ranks docs for a query; this ranks terms for a doc). Scale
+    shape: one explode, two map-side-combined hash aggregations (tf
+    keyed by (doc, term), df keyed by term), then a term-keyed shuffle
+    join — posting-list economics identical to the BM25 operator.
+    ln() is libm-dependent in the last ulp, so the score is rounded to
+    6 decimals and ranking uses the rounded score — the same
+    cross-engine contract the BM25 entry established."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    terms = docs.select(
+        "doc_id", F.explode(tx.tokens_expr("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(n_docs) / F.col("df").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

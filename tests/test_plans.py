@@ -186,3 +186,33 @@ def test_ivf_rescore_reuses_pruned_scan(spark, base, queries, tmp_path):
     empty = [ln for ln in pf_lines if "PartitionFilters: []" in ln and "cluster_id" not in ln]
     # only the (non-partitioned) centroids/queries scans may be unpruned
     assert len(pf_lines) - len(base_pf) == len(empty), plan
+
+
+def test_binary_candidates_scan_only_signatures(spark, base, tmp_path):
+    """Binary-quantized search stage 1 must rank the 8-byte signature
+    table with a TakeOrderedAndProject (partial top-R per partition)
+    and never read the f32 embedding column — the 32x scan-byte
+    reduction IS the point of the codec."""
+    from nano_vectordb_spark.operators import binaryq as binq
+
+    path = str(tmp_path / "sig")
+    binq.with_signature(base).select("vec_id", "sig_lo", "sig_hi").write.parquet(path)
+    sig = spark.read.parquet(path)
+    cand = binq.hamming_candidates(sig, 123, 456, r=50)
+    plan = physical_plan(cand, "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "sig_lo" in read_schema and "embedding" not in read_schema, plan
+
+
+def test_binary_rescore_join_is_broadcast(spark, base, tmp_path):
+    from nano_vectordb_spark.operators import binaryq as binq
+
+    path = str(tmp_path / "sig2")
+    binq.with_signature(base).select("vec_id", "sig_lo", "sig_hi").write.parquet(path)
+    sig = spark.read.parquet(path)
+    qvec = base.select("embedding").first()[0]
+    df = binq.topk_binary_rescore(sig, base, qvec, k=10, rescore_r=50)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
