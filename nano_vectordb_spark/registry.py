@@ -5259,6 +5259,155 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (Catalyst decorrelation coverage)
+# --------------------------------------------------------------------------
+
+# engine-shared SQL: the customer average is exact (DECIMAL sum / count)
+# so the comparison boundary is the same double on both engines
+_SQL_ORDERS_ABOVE_AVG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("orders_above_customer_avg", oracle=_SQL_ORDERS_ABOVE_AVG)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their own
+    customer's average order value — the one relational shape the rest
+    of the registry doesn't exercise. Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution), so the plan is one
+    orders scan for the per-customer averages hash-aggregated map-side,
+    then a key-colocated join back — exactly what you'd hand-write at
+    100 TB. The average is an exact DECIMAL sum over count, so the
+    comparison boundary is bit-identical cross-engine."""
+    return _sql_view_query(spark, sf_dir, _SQL_ORDERS_ABOVE_AVG)
+
+
+# --------------------------------------------------------------------------
+# Statistical outlier detection (z-score anomalies)
+# --------------------------------------------------------------------------
+
+_ANOM_K = 20
+
+# mean and variance from EXACT decimal sums (order-independent), then
+# per-row z in deterministic double ops — no float aggregation anywhere
+_SQL_EVENTS_ANOMALY = f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+  FROM events GROUP BY event_type
+),
+z AS (
+  SELECT e.event_id, e.event_type, e.value,
+         round((CAST(CAST(e.value AS DECIMAL(18,6)) AS DOUBLE) - sv / n)
+           / sqrt(svv / n - (sv / n) * (sv / n)), 6) AS zscore
+  FROM events e JOIN s ON s.event_type = e.event_type
+)
+SELECT event_id, event_type, value, zscore, rank FROM (
+  SELECT event_id, event_type, value, zscore,
+         CAST(row_number() OVER (ORDER BY abs(zscore) DESC, event_id ASC) AS INT) AS rank
+  FROM z)
+WHERE rank <= {_ANOM_K}
+"""
+
+
+@register(
+    "latency_quantiles_counting",
+    oracle="""
+WITH j AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+counts AS (
+  SELECT o_orderpriority, d, CAST(count(*) AS BIGINT) AS c
+  FROM j GROUP BY o_orderpriority, d
+),
+cum AS (
+  SELECT o_orderpriority, d, c,
+         CAST(sum(c) OVER (PARTITION BY o_orderpriority ORDER BY d
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+         CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM counts
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_lineitems,
+       CAST(min(CASE WHEN cumc >= (n + 1) // 2 THEN d END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cumc >= (9 * n + 9) // 10 THEN d END) AS BIGINT) AS p90_days,
+       CAST(min(CASE WHEN cumc >= (99 * n + 99) // 100 THEN d END) AS BIGINT) AS p99_days
+FROM cum
+GROUP BY o_orderpriority
+""",
+)
+def latency_quantiles_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles over an integer metric via a mergeable counting
+    histogram — the 100 TB alternative to a global sort: exact
+    interpolated percentiles (order_fulfillment_latency) need every
+    value in one place, while an integer-domain metric (delay days)
+    reduces to per-(group, value) counts that partially aggregate
+    map-side and merge by cell-wise ADD — the same mergeability
+    argument as the HLL/count-min entries. The lower quantile
+    (smallest d with cum-count >= ceil(q*n)) is then EXACT, computed
+    over a few hundred distinct values per group, all in integer
+    arithmetic (ceil via (a+b-1) div b — no float quantile math)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    counts = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", F.datediff("sd", "od").alias("d"))
+        .groupBy("o_orderpriority", "d")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    cum = counts.select(
+        "o_orderpriority",
+        "d",
+        F.sum("c").over(wcum).cast("long").alias("cumc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+
+    def _q(num: int, den: int, name: str):
+        thr = F.expr(f"({num} * n + {num}) div {den}")
+        return F.min(F.when(F.col("cumc") >= thr, F.col("d"))).cast("long").alias(name)
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lineitems"),
+        _q(1, 2, "p50_days"),
+        _q(9, 10, "p90_days"),
+        _q(99, 100, "p99_days"),
+    )
+
+
+@register("events_anomaly_topk", oracle=_SQL_EVENTS_ANOMALY)
+def events_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection: the {_ANOM_K} most anomalous
+    events by per-event-type z-score — the data-quality triage pass a
+    training pipeline runs before trusting a telemetry source. Scale
+    shape: per-type mean/variance from one map-side-combined aggregate
+    over EXACT decimal sums (sum and sum-of-squares are both
+    order-independent), broadcast back to the scan, then a global
+    TakeOrdered over |z|. The wide-decimal -> double cast rounds
+    differently between engines in the last ulp, so the z-score
+    carries the standard 6-decimal rounding contract and ranking uses
+    the rounded value."""
+    return _sql_view_query(spark, sf_dir, _SQL_EVENTS_ANOMALY)
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
