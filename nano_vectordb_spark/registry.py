@@ -18,6 +18,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -5390,6 +5391,70 @@ def latency_quantiles_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q(1, 2, "p50_days"),
         _q(9, 10, "p90_days"),
         _q(99, 100, "p99_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retrieval quality metrics beyond recall: per-query RR + NDCG
+# --------------------------------------------------------------------------
+
+# IDCG@10 for binary relevance with a full GT list, embedded as ONE
+# literal in both engines so it contributes zero cross-engine variance
+_IDCG_10 = sum(1.0 / _math.log2(r + 1.0) for r in range(1, K + 1))
+
+
+@register(
+    "search_quality_i8",
+    oracle=f"""
+WITH gt AS (SELECT query_id, vec_id FROM ({_SQL_TOPK_MULTI})),
+pred AS ({_SQL_TOPK_I8}),
+r AS (
+  SELECT p.query_id, p.rank,
+         CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+  FROM pred p LEFT JOIN gt g
+    ON g.query_id = p.query_id AND g.vec_id = p.vec_id
+)
+SELECT query_id,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CASE WHEN min(CASE WHEN hit = 1 THEN rank END) IS NULL THEN 0.0
+            ELSE 1.0 / CAST(min(CASE WHEN hit = 1 THEN rank END) AS DOUBLE) END
+         AS reciprocal_rank,
+       round(list_aggregate(
+               list(CAST(hit AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0)
+                    ORDER BY rank), 'sum') / {_IDCG_10!r}, 6) AS ndcg_at_10
+FROM r GROUP BY query_id
+""",
+)
+def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality beyond recall (reference O17's metric family
+    completed): per-query reciprocal rank of the first relevant hit and
+    NDCG@{K} of the int8-space ranking against the exact f32 top-{K}
+    ground truth — the judged pair when tuning a quantized scan or ANN
+    operating point. DCG sums via an ordered sequential fold (the BM25
+    list-fold contract); log2 is libm-dependent in the last ulp, so
+    NDCG carries the 6-decimal rounding; IDCG is one shared literal.
+    Scale shape: both rankings are the proven top-k plans; the metric
+    itself is a broadcast-sized join + one keyed aggregation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    gt = topk_ops.topk_multi(emb, _queries_df(spark, sf_dir), K).select(
+        "query_id", "vec_id", F.lit(1).alias("__hit")
+    )
+    pred = _topk_i8_df(spark, sf_dir).select("query_id", "vec_id", "rank")
+    r = pred.join(gt, ["query_id", "vec_id"], "left").select(
+        "query_id", "rank", F.coalesce("__hit", F.lit(0)).alias("hit")
+    )
+    gains = F.transform(
+        F.array_sort(F.collect_list(F.struct("rank", "hit"))),
+        lambda s: s["hit"].cast("double") / F.log2(s["rank"].cast("double") + F.lit(1.0)),
+    )
+    dcg = F.aggregate(gains, F.lit(0.0), lambda a, b: a + b)
+    fr = F.min(F.when(F.col("hit") == 1, F.col("rank")))
+    return r.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.when(fr.isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / fr.cast("double"))
+        .alias("reciprocal_rank"),
+        F.round(dcg / F.lit(_IDCG_10), 6).alias("ndcg_at_10"),
     )
 
 
