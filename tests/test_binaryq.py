@@ -87,3 +87,38 @@ def test_sq8_recon_error_bounded(spark):
         rec = np.asarray(r["recon"], dtype=np.float64)
         # in-range values reconstruct within half a quantization step
         assert np.all(np.abs(x - rec) <= half_step + 1e-12)
+
+
+# ---- property tests (NumPy-only, no Spark session) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _vec64(draw):
+    return draw(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=64,
+            max_size=64,
+        )
+    )
+
+
+@given(_vec64())
+@settings(max_examples=50, deadline=None)
+def test_signature_bits_roundtrip(v):
+    lo, hi = binq.sign_signature_np(v)
+    bits = [(lo >> i) & 1 for i in range(32)] + [(hi >> i) & 1 for i in range(32)]
+    assert bits == [1 if x > 0 else 0 for x in v]
+
+
+@given(_vec64(), _vec64())
+@settings(max_examples=50, deadline=None)
+def test_hamming_equals_naive_sign_disagreement(a, b):
+    la, ha = binq.sign_signature_np(a)
+    lb, hb = binq.sign_signature_np(b)
+    ham = bin((la ^ lb)).count("1") + bin((ha ^ hb)).count("1")
+    naive = sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))
+    assert ham == naive
