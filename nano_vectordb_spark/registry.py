@@ -5458,6 +5458,88 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# BPE merge learning (tokenizer training from the word-frequency table)
+# --------------------------------------------------------------------------
+
+_BPE_VOCAB_HEAD = 5_000
+_BPE_N_MERGES = 10
+
+
+def _bpe_fit_oracle():
+    """Independently reproduce the merge list for the oracle fixture in
+    pure Python from the parquet (pyarrow read + str.split word counts
+    + the shared learner) — verifying Spark's distributed word-count
+    aggregation end-to-end, the seeded-fit-literal trust model of the
+    k-means/PQ oracles."""
+
+    def fit():
+        from collections import Counter
+
+        import pyarrow.parquet as papq
+
+        from nano_vectordb_spark.functions import bpe
+
+        texts = (
+            papq.read_table(f"{_ORACLE_SF}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        counts: Counter = Counter()
+        for t in texts:
+            for w in t.split(" "):
+                if w:
+                    counts[w] += 1
+        head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_VOCAB_HEAD]
+        return bpe.learn_merges(head, _BPE_N_MERGES)
+
+    return _fit_cached("bpe_merges", fit)
+
+
+def _bpe_oracle() -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ",\n    ".join(
+        f"({step}, '{esc(l)}', '{esc(r)}', {c})"
+        for step, l, r, c in _bpe_fit_oracle()
+    )
+    return f"""
+SELECT CAST(step AS INT) AS step, left_sym, right_sym,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES
+    {vals}) AS t(step, left_sym, right_sym, pair_count)
+"""
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the first {n} BPE merges from the
+    corpus (functions/bpe.py, the Sennrich et al. ACL'16 algorithm).
+    Scale shape — the train/assign split again: the distributed work is
+    ONE explode -> map-side-combined word-count aggregate ending in a
+    TakeOrdered vocabulary head (top-{head} by count; the full corpus
+    never re-scans per merge), and the merge loop runs driver-side over
+    that bounded table exactly like real tokenizer trainers. The oracle
+    re-derives the merges in pure Python straight from the parquet, so
+    a Spark-side word-count discrepancy fails the hash."""
+    from nano_vectordb_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tx.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(_BPE_VOCAB_HEAD)
+        .collect()
+    )
+    merges = bpe.learn_merges([(r["term"], int(r["c"])) for r in vocab], _BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
 @register("events_anomaly_topk", oracle=_SQL_EVENTS_ANOMALY)
 def events_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical outlier detection: the {_ANOM_K} most anomalous
