@@ -5459,6 +5459,125 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# k-NN self-join (neighbor graph construction)
+# --------------------------------------------------------------------------
+
+_KNN_JOIN_K = 3
+
+
+@register(
+    "knn_self_join",
+    oracle=f"""
+WITH scored AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])) AS score
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT src_id, nbr_id, score, rank FROM (
+  SELECT src_id, nbr_id, score,
+         CAST(row_number() OVER (PARTITION BY src_id
+           ORDER BY score DESC, nbr_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_JOIN_K}
+""",
+)
+def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN self-join: every vector's top-{_KNN_JOIN_K} nearest OTHER
+    vectors — the neighbor-graph constructor behind clustering,
+    label-propagation and kNN-graph ANN methods, and the per-row
+    sibling of the radius search. Physical shape: the proven two-phase
+    multi-query scan with the whole table as the query batch, then
+    exact rescore; self-pairs drop before ranking. The query-batch
+    broadcast contract (Q <= 10k) applies — at 100 TB the driver
+    batches the query side per block (block-matmul economics, each
+    block one two-phase pass), or swaps in the IVF-blocked approximate
+    variant (doc_search_ivf's plan) when exactness can relax."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    # k+1 candidates so dropping the self-pair still leaves k
+    two = topk_ops.topk_multi(emb, q, _KNN_JOIN_K + 1, strategy="two_phase")
+    res = topk_ops.exact_rescore(emb, q, two)
+    filtered = res.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        filtered.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_JOIN_K)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("vec_id").alias("nbr_id"),
+            "score",
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF cluster balance (the FAISS imbalance_factor diagnostic)
+# --------------------------------------------------------------------------
+
+
+def _ivf_balance_oracle() -> str:
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+  FROM assigned GROUP BY cluster_id
+)
+SELECT CAST({_IVF_NLIST} AS INT) AS nlist,
+       CAST(count(*) AS BIGINT) AS n_nonempty,
+       CAST(min(sz) AS BIGINT) AS min_size,
+       CAST(max(sz) AS BIGINT) AS max_size,
+       round({_IVF_NLIST} * CAST(sum(sz * sz) AS DOUBLE)
+             / (CAST(sum(sz) AS DOUBLE) * CAST(sum(sz) AS DOUBLE)), 6) AS imbalance
+FROM sizes
+"""
+
+
+@register("ivf_cluster_balance", oracle=_ivf_balance_oracle)
+def ivf_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-size diagnostic — FAISS's imbalance_factor
+    (nlist * sum(sz^2) / sum(sz)^2; 1.0 = perfectly balanced): the
+    number that predicts probe-cost variance and partition skew of the
+    cluster-partitioned layout, checked before shipping an index. One
+    keyed count over the assignment (map-side partial) then a scalar
+    aggregate — integer-exact until the final division."""
+    idx = _ivf_index(spark, sf_dir)
+    sizes = idx.assigned.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    aggd = sizes.agg(
+        F.count("*").cast("long").alias("n_nonempty"),
+        F.min("sz").cast("long").alias("min_size"),
+        F.max("sz").cast("long").alias("max_size"),
+        F.sum(F.col("sz") * F.col("sz")).alias("__ss"),
+        F.sum("sz").alias("__s"),
+    )
+    return aggd.select(
+        F.lit(_IVF_NLIST).cast("int").alias("nlist"),
+        "n_nonempty",
+        "min_size",
+        "max_size",
+        F.round(
+            F.lit(_IVF_NLIST) * F.col("__ss").cast("double")
+            / (F.col("__s").cast("double") * F.col("__s").cast("double")),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE merge learning (tokenizer training from the word-frequency table)
 # --------------------------------------------------------------------------
 
