@@ -5459,6 +5459,149 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temperature-smoothed mixture weighting (the multilingual alpha knob)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mixture_weights_temperature",
+    oracle="""
+WITH toks_m AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM toks_m GROUP BY source
+),
+shares AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS natural_share
+  FROM per_src
+),
+sq AS (SELECT *, sqrt(natural_share) AS sq_share FROM shares),
+denom AS (SELECT list_aggregate(list(sq_share ORDER BY source), 'sum') AS d FROM sq),
+tgt AS (
+  SELECT source, n_docs, n_tokens, natural_share,
+         sq_share / (SELECT d FROM denom) AS target_share
+  FROM sq
+),
+rated AS (SELECT *, target_share / natural_share AS rate_raw FROM tgt)
+SELECT source, n_docs, n_tokens, natural_share, target_share,
+       rate_raw / max(rate_raw) OVER () AS keep_rate
+FROM rated
+""",
+)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source mixture (the multilingual alpha
+    sampling of XLM-R / mT5, alpha = 0.5): targets derive from the
+    corpus itself as natural_share^alpha renormalized, flattening
+    head-heavy sources without hand-set shares; realized downsample-only
+    like mixture_weights. Cross-engine exactness: token totals are
+    integer sums, natural shares one exact division, sqrt is IEEE, and
+    the ONLY order-dependent float sum (the renormalizer over sources)
+    runs as a source-ordered sequential fold on both engines."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tx.tokens_expr("text")).cast("long")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    shares = per.withColumn(
+        "natural_share",
+        F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall).cast("double"),
+    ).withColumn("sq_share", F.sqrt("natural_share"))
+    denom = shares.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "sq_share"))),
+                lambda s: s["sq_share"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("__d")
+    )
+    rated = (
+        shares.crossJoin(F.broadcast(denom))
+        .withColumn("target_share", F.col("sq_share") / F.col("__d"))
+        .withColumn("rate_raw", F.col("target_share") / F.col("natural_share"))
+    )
+    return rated.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "natural_share",
+        "target_share",
+        (F.col("rate_raw") / F.max("rate_raw").over(wall)).alias("keep_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: mergeSchema read over generations of a layout
+# --------------------------------------------------------------------------
+
+
+@register(
+    "schema_evolution_read",
+    oracle="""
+SELECT CAST(v AS INT) AS v, source_tag,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars_total
+FROM (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS v,
+         CASE WHEN doc_id % 2 = 0 THEN '<legacy>' ELSE source END AS source_tag,
+         CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS nc
+  FROM documents
+)
+GROUP BY v, source_tag
+""",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across layout generations — the long-lived-
+    pipeline reality that columns get added later: generation v=1 wrote
+    (doc_id, text, lang) only, v=2 added (source, n_chars). One
+    mergeSchema read over the partitioned root unions both generations
+    with NULLs for pre-existence, and the aggregation proves null
+    semantics (count spans both, sum skips the legacy NULLs). At scale
+    this is how a reader spans years of a hive-layout table without
+    rewriting old partitions."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "documents.parquet"))
+    root = "/tmp/nvdb_schemaevo_" + hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+
+    def _write(p: str) -> None:
+        docs_w = load_table(spark, sf_dir, "documents")
+        docs_w.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).write.mode("overwrite").parquet(f"{p}/v=1")
+        docs_w.filter(F.col("doc_id") % 2 == 1).write.mode("overwrite").parquet(
+            f"{p}/v=2"
+        )
+
+    _materialize_once(root, _write, marker="v=2/_SUCCESS")
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.select(
+            F.col("v").cast("int").alias("v"),
+            F.coalesce("source", F.lit("<legacy>")).alias("source_tag"),
+            "n_chars",
+        )
+        .groupBy("v", "source_tag")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # k-NN self-join (neighbor graph construction)
 # --------------------------------------------------------------------------
 

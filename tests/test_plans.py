@@ -216,3 +216,36 @@ def test_binary_rescore_join_is_broadcast(spark, base, tmp_path):
     plan = physical_plan(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sq8_search_is_single_scan_take_ordered(spark):
+    """SQ8 scoring must stay one codegen pass over one parquet scan
+    ending in TakeOrderedAndProject — no join, no second scan."""
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["sq8_search"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_tfidf_never_goes_cartesian(spark):
+    """TF-IDF's tf x df combine must be a keyed join on term — a
+    nested-loop/cartesian plan would be quadratic in the vocabulary."""
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["tfidf_top_terms"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_self_join_partial_phase_single_exchange(spark, base):
+    """The kNN self-join's candidate phase is the two-phase scan: the
+    N x N score matrix must never shuffle — only Q x P x k partials."""
+    from pyspark.sql import functions as FF
+
+    q = base.select(FF.col("vec_id").alias("query_id"), "embedding")
+    two = topk_ops.topk_multi(base, q, 4, strategy="two_phase")
+    assert count_exchanges(two) <= 1, physical_plan(two, "simple")
