@@ -5459,6 +5459,47 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF deletion (the FAISS remove_ids contract)
+# --------------------------------------------------------------------------
+
+_IVF_DEL_MOD = 17
+_IVF_DEL_RES = 3
+
+
+def _ivf_delete_oracle() -> str:
+    return _ivf_oracle(pred=f"vec_id % {_IVF_DEL_MOD} != {_IVF_DEL_RES}")
+
+
+@register("ivf_search_after_delete", oracle=_ivf_delete_oracle)
+def ivf_search_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletion — the FAISS remove_ids / IDSelector contract
+    completing the lifecycle (build -> add -> DELETE -> persist): a
+    tombstone id set (vec_id % {_IVF_DEL_MOD} == {_IVF_DEL_RES})
+    broadcast-anti-joins the assignment, and search runs over the
+    survivors with centroids frozen — deleting never refits or
+    reassigns, exactly like FAISS. At scale the tombstone filter
+    composes with cluster partition pruning (only probed directories
+    are read, minus tombstones); physical reclamation is a compaction
+    that rewrites ONLY the clusters containing deletions, since
+    cluster_id is the partition key."""
+    idx = _ivf_index(spark, sf_dir)
+    tombstones = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _IVF_DEL_MOD == _IVF_DEL_RES)
+        .select("vec_id")
+    )
+    alive = ivf_ops.IvfIndex(
+        centroids=idx.centroids,
+        assigned=idx.assigned.join(F.broadcast(tombstones), "vec_id", "left_anti"),
+        nlist=idx.nlist,
+        centroids_np=idx.centroids_np,
+    )
+    return ivf_ops.ivf_search(
+        alive, _queries_df(spark, sf_dir), K, nprobe=_IVF_NPROBE
+    )
+
+
+# --------------------------------------------------------------------------
 # Temperature-smoothed mixture weighting (the multilingual alpha knob)
 # --------------------------------------------------------------------------
 
