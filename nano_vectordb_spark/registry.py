@@ -5459,6 +5459,53 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cohort retention (event analytics)
+# --------------------------------------------------------------------------
+
+_RETENTION_MAX_OFFSET = 7
+
+
+@register(
+    "user_retention_cohorts",
+    oracle=f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, d FROM ev)
+SELECT f.cohort_date,
+       CAST(datediff('day', f.cohort_date, a.d) AS INT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN firsts f ON f.user_id = a.user_id
+WHERE datediff('day', f.cohort_date, a.d) <= {_RETENTION_MAX_OFFSET}
+GROUP BY f.cohort_date, day_offset
+""",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention — the event-analytics staple the registry's
+    funnel/sessionize/rollup family lacked: users grouped by first-seen
+    date, distinct active users per day offset (0..{_RETENTION_MAX_OFFSET}).
+    Scale shape: one user-keyed aggregate for cohort dates, one
+    distinct-day projection, then a user-keyed join (both sides
+    pre-shuffled on the same key) and a small keyed count-distinct.
+    Dates are wall-clock casts of NTZ timestamps — timezone-free on
+    both engines; everything else is integer-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    activity = ev.distinct()
+    j = activity.join(firsts, "user_id").select(
+        "cohort_date",
+        F.datediff("d", "cohort_date").cast("int").alias("day_offset"),
+        "user_id",
+    )
+    return (
+        j.filter(F.col("day_offset") <= _RETENTION_MAX_OFFSET)
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
 # IVF deletion (the FAISS remove_ids contract)
 # --------------------------------------------------------------------------
 
