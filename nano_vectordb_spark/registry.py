@@ -5459,6 +5459,98 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fuzzy vocabulary matching (SymSpell deletion-neighborhood blocking)
+# --------------------------------------------------------------------------
+
+_TYPO_MIN_LEN = 4
+
+
+@register(
+    "vocab_typo_pairs",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS}),
+corpus_terms AS (SELECT unnest(toks) AS term FROM t),
+typo_terms AS (
+  SELECT concat(substring(tok, 1, 1), substring(tok, 3)) AS term
+  FROM (SELECT doc_id, toks[1] AS tok FROM t)
+  WHERE doc_id % 50 = 0 AND len(tok) >= {_TYPO_MIN_LEN + 1}
+),
+terms AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT term FROM corpus_terms UNION ALL SELECT term FROM typo_terms)
+  WHERE len(term) >= {_TYPO_MIN_LEN}
+  GROUP BY term
+)
+SELECT a.term AS term_a, b.term AS term_b, a.n AS n_a, b.n AS n_b
+FROM terms a JOIN terms b ON a.term < b.term
+WHERE levenshtein(a.term, b.term) = 1
+""",
+)
+def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary matching: every pair of vocabulary terms at
+    edit distance exactly 1 (the typo-clustering / entity-resolution
+    primitive), found WITHOUT the quadratic all-pairs scan via SymSpell
+    deletion-neighborhood blocking: each term emits itself plus its
+    single-character-deletion variants as blocking keys; any lev<=1
+    pair provably shares a key (substitutions share the deletion at
+    the edited position, insert/delete pairs share the shorter term),
+    so an equi-join on the variant followed by a levenshtein verify is
+    EXACT. Scale: the blowup is x(len+1) blocking rows — the same
+    inverted-index economics as the MinHash/SimHash band joins — and
+    the oracle IS the quadratic definition, proving blocked ==
+    all-pairs. The synthetic vocabulary is typo-free, so deterministic
+    second-character-deletion typos are injected for every 50th doc's
+    first token (the pii_redact non-vacuous-oracle precedent, replayed
+    identically in SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens_expr("text").alias("toks"))
+    corpus_terms = toks.select(F.explode("toks").alias("term"))
+    typo_terms = (
+        toks.select("doc_id", F.element_at("toks", 1).alias("tok"))
+        .filter(
+            (F.col("doc_id") % 50 == 0) & (F.length("tok") >= _TYPO_MIN_LEN + 1)
+        )
+        .select(
+            F.concat(
+                F.substring("tok", 1, 1), F.expr("substring(tok, 3)")
+            ).alias("term")
+        )
+    )
+    terms = (
+        corpus_terms.unionAll(typo_terms)
+        .filter(F.length("term") >= _TYPO_MIN_LEN)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    variants = terms.select(
+        "term",
+        "n",
+        F.explode(
+            F.concat(
+                F.array(F.col("term")),
+                F.expr(
+                    "transform(sequence(1, length(term)), i -> "
+                    "concat(substring(term, 1, i - 1), substring(term, i + 1, length(term))))"
+                ),
+            )
+        ).alias("block_key"),
+    )
+    a = variants.select(
+        F.col("term").alias("term_a"), F.col("n").alias("n_a"), "block_key"
+    )
+    b = variants.select(
+        F.col("term").alias("term_b"), F.col("n").alias("n_b"), "block_key"
+    )
+    cand = (
+        a.join(b, "block_key")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b", "n_a", "n_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("term_a", "term_b") == 1)
+
+
+# --------------------------------------------------------------------------
 # Cohort retention (event analytics)
 # --------------------------------------------------------------------------
 
