@@ -5810,18 +5810,28 @@ def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN self-join: every vector's top-{_KNN_JOIN_K} nearest OTHER
     vectors — the neighbor-graph constructor behind clustering,
     label-propagation and kNN-graph ANN methods, and the per-row
-    sibling of the radius search. Physical shape: the proven two-phase
-    multi-query scan with the whole table as the query batch, then
-    exact rescore; self-pairs drop before ranking. The query-batch
-    broadcast contract (Q <= 10k) applies — at 100 TB the driver
-    batches the query side per block (block-matmul economics, each
-    block one two-phase pass), or swaps in the IVF-blocked approximate
-    variant (doc_search_ivf's plan) when exactness can relax."""
+    sibling of the radius search. Physical shape: the query side runs
+    in blocks of at most the two-phase broadcast contract (Q <= 10k),
+    each block one two-phase scan + exact rescore — the block-matmul
+    economics an exact all-to-all kNN costs at any scale (every block
+    rescans the base; the blocking only bounds driver/broadcast
+    memory). Results union across blocks; self-pairs drop before
+    ranking. When exactness can relax, the IVF-blocked plan
+    (doc_search_ivf) replaces the full rescans."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-    # k+1 candidates so dropping the self-pair still leaves k
-    two = topk_ops.topk_multi(emb, q, _KNN_JOIN_K + 1, strategy="two_phase")
-    res = topk_ops.exact_rescore(emb, q, two)
+    n = emb.count()
+    n_blocks = max(1, -(-n // topk_ops.MAX_BROADCAST_QUERIES))
+    parts = []
+    for b in range(n_blocks):
+        q = emb.filter(F.col("vec_id") % n_blocks == b).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # k+1 candidates so dropping the self-pair still leaves k
+        two = topk_ops.topk_multi(emb, q, _KNN_JOIN_K + 1, strategy="two_phase")
+        parts.append(topk_ops.exact_rescore(emb, q, two))
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionAll(p)
     filtered = res.filter(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
