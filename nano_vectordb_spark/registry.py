@@ -5459,6 +5459,144 @@ def search_quality_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) staged search
+# --------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+_MRL_R = 50
+
+
+@register(
+    "topk_matryoshka",
+    oracle=f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding[1:{_MRL_DIMS}] AS DOUBLE[]),
+                          (SELECT v[1:{_MRL_DIMS}] FROM q)) AS head_score
+  FROM embeddings
+  ORDER BY head_score DESC, vec_id ASC
+  LIMIT {_MRL_R}
+),
+scored AS (
+  SELECT c.vec_id, c.head_score,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), (SELECT v FROM q)) AS score
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+)
+SELECT vec_id, head_score, score, rank FROM (
+  SELECT vec_id, head_score, score,
+         CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {K}
+""",
+)
+def topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-dimension staged search (the MRL
+    adaptive-retrieval pattern: nested-prefix embeddings rank well at
+    a fraction of the dimensions): stage 1 ranks by dot over the FIRST
+    {_MRL_DIMS} of 64 dims from a materialized head table (vec_id +
+    {_MRL_DIMS}-dim prefix — 4x fewer scan bytes, the same
+    separate-sink trick as the binary signature path), stage 2
+    broadcast-rescores the top-{_MRL_R} on full vectors. Unlike the
+    codecs, the head IS exact arithmetic on a prefix — no
+    reconstruction error model, just fewer dimensions scanned."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+    path = "/tmp/nvdb_mrlhead_" + hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+
+    def _write(p: str) -> None:
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("head")
+        ).write.mode("overwrite").parquet(p)
+
+    _materialize_once(path, _write)
+    head = spark.read.parquet(path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qhead = F.lit([float(x) for x in qvec[:_MRL_DIMS]]).cast("array<double>")
+    qfull = F.lit([float(x) for x in qvec]).cast("array<double>")
+    from nano_vectordb_spark.functions.vector import dot_expr
+
+    cand = (
+        head.select("vec_id", dot_expr("head", qhead).alias("head_score"))
+        .orderBy(F.col("head_score").desc(), F.col("vec_id").asc())
+        .limit(_MRL_R)
+    )
+    scored = F.broadcast(cand).join(
+        emb.select("vec_id", F.col("embedding").alias("__full")), "vec_id"
+    ).select("vec_id", "head_score", dot_expr("__full", qfull).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("vec_id", "head_score", "score", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus snapshot diff (release-to-release delta)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs FROM (
+  SELECT CASE WHEN doc_id % 13 = 1 THEN 'added' END AS status FROM documents
+  UNION ALL
+  SELECT CASE
+           WHEN doc_id % 7 = 3 THEN 'removed'
+           WHEN doc_id % 10 = 0 THEN 'changed'
+           ELSE 'unchanged' END AS status
+  FROM documents
+)
+WHERE status IS NOT NULL
+GROUP BY status
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release corpus delta — the data-versioning report a
+    pipeline publishes with every snapshot: FULL OUTER join of two
+    releases on doc_id comparing content md5s, classifying every doc
+    added / removed / changed / unchanged. Release B derives
+    deterministically from release A (every 7th doc dropped, every
+    10th doc's text revised, a clone batch appended under new ids), so
+    the oracle is the closed form of the statuses while the Spark side
+    exercises the general mechanism: one doc_id-keyed full-outer join
+    with md5 comparison — at 100 TB both releases shuffle once on the
+    join key, and the md5s can come precomputed from release manifests
+    (corpus_release) instead of rescanning text."""
+    a = load_table(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("md5_a"))
+    base = load_table(spark, sf_dir, "documents")
+    b_kept = base.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("md5_b"),
+    )
+    b_new = base.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.md5("text").alias("md5_b")
+    )
+    b = b_kept.unionAll(b_new)
+    j = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("md5_a").isNull(), F.lit("added"))
+        .when(F.col("md5_b").isNull(), F.lit("removed"))
+        .when(F.col("md5_a") != F.col("md5_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy vocabulary matching (SymSpell deletion-neighborhood blocking)
 # --------------------------------------------------------------------------
 
