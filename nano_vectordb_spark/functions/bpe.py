@@ -73,3 +73,31 @@ def segment_word(word: str, merges: list[tuple[int, str, str, int]]) -> list[str
                 i += 1
         s = out
     return s
+
+
+# Symbol separator for the JVM-native encode path: a control byte that
+# cannot appear in whitespace-tokenized corpus words.
+SEP = "\x01"
+
+
+def merge_regex_steps(
+    merges: list[tuple[int, str, str, int]]
+) -> list[tuple[str, str]]:
+    """Compile the merge list to (pattern, replacement) regex steps over
+    a SEP-joined symbol string.
+
+    Java's regexp_replace replaces non-overlapping matches left-to-right
+    against the ORIGINAL string — exactly :func:`segment_word`'s greedy
+    scan per merge (adjacency cases like 'aaa' with merge (a,a) agree;
+    pinned by tests/test_bpe.py). The boundary lookarounds stop a merge
+    from matching inside a longer symbol ('ab'+'c' never merges as
+    b+c). Symbols are \\Q-quoted; replacements escape Matcher's \\ and $.
+    """
+    steps: list[tuple[str, str]] = []
+    for _, left, right, _ in merges:
+        if "\\E" in left + right:  # \Q-quoting cannot express \E itself
+            raise ValueError("merge symbol contains the literal \\E")
+        pat = f"(?<=^|{SEP})\\Q{left}\\E{SEP}\\Q{right}\\E(?={SEP}|$)"
+        repl = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        steps.append((pat, repl))
+    return steps

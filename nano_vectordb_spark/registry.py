@@ -6102,17 +6102,11 @@ FROM (VALUES
 """
 
 
-@register("bpe_learn_merges", oracle=_bpe_oracle)
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer training: learn the first {n} BPE merges from the
-    corpus (functions/bpe.py, the Sennrich et al. ACL'16 algorithm).
-    Scale shape — the train/assign split again: the distributed work is
-    ONE explode -> map-side-combined word-count aggregate ending in a
-    TakeOrdered vocabulary head (top-{head} by count; the full corpus
-    never re-scans per merge), and the merge loop runs driver-side over
-    that bounded table exactly like real tokenizer trainers. The oracle
-    re-derives the merges in pure Python straight from the parquet, so
-    a Spark-side word-count discrepancy fails the hash."""
+def _bpe_merges_spark(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Shared train step: distributed word counts -> bounded vocabulary
+    head -> driver-side merge loop (the k-means train/assign split)."""
     from nano_vectordb_spark.functions import bpe
 
     docs = load_table(spark, sf_dir, "documents")
@@ -6124,9 +6118,112 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BPE_VOCAB_HEAD)
         .collect()
     )
-    merges = bpe.learn_merges([(r["term"], int(r["c"])) for r in vocab], _BPE_N_MERGES)
+    return bpe.learn_merges(
+        [(r["term"], int(r["c"])) for r in vocab], _BPE_N_MERGES
+    )
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training: learn the first {n} BPE merges from the
+    corpus (functions/bpe.py, the Sennrich et al. ACL'16 algorithm).
+    Scale shape — the train/assign split again: the distributed work is
+    ONE explode -> map-side-combined word-count aggregate ending in a
+    TakeOrdered vocabulary head (top-{head} by count; the full corpus
+    never re-scans per merge), and the merge loop runs driver-side over
+    that bounded table exactly like real tokenizer trainers. The oracle
+    re-derives the merges in pure Python straight from the parquet, so
+    a Spark-side word-count discrepancy fails the hash."""
+    merges = _bpe_merges_spark(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Fixture-specific encode oracle: the merge list is re-derived in
+    pure Python (:func:`_bpe_fit_oracle`), every distinct corpus word is
+    segmented with functions/bpe.segment_word, and the word->pieces map
+    is embedded as a CASE literal (31 words at sf0.01) — the seeded-fit
+    trust model. The ELSE branch is a '?' sentinel: an unseen word
+    would hash-mismatch loudly instead of silently passing."""
+    import pyarrow.parquet as papq
+
+    from nano_vectordb_spark.functions import bpe
+
+    merges = _bpe_fit_oracle()
+    texts = (
+        papq.read_table(f"{_ORACLE_SF}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    words = sorted({w for t in texts for w in t.split(" ") if w})
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    cases = "\n           ".join(
+        f"WHEN '{esc(w)}' THEN '{esc(','.join(bpe.segment_word(w, merges)))}'"
+        for w in words
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, ws,
+         coalesce(list_aggregate(list_transform(ws,
+           w -> CASE w {cases}
+           ELSE '?' END), 'string_agg', ','), '') AS tok
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(string_split(tok, ','), x -> x <> ''))
+            AS BIGINT) AS n_tokens,
+       md5(tok) AS tokens_md5
+FROM enc
+"""
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — encode every document with the learned
+    BPE merges (the other half of bpe_learn_merges; together they are
+    the full train->encode tokenizer lifecycle a training pipeline
+    runs over the corpus; reference text path:
+    scripts/build_vecbin_chunked.py's tokenize step).
+
+    Scale shape: merges are learned once from the bounded vocabulary
+    head (driver-side, like every fit here), then the ENCODE is a pure
+    map-only JVM pass — each merge compiles to one regexp_replace over
+    a SEP-joined symbol string (functions/bpe.merge_regex_steps, proven
+    identical to the greedy segmenter), applied inside a native
+    transform over the token array. Zero Python in the encode path,
+    zero shuffles, whole-stage codegen end-to-end; per-doc output is
+    token counts plus an md5 of the full piece sequence, so a single
+    mis-segmented word anywhere in the corpus fails the hash."""
+    from nano_vectordb_spark.functions import bpe
+
+    steps = bpe.merge_regex_steps(_bpe_merges_spark(spark, sf_dir))
+
+    def pieces_csv(w):
+        e = F.array_join(F.filter(F.split(w, ""), lambda x: x != ""), bpe.SEP)
+        for pat, repl in steps:
+            e = F.regexp_replace(e, pat, repl)
+        return F.translate(e, bpe.SEP, ",")
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = tx.tokens_expr("text")
+    tok = F.array_join(F.transform(words, pieces_csv), ",")
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(F.split(tok, ","), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(tok).alias("tokens_md5"),
     )
 
 
