@@ -6242,6 +6242,116 @@ def events_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_view_query(spark, sf_dir, _SQL_EVENTS_ANOMALY)
 
 
+# --------------------------------------------------------------------------
+# Exact-substring duplicate spans (the suffix-array dedup signal)
+# --------------------------------------------------------------------------
+
+_SSD_K = 32  # gram width (chars)
+_SSD_STRIDE = 8
+
+_SQL_SSD = f"""
+WITH ex AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(substr(text, CAST(p AS INT), {_SSD_K})), 1, 15))::BIGINT AS hh
+  FROM (SELECT doc_id, text,
+               unnest(range(1, length(text) - {_SSD_K - 2}, {_SSD_STRIDE})) AS p
+        FROM documents WHERE length(text) >= {_SSD_K})
+),
+dup AS (SELECT hh FROM ex GROUP BY hh HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT doc_id, (p - 1) // {_SSD_STRIDE} AS idx FROM ex JOIN dup USING (hh)),
+isl AS (
+  SELECT doc_id,
+         idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS g
+  FROM dp
+),
+runs AS (SELECT doc_id, count(*) AS run FROM isl GROUP BY doc_id, g),
+ds AS (
+  SELECT doc_id, max(run) AS max_run, sum(run) AS n_dup
+  FROM runs GROUP BY doc_id
+),
+base AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(base.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(ds.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(CASE WHEN ds.max_run IS NULL THEN 0
+                 ELSE (ds.max_run - 1) * {_SSD_STRIDE} + {_SSD_K}
+            END AS BIGINT) AS max_dup_span_chars
+FROM documents d
+LEFT JOIN base USING (doc_id)
+LEFT JOIN ds USING (doc_id)
+"""
+
+
+@register("substring_dup_spans", oracle=_SQL_SSD)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: per document, how many
+    {_SSD_K}-char grams (stride {_SSD_STRIDE}) also occur verbatim in
+    ANOTHER document, and the longest contiguous duplicated span — the
+    character-level exact-dup signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), whose suffix-array
+    pass this strided gram inverted index approximates with span
+    resolution {_SSD_STRIDE} chars.
+
+    Scale shape: grams are 60-bit md5 hashes (never the raw text) so
+    the dup-detection shuffle moves 8-byte keys — an inverted-index
+    equi-join like decontaminate, never doc x doc; cross-doc dup test
+    is min(doc_id) <> max(doc_id), a map-side-combinable aggregate, not
+    countDistinct. Span reconstruction (gaps-and-islands over the
+    per-doc dup positions) shuffles only the DUPLICATED positions by
+    doc_id — at a healthy dedup rate that is a small fraction of the
+    gram table. Both engines hash identically, so comparison stays
+    exact even under (astronomically unlikely) hash collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = F.when(
+        F.length("text") >= _SSD_K,
+        F.sequence(
+            F.lit(1), F.length("text") - (_SSD_K - 1), F.lit(_SSD_STRIDE)
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    gram = F.col("text").substr(F.col("p"), F.lit(_SSD_K))
+    ex = docs.select("doc_id", "text", F.explode(pos).alias("p")).select(
+        "doc_id",
+        "p",
+        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long").alias("hh"),
+    )
+    dup = (
+        ex.groupBy("hh")
+        .agg(F.min("doc_id").alias("a"), F.max("doc_id").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select("hh")
+    )
+    dp = ex.join(dup, "hh", "left_semi").select(
+        "doc_id", F.floor((F.col("p") - 1) / _SSD_STRIDE).alias("idx")
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    runs = (
+        dp.withColumn("g", F.col("idx") - F.row_number().over(w))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("run"))
+    )
+    ds = runs.groupBy("doc_id").agg(
+        F.max("run").alias("max_run"), F.sum("run").alias("n_dup")
+    )
+    base = ex.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (
+        docs.select("doc_id")
+        .join(base, "doc_id", "left")
+        .join(ds, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.when(
+                F.col("max_run").isNotNull(),
+                (F.col("max_run") - 1) * _SSD_STRIDE + _SSD_K,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("max_dup_span_chars"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

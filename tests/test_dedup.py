@@ -168,3 +168,42 @@ def test_incremental_consistent_with_full_pairs(spark):
     a = sorted(tuple(r) for r in incr.collect())
     b = sorted(tuple(r) for r in expected.collect())
     assert a == b and len(a) > 0
+
+
+def test_substring_dup_spans_hand_corpus(spark, tmp_path):
+    """Span math on a constructed corpus: K=32, stride=8.
+
+    doc 0 and doc 1 share an 80-char block -> 7 shared gram positions
+    (1..49 step 8), one contiguous run -> span = 6*8+32 = 80. doc 2 is
+    64 unique chars -> grams but no dups. doc 3 is shorter than K ->
+    zero grams.
+    """
+    import pyspark.sql.functions as F
+
+    from nano_vectordb_spark import registry
+
+    shared = "".join(chr(ord("a") + (i * 7) % 26) for i in range(80))
+    rows = [
+        (0, shared, "en", "s", len(shared)),
+        (1, shared, "en", "s", len(shared)),
+        (2, "".join(chr(ord("A") + (i * 11) % 26) + str(i % 10) for i in range(32)), "en", "s", 64),
+        (3, "tiny", "en", "s", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in registry.REGISTRY["substring_dup_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 4
+    for d in (0, 1):
+        assert out[d]["n_grams"] == 7
+        assert out[d]["n_dup_grams"] == 7
+        assert out[d]["max_dup_span_chars"] == 80
+    assert out[2]["n_grams"] == 5 and out[2]["n_dup_grams"] == 0
+    assert out[2]["max_dup_span_chars"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["max_dup_span_chars"] == 0
