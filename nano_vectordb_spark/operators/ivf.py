@@ -379,3 +379,52 @@ def _ivf_search_two_phase(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     )
+
+
+def ivf_compact(
+    spark: SparkSession, layout_path: str, tombstones: DataFrame
+) -> list[int]:
+    """Physical reclamation after deletions (the compaction half of the
+    FAISS remove_ids lifecycle): rewrite ONLY the cluster partitions
+    that contain tombstoned rows; every other cluster directory keeps
+    its files untouched (pinned byte-identical in tests/test_ivf.py).
+
+    Mechanics: survivors of the affected clusters are written to a
+    staging directory partitioned by cluster_id, then swapped into the
+    live layout per-partition — the rewrite-files-then-atomic-swap
+    pattern every table format uses for compaction (on an object store
+    the swap is the metadata/manifest commit). Cost scales with the
+    affected clusters only: a 1% tombstone rate over nlist=4096 touches
+    ~the clusters containing deletes, never the full 100 TB layout. A
+    fully-tombstoned cluster's directory is removed outright (a missing
+    partition value, which the reader and partition pruning handle
+    natively).
+
+    Returns the affected cluster ids (sorted).
+    """
+    import os
+    import shutil
+
+    base = spark.read.parquet(f"{layout_path}/base")
+    affected = sorted(
+        int(r["cluster_id"])
+        for r in base.join(F.broadcast(tombstones), "vec_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    survivors = base.filter(
+        F.col("cluster_id").isin([int(c) for c in affected])
+    ).join(F.broadcast(tombstones), "vec_id", "left_anti")
+    staging = f"{layout_path}/base_staging.{os.getpid()}"
+    survivors.write.mode("overwrite").partitionBy("cluster_id").parquet(staging)
+    for c in affected:
+        live = os.path.join(layout_path, "base", f"cluster_id={c}")
+        fresh = os.path.join(staging, f"cluster_id={c}")
+        shutil.rmtree(live, ignore_errors=True)
+        if os.path.isdir(fresh):  # absent = cluster fully tombstoned
+            shutil.move(fresh, live)
+    shutil.rmtree(staging, ignore_errors=True)
+    return affected

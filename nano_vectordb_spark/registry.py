@@ -5777,6 +5777,108 @@ def ivf_search_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF compaction (physical reclamation after remove_ids)
+# --------------------------------------------------------------------------
+
+_IVF_COMPACT_MOD = 97
+_IVF_COMPACT_RES = 13
+
+
+def _ivf_compact_oracle() -> str:
+    """Replay the assignment from the centroid literals and compute the
+    closed-form compaction ledger per cluster."""
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    dead = f"vec_id % {_IVF_COMPACT_MOD} = {_IVF_COMPACT_RES}"
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN {dead} THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(count(*) - sum(CASE WHEN {dead} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       CAST(CASE WHEN sum(CASE WHEN {dead} THEN 1 ELSE 0 END) > 0
+            THEN 1 ELSE 0 END AS INT) AS rewritten
+FROM assigned
+GROUP BY cluster_id
+"""
+
+
+@register("ivf_compact_stats", oracle=_ivf_compact_oracle)
+def ivf_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index compaction — the physical-reclamation half of the deletion
+    lifecycle (build -> add -> delete -> COMPACT): a ~1% tombstone set
+    (vec_id % {_IVF_COMPACT_MOD} == {_IVF_COMPACT_RES}) is physically
+    removed from the persisted partitioned layout by rewriting ONLY the
+    cluster directories that contain tombstones
+    (operators/ivf.ivf_compact — staged write + per-partition swap, the
+    rewrite-then-commit pattern of every table format). Untouched
+    cluster directories keep their files byte-identical
+    (tests/test_ivf.py pins this), so compaction cost scales with the
+    deleted fraction, never the 100 TB layout.
+
+    The returned ledger is PHYSICAL proof, not bookkeeping: n_after is
+    counted from the post-compaction parquet files per partition, while
+    n_before/n_deleted come from the logical assignment — the oracle
+    recomputes all of it from the centroid literals, so a compaction
+    that dropped a survivor or kept a tombstone anywhere fails the
+    hash. The layout is content-addressed and materialized
+    post-compaction exactly once, so the entry is idempotent across
+    gate/bench invocations."""
+    import hashlib
+
+    idx = _ivf_index(spark, sf_dir)
+    dead = F.col("vec_id") % _IVF_COMPACT_MOD == _IVF_COMPACT_RES
+    key = ("ivf_compacted", sf_dir)
+    if key not in _INDEX_CACHE:
+        cent_rows = idx.centroids.orderBy("cluster_id").collect()
+        fp = hashlib.md5(
+            repr([tuple(r) for r in cent_rows]).encode()
+        ).hexdigest()[:12]
+        path = "/tmp/nvdb_ivfc_" + hashlib.md5(
+            f"{sf_dir}:{fp}:{_IVF_COMPACT_MOD}:{_IVF_COMPACT_RES}".encode()
+        ).hexdigest()[:8]
+
+        def _write(p: str) -> None:
+            ivf_ops.ivf_write(idx, p)
+            tombs = idx.assigned.filter(dead).select("vec_id")
+            ivf_ops.ivf_compact(spark, p, tombs)
+
+        _materialize_once(path, _write, marker="centroids/_SUCCESS")
+        _INDEX_CACHE[key] = path
+    path = _INDEX_CACHE[key]
+    logical = idx.assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_before"),
+        F.sum(dead.cast("long")).alias("n_deleted"),
+    )
+    physical = (
+        spark.read.parquet(f"{path}/base")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        logical.join(physical, "cluster_id", "left")
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            F.col("n_before").cast("long").alias("n_before"),
+            F.col("n_deleted").cast("long").alias("n_deleted"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            (F.col("n_deleted") > 0).cast("int").alias("rewritten"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Temperature-smoothed mixture weighting (the multilingual alpha knob)
 # --------------------------------------------------------------------------
 

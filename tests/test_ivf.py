@@ -86,3 +86,82 @@ def test_ivf_add_equals_bulk_assignment(setup):
     a = ivf_ops.ivf_search(idx_added, queries, K, nprobe=4).orderBy("query_id", "rank")
     b = ivf_ops.ivf_search(bulk, queries, K, nprobe=4).orderBy("query_id", "rank")
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_ivf_compact_rewrites_only_affected_partitions(setup, tmp_path):
+    """Compaction contract: tombstoned rows physically gone, survivors
+    intact, and every cluster WITHOUT tombstones keeps its files
+    byte-identical (same names, sizes, mtimes)."""
+    import os
+
+    base, queries, index, gt = setup
+    spark = base.sparkSession
+    path = str(tmp_path / "ivfc")
+    ivf_ops.ivf_write(index, path)
+
+    # tombstone a handful of ids from a couple of clusters
+    some = (
+        index.assigned.filter(F.col("cluster_id").isin([0, 3]))
+        .select("vec_id")
+        .limit(5)
+    )
+    tomb_ids = {r["vec_id"] for r in some.collect()}
+    tombstones = spark.createDataFrame(
+        [(int(v),) for v in tomb_ids], "vec_id long"
+    )
+    affected_expect = {
+        r["cluster_id"]
+        for r in index.assigned.filter(F.col("vec_id").isin(list(tomb_ids)))
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    }
+
+    def listing(cluster):
+        d = os.path.join(path, "base", f"cluster_id={cluster}")
+        if not os.path.isdir(d):
+            return None
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)),
+             os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        )
+
+    before = {c: listing(c) for c in range(NLIST)}
+    affected = ivf_ops.ivf_compact(spark, path, tombstones)
+    assert set(affected) == affected_expect
+
+    for c in range(NLIST):
+        if c not in affected_expect:
+            assert listing(c) == before[c], f"cluster {c} was touched"
+
+    compacted = spark.read.parquet(f"{path}/base")
+    got_ids = {r["vec_id"] for r in compacted.select("vec_id").collect()}
+    want_ids = {
+        r["vec_id"] for r in index.assigned.select("vec_id").collect()
+    } - tomb_ids
+    assert got_ids == want_ids
+
+    # search over the compacted layout == search over the logical delete
+    alive = ivf_ops.IvfIndex(
+        centroids=index.centroids,
+        assigned=index.assigned.join(
+            F.broadcast(tombstones), "vec_id", "left_anti"
+        ),
+        nlist=index.nlist,
+        centroids_np=index.centroids_np,
+    )
+    reloaded = ivf_ops.ivf_read(spark, path, nlist=NLIST)
+    a = ivf_ops.ivf_search(alive, queries, K, nprobe=4).orderBy("query_id", "rank")
+    b = ivf_ops.ivf_search(reloaded, queries, K, nprobe=4).orderBy("query_id", "rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_ivf_compact_noop_without_tombstones(setup, tmp_path):
+    base, queries, index, gt = setup
+    spark = base.sparkSession
+    path = str(tmp_path / "ivfn")
+    ivf_ops.ivf_write(index, path)
+    empty = spark.createDataFrame([], "vec_id long")
+    assert ivf_ops.ivf_compact(spark, path, empty) == []
