@@ -6454,6 +6454,60 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Per-key exponentially-weighted moving average (sequential-fold family)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25  # exact binary fraction: 0.25/0.75 carry no rounding
+
+_SQL_EWMA = f"""
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       list_reduce(vs, (acc, x) -> {_EWMA_ALPHA} * x
+                                   + {1 - _EWMA_ALPHA} * acc) AS ewma_value
+FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events GROUP BY user_id)
+"""
+
+
+@register("user_value_ewma", oracle=_SQL_EWMA)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (y_t = {_EWMA_ALPHA}*x_t + {1 - _EWMA_ALPHA}*y_t-1, seeded y_1 =
+    x_1) — the online decayed-average feature every behavioral feature
+    store materializes, and the representative of the RECURSIVE
+    per-key-sequential operator class that plain window frames cannot
+    express (each output depends on the previous OUTPUT, not a frame of
+    inputs).
+
+    Plan: one shuffle (groupBy user), per-key time-ordered native JVM
+    fold (sort_array + aggregate) — no Python, no second shuffle, no
+    driver residency. Exactness: alpha is an exact binary fraction and
+    both engines run the identical multiply-add sequence in the same
+    order, so the doubles are bit-identical with no rounding contract.
+    At 100 TB with unbounded keys the same recurrence merges by
+    segments — EWMA is associative under (value, decay^seg_len)
+    combination, y = y_R + decay^n_R * contrib_L — so per-day partials
+    roll up without re-scanning history; the per-key fold here is the
+    bounded-key form."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    fold = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * acc
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        fold.alias("ewma_value"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

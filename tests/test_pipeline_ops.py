@@ -138,3 +138,49 @@ def test_bm25_rare_term_outweighs_common(spark):
     res = lexical.bm25_search(spark, docs, [(0, ["alpha", "beta"])], k=9)
     top = res.filter(F.col("rank") == 1).first()
     assert top["doc_id"] == 0  # 'alpha' appears in 1/9 docs -> dominates
+
+
+def test_user_value_ewma_recurrence_and_segment_merge(spark, tmp_path):
+    """Pin the EWMA recurrence on a hand corpus, and verify the
+    docstring's scale claim: the recurrence merges by segments via
+    (contribution, decay^len) combination."""
+    import datetime as dt
+
+    from nano_vectordb_spark import registry
+
+    a = 0.25
+    xs = [10.0, 2.0, 4.0, 8.0, 1.0]
+    rows = [
+        (i, dt.datetime(2025, 1, 1, 0, i), 7, "click", x, "{}")
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = registry.REGISTRY["user_value_ewma"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n_events"] == 5
+
+    y = xs[0]
+    for x in xs[1:]:
+        y = a * x + (1 - a) * y
+    assert out[0]["ewma_value"] == y
+
+    # segment merge: fold [x0,x1,x2] and [x3,x4] separately, combine as
+    # y = y_R + decay^n_R * (y_L - y_R_seeded_contribution) ... i.e. the
+    # right segment folded with seed y_L equals the full fold; and the
+    # seedless combination uses contribution + decay^len:
+    def fold(seed, seg):
+        acc = seed
+        for x in seg:
+            acc = x if acc is None else a * x + (1 - a) * acc
+        return acc
+
+    y_l = fold(None, xs[:3])
+    assert fold(y_l, xs[3:]) == fold(None, xs)
+    # (contrib, decay) pair form: seg -> (fold with seed 0, (1-a)^len)
+    contrib_r = fold(0.0, xs[3:])
+    decay_r = (1 - a) ** len(xs[3:])
+    assert abs((contrib_r + decay_r * y_l) - fold(None, xs)) < 1e-12
