@@ -6508,6 +6508,96 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Multimodal payload near-dup (byte-signature blocking, codec-free)
+# --------------------------------------------------------------------------
+
+_MMND_L1 = 2      # max L1 distance between 16-bucket byte histograms
+_MMND_LEN = 2     # max byte-length difference
+_MMND_BUCKET = 64  # length-blocking bucket width (must be >= _MMND_LEN)
+
+_SQL_MMND = f"""
+WITH h AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS blen,
+         list_transform(range(0, 16),
+           n -> CAST(len(list_filter(string_split(text, ''),
+                  c -> ascii(c) // 16 = n)) AS BIGINT)) AS hist
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(list_sum(list_transform(list_zip(a.hist, b.hist),
+              p -> abs(p[1] - p[2]))) AS BIGINT) AS l1_dist,
+       CAST(abs(a.blen - b.blen) AS BIGINT) AS len_diff
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE abs(a.blen - b.blen) <= {_MMND_LEN}
+  AND list_sum(list_transform(list_zip(a.hist, b.hist),
+        p -> abs(p[1] - p[2]))) <= {_MMND_L1}
+"""
+
+
+@register("multimodal_neardup", oracle=_SQL_MMND)
+def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over OPAQUE binary payloads — the
+    image/audio dedup pass a multimodal corpus runs before training,
+    done codec-free: per-blob byte-histogram signatures (the
+    perceptual-hash slot; operators/multimodal.byte_histogram_
+    signatures, NumPy over Arrow batches) then pairs within L1 <=
+    {_MMND_L1} and byte-length diff <= {_MMND_LEN}.
+
+    Scale shape: signatures are a narrow no-shuffle map; candidate
+    generation is a BLOCKED self-join on byte-length buckets (width
+    {_MMND_BUCKET}) with +1-bucket probing — provably exact for the
+    length bound since bucket width >= the length threshold, so a
+    qualifying pair differs by at most one bucket. Verification
+    (integer L1 over the 16-long histograms) runs inside the join —
+    never doc x doc. The ORACLE is deliberately the quadratic all-pairs
+    form, so a blocking scheme that missed any qualifying pair fails
+    the row count. At corpus scale further signature dimensions
+    (dominant-bucket id, mime type) compose multiplicatively into the
+    block key the same way."""
+    from nano_vectordb_spark.operators.multimodal import (
+        attach_blob,
+        byte_histogram_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = byte_histogram_signatures(attach_blob(docs))
+    bucket = F.floor(F.col("byte_len") / _MMND_BUCKET)
+    probes = sigs.select(
+        "doc_id",
+        "byte_len",
+        "hist",
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    home = sigs.select(
+        F.col("doc_id").alias("doc_id_y"),
+        F.col("byte_len").alias("len_y"),
+        F.col("hist").alias("hist_y"),
+        F.floor(F.col("byte_len") / _MMND_BUCKET).alias("bk"),
+    )
+    l1 = F.aggregate(
+        F.zip_with("hist", "hist_y", lambda p, q: F.abs(p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        probes.join(home, "bk")
+        .filter(F.col("doc_id") != F.col("doc_id_y"))
+        .withColumn("l1_dist", l1)
+        .withColumn("len_diff", F.abs(F.col("byte_len") - F.col("len_y")))
+        .filter(
+            (F.col("l1_dist") <= _MMND_L1) & (F.col("len_diff") <= _MMND_LEN)
+        )
+        .select(
+            F.least("doc_id", "doc_id_y").alias("doc_id_a"),
+            F.greatest("doc_id", "doc_id_y").alias("doc_id_b"),
+            "l1_dist",
+            "len_diff",
+        )
+        .distinct()
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

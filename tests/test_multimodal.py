@@ -53,3 +53,48 @@ def test_frame_sample_bounds(spark):
     assert frames.filter(F.length("frame_bytes") == 0).count() == 0
     # every doc produces at least one frame
     assert frames.select("doc_id").distinct().count() == 50
+
+
+def test_byte_histogram_signature_values(spark):
+    from nano_vectordb_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "AAAa"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mm.byte_histogram_signatures(mm.attach_blob(df)).collect()
+    }
+    # 'A' = 0x41 (nibble 4) x3, 'a' = 0x61 (nibble 6) x1
+    assert out[1]["byte_len"] == 4
+    want = [0] * 16
+    want[4], want[6] = 3, 1
+    assert out[1]["hist"] == want
+    assert out[2]["byte_len"] == 0 and out[2]["hist"] == [0] * 16
+
+
+def test_multimodal_neardup_finds_bucket_boundary_pair(spark, tmp_path):
+    """Two near-identical blobs straddling a length-bucket boundary
+    (len 63 vs 65) must still pair — the +1-bucket probe's reason to
+    exist — and an unrelated doc must not."""
+    from nano_vectordb_spark import registry
+
+    a = "x" * 63
+    b = "x" * 63 + "yy"          # len 65, L1 = 2 (one extra nibble-7 pair)
+    c = "Q" * 200                # different bucket and histogram
+    rows = [
+        (0, a, "en", "s", len(a)),
+        (1, b, "en", "s", len(b)),
+        (2, c, "en", "s", len(c)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = [
+        (r["doc_id_a"], r["doc_id_b"], r["l1_dist"], r["len_diff"])
+        for r in registry.REGISTRY["multimodal_neardup"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    ]
+    assert out == [(0, 1, 2, 2)]
