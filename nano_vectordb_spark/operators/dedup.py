@@ -83,20 +83,28 @@ def exact_dedup(
 
 
 def ngram_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, shingles) with shingles = distinct word n-grams; docs
-    with fewer than n tokens are dropped (no shingle exists)."""
+    """(doc_id, *extra_cols, shingles) with shingles = distinct word
+    n-grams; docs with fewer than n tokens are dropped (no shingle
+    exists). ``extra_cols`` rides metadata (e.g. ``source``) through
+    without a join back to the input."""
     toks = tokens_expr(F.col(text_col))
-    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-        F.size("toks") >= n
-    )
+    d = df.select(
+        F.col(id_col).alias("doc_id"), *extra_cols, toks.alias("toks")
+    ).filter(F.size("toks") >= n)
     idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
     )
     return d.select(
-        "doc_id", F.array_distinct(F.transform(idx, gram)).alias("shingles")
+        "doc_id",
+        *extra_cols,
+        F.array_distinct(F.transform(idx, gram)).alias("shingles"),
     )
 
 

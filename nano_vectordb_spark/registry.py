@@ -6598,6 +6598,242 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Pipeline observability + cross-source diagnostics (round 3 tail):
+# filter-funnel attribution, source-overlap containment matrix, and
+# quality-aware canonical selection per near-dup cluster.
+# --------------------------------------------------------------------------
+
+_FUNNEL_MIN_TOKENS = 15
+
+
+def _sql_filter_funnel() -> str:
+    quality = (
+        "0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) "
+        "+ 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio)"
+    )
+    return f"""
+WITH t AS ({_SQL_TOKS}),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains([{_SQL_EN_STOP}], x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN length(lower(text)) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(lower(text)) AS DOUBLE) END AS punct_ratio,
+         {_sql_marker_hits("en")} AS en_hits,
+         {_sql_marker_hits("de")} AS de_hits,
+         {_sql_marker_hits("es")} AS es_hits,
+         {_sql_marker_hits("fr")} AS fr_hits
+  FROM t
+),
+s AS (
+  SELECT CASE
+           WHEN n_tokens < {_FUNNEL_MIN_TOKENS} THEN 1
+           WHEN NOT (en_hits >= de_hits AND en_hits >= es_hits
+                     AND en_hits >= fr_hits) THEN 2
+           WHEN {quality} < {_QUALITY_T} THEN 3
+           ELSE 4 END AS stage_id
+  FROM m
+),
+c AS (SELECT stage_id, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY stage_id),
+st AS (SELECT * FROM (VALUES (1, 'too_short'), (2, 'non_english'),
+                             (3, 'low_quality'), (4, 'kept')) v(stage_id, stage)),
+f AS (
+  SELECT st.stage_id, st.stage, coalesce(c.n_docs, 0) AS n_docs
+  FROM st LEFT JOIN c USING (stage_id)
+)
+SELECT stage_id, stage, n_docs,
+       CAST((SELECT sum(n_docs) FROM f)
+            - sum(CASE WHEN stage_id <= 3 THEN n_docs ELSE 0 END)
+              OVER (ORDER BY stage_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS remaining
+FROM f
+"""
+
+
+@register("filter_funnel", oracle=_sql_filter_funnel())
+def filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule drop attribution for the corpus-cleaning filter chain —
+    the observability report every production pipeline emits alongside
+    its output (which rule removed how many docs, and what remains
+    after each stage). First-failing-rule-wins attribution over the
+    same length / language / quality predicates corpus_clean applies.
+
+    Scale shape: one CASE projection over the scan (no Python, no
+    shuffle beyond a 4-group partial agg), then window math over the
+    four-row funnel — per-rule accounting is free at any corpus size.
+    """
+    d = _toks_df(spark, sf_dir)
+    hits = {
+        lang: tx.marker_hits_expr(F.col("toks"), tx.LANG_MARKERS[lang])
+        for lang in ("en", "de", "es", "fr")
+    }
+    staged = d.select(
+        F.when(F.size("toks") < _FUNNEL_MIN_TOKENS, 1)
+        .when(
+            tx.lang_pred_expr(hits["en"], hits["de"], hits["es"], hits["fr"])
+            != "en",
+            2,
+        )
+        .when(tx.quality_expr(F.col("toks"), "text") < _QUALITY_T, 3)
+        .otherwise(4)
+        .alias("stage_id")
+    )
+    counts = staged.groupBy("stage_id").agg(F.count("*").alias("n_docs"))
+    stages = spark.createDataFrame(
+        [(1, "too_short"), (2, "non_english"), (3, "low_quality"), (4, "kept")],
+        "stage_id int, stage string",
+    )
+    funnel = stages.join(counts, "stage_id", "left").select(
+        "stage_id",
+        "stage",
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+    )
+    total = F.sum("n_docs").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    dropped = F.sum(
+        F.when(F.col("stage_id") <= 3, F.col("n_docs")).otherwise(F.lit(0))
+    ).over(Window.orderBy("stage_id").rowsBetween(Window.unboundedPreceding, 0))
+    return funnel.withColumn("remaining", (total - dropped).cast("long"))
+
+
+def _sql_source_overlap() -> str:
+    n = _DECON_N
+    return f"""
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS hh FROM (
+    SELECT source, unnest(list_distinct(list_transform(
+             range(1, len(toks) - {n - 2}),
+             i -> array_to_string(toks[i:i+{n - 1}], ' ')))) AS sh
+    FROM t WHERE len(toks) >= {n})
+),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY source),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_shingles
+  FROM s a JOIN s b ON a.hh = b.hh AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared_shingles,
+       round(CAST(shared_shingles AS DOUBLE) / t.n, 6) AS containment
+FROM p JOIN tot t ON p.src_a = t.source
+"""
+
+
+@register("source_overlap", oracle=_sql_source_overlap())
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every ordered source pair
+    (A, B), the count of distinct {_DECON_N}-token shingles A shares
+    with B and the containment ratio |A∩B| / |A| — the diagnostic that
+    decides whether two crawl snapshots / data vendors are near-copies
+    before mixture weighting double-counts them.
+
+    Scale shape: distinct (source, shingle-hash) postings (one
+    shuffle), then an inverted-index self-equi-join on the 60-bit hash
+    — posting-list economics, never doc×doc or source×source scans —
+    and a final agg on |sources|² keys with broadcast per-source
+    totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.ngram_shingles(docs, n=_DECON_N, extra_cols=("source",))
+    post = (
+        sh.select("source", F.explode("shingles").alias("sh"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hh"),
+        )
+        .distinct()
+    )
+    totals = post.groupBy("source").agg(F.count("*").alias("n"))
+    a = post.select(F.col("source").alias("src_a"), "hh")
+    b = post.select(F.col("source").alias("src_b"), "hh")
+    pairs = (
+        a.join(b, "hh")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return pairs.join(
+        F.broadcast(totals.withColumnRenamed("source", "src_a")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "shared_shingles",
+        F.round(F.col("shared_shingles") / F.col("n"), 6).alias("containment"),
+    )
+
+
+_SQL_DEDUP_KEEP_LONGEST = f"""
+WITH comp AS (
+  SELECT id, component FROM ({_SQL_DEDUP_COMPONENTS})
+),
+j AS (
+  SELECT c.component, c.id, d.n_chars
+  FROM comp c JOIN documents d ON c.id = d.doc_id
+),
+r AS (
+  SELECT component, id, n_chars,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS group_size
+  FROM j
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(id AS BIGINT) AS keeper_id,
+       CAST(group_size AS BIGINT) AS group_size,
+       n_chars AS keeper_chars
+FROM r WHERE rn = 1
+"""
+
+
+@register("dedup_keep_longest", oracle=_SQL_DEDUP_KEEP_LONGEST)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: resolve
+    MinHash-LSH pairs into connected components, then keep the LONGEST
+    member of each cluster (ties to the lowest doc_id) — the keeper
+    rule real corpus pipelines use instead of min-id, because near-dup
+    clusters typically contain truncated variants of one full document.
+
+    Scale shape: the component label table is tiny (only docs appearing
+    in some pair), so it broadcasts into the join against the corpus;
+    the argmax is a per-component window over cluster-sized groups."""
+    edges = minhash_lsh_pairs(spark, sf_dir)
+    comp = comp_ops.connected_components(edges)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    j = docs.join(F.broadcast(comp), "id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("id")
+    )
+    return (
+        j.select(
+            "component",
+            "id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("component")).alias("group_size"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("keeper_id"),
+            "group_size",
+            F.col("n_chars").alias("keeper_chars"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
