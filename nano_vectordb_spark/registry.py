@@ -6834,6 +6834,33 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_heavy_hitters",
+    oracle="""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n_events, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, user_id ASC) AS INT) AS rank
+  FROM c)
+WHERE rank <= 3
+""",
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: top-3 users per tumbling hour, computed
+    as a REAL streaming (window x user) pre-aggregation (file source,
+    watermark, Trigger.AvailableNow) ranked batch-side — the
+    streaming-rollup-plus-serving-rank split production uses because
+    chained aggregations cannot run in one streaming query. Oracle is
+    the equivalent batch SQL: stream and batch must agree row for row."""
+    from nano_vectordb_spark.streaming.events import heavy_hitters_stream
+
+    return heavy_hitters_stream(spark, sf_dir)
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

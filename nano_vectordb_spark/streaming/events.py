@@ -200,3 +200,46 @@ def click_attribution_stream(
         F.col("p_value").alias("purchase_value"),
     )
     return run_stream_to_table(spark, joined, "attr", "append")
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+) -> DataFrame:
+    """Streaming per-window heavy hitters: top-k users by event count
+    per tumbling window. Structured Streaming cannot chain two
+    aggregations in one query, so this runs the standard production
+    split: the STREAM maintains the (window x user) pre-aggregation
+    (watermark-bounded keyed state, map-side partial counts), and the
+    serving side ranks the materialized result — exactly how a
+    dashboard reads a streaming rollup table.
+
+    At scale the stream side is the expensive half (state keyed by
+    window x user); the rank runs over one window's worth of users per
+    partition. Ties break to the lowest user_id for determinism."""
+    from pyspark.sql import Window
+
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.expr(
+                f"timestampadd(MICROSECOND, unix_micros(w.start), {_NTZ_EPOCH})"
+            ).alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    tbl = run_stream_to_table(spark, agg, "hh", "complete")
+    rank_w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        tbl.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
