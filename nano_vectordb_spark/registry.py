@@ -6861,6 +6861,110 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_stream(spark, sf_dir)
 
 
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH e AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+x AS (SELECT CAST(dim AS INT) AS dim, v[CAST(dim AS INT) + 1] AS val FROM e)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(val), 6) AS avg_val,
+       round(avg(val * val) - avg(val) * avg(val), 6) AS var_val,
+       min(val) AS min_val,
+       max(val) AS max_val
+FROM x GROUP BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean / variance / range) —
+    the drift-and-normalization diagnostic run before quantizer
+    training (SQ8's per-dimension ranges, OPQ's rotation) and between
+    embedding-model versions (a shifted dimension means re-embedding,
+    not re-indexing).
+
+    Scale shape: posexplode is pipelined into a hash aggregate keyed by
+    the D dimension ids, so map-side partial aggregation reduces every
+    partition to D rows before the one tiny shuffle — no N×D
+    materialization ever exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        )
+    )
+    a = ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.avg("val").alias("m"),
+        F.avg(F.col("val") * F.col("val")).alias("m2"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    return a.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round("m", 6).alias("avg_val"),
+        F.round(F.col("m2") - F.col("m") * F.col("m"), 6).alias("var_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+def _sql_corpus_report() -> str:
+    quality = (
+        "0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0) "
+        "+ 0.3 * (1.0 - stopword_ratio) + 0.2 * (1.0 - punct_ratio)"
+    )
+    return f"""
+WITH t AS (
+  SELECT source, lang, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT source, lang, text,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains([{_SQL_EN_STOP}], x))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+         CASE WHEN length(lower(text)) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(lower(text)) AS DOUBLE) END AS punct_ratio
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+       round(avg({quality}), 6) AS avg_quality
+FROM m GROUP BY source
+"""
+
+
+@register("corpus_report", oracle=_sql_corpus_report())
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc and language counts, total
+    tokens, exact-duplicate count, mean quality — the one-page report a
+    data vendor hand-off or crawl snapshot gets before anyone spends
+    GPU-hours on it (the companion to filter_funnel's per-rule view).
+
+    Scale shape: every statistic is a map-side-combinable aggregate
+    over the scan keyed by |sources| groups; the distinct-counts
+    shuffle (source, lang) / (source, md5) pairs, never documents."""
+    d = _toks_df(spark, sf_dir)
+    q = tx.quality_expr(F.col("toks"), "text")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+        F.round(F.avg(q), 6).alias("avg_quality"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
