@@ -249,3 +249,41 @@ def test_knn_self_join_partial_phase_single_exchange(spark, base):
     q = base.select(FF.col("vec_id").alias("query_id"), "embedding")
     two = topk_ops.topk_multi(base, q, 4, strategy="two_phase")
     assert count_exchanges(two) <= 1, physical_plan(two, "simple")
+
+
+def test_source_overlap_is_keyed_join(spark):
+    """The cross-source shingle join must be an equi-join on the
+    shingle hash (posting-list economics) — a nested-loop/cartesian
+    plan would be quadratic in postings; and the per-source totals
+    must broadcast into the final ratio join."""
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["source_overlap"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_keep_longest_broadcasts_labels(spark):
+    """The component label table (only docs appearing in some near-dup
+    pair) must broadcast into the corpus join — a sort-merge join would
+    shuffle the whole corpus for a label table thousands of times
+    smaller."""
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["dedup_keep_longest"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_dim_stats_partial_agg_no_generate_shuffle(spark):
+    """posexplode must feed a hash aggregate with map-side partial
+    combine: exactly one exchange (the D-key final agg), never a
+    shuffle of the exploded N x D rows."""
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY["embedding_dim_stats"].fn(spark, SF_CORRECT)
+    plan = physical_plan(df, "simple")
+    assert count_exchanges(df) == 1, plan
+    assert "HashAggregate" in plan, plan
