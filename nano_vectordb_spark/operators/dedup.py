@@ -357,6 +357,89 @@ def _banded_sigs(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     )
 
 
+def minhash_estimator_error(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Estimator-quality audit for MinHash (the dedup-family analog of
+    the quantization ladder's quant_error_stats): over the LSH
+    candidate pairs, compare the signature estimate of Jaccard
+    (fraction of equal signature slots) against the exact shingle-set
+    Jaccard. One row: pair count, mean/max absolute error, mean bias —
+    the numbers that justify a chosen k before scaling the near-dup
+    pass to the full corpus.
+
+    Scale shape: identical to minhash_lsh_pairs (fused shingle+sig
+    pass, band join, candidate-keyed verification) plus a single-row
+    final aggregate."""
+    rows = k // bands
+    base = _shingles_and_sig(_spread(df), k, n, text_col, id_col).persist()
+    banded = _banded_sigs(base.select("doc_id", "sig"), bands, rows)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sides = base.select("doc_id", "shingles", "n_sh", "sig")
+    pair = (
+        cand.join(
+            sides.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("shingles").alias("sa"),
+                F.col("n_sh").alias("na"),
+                F.col("sig").alias("siga"),
+            ),
+            "a_id",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("shingles").alias("sb"),
+                F.col("n_sh").alias("nb"),
+                F.col("sig").alias("sigb"),
+            ),
+            "b_id",
+        )
+        .select(
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("siga", "sigb", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / F.lit(float(k))
+            ).alias("est_j"),
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.size(F.array_intersect("sa", "sb"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return pair.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est_j") - F.col("jaccard"))), 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max(F.abs(F.col("est_j") - F.col("jaccard"))), 6).alias(
+            "max_abs_err"
+        ),
+        F.round(F.avg(F.col("est_j") - F.col("jaccard")), 6).alias("mean_bias"),
+    )
+
+
 def minhash_lsh_incremental(
     corpus: DataFrame,
     batch: DataFrame,

@@ -6965,6 +6965,49 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_minhash_estimator_error() -> str:
+    k = 16
+    eq = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH {_sql_minhash_base()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+pair AS (
+  SELECT CAST({eq} AS DOUBLE) / {k}.0 AS est_j,
+         CAST(len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE)
+           / CAST(len(ha.shingles) + len(hb.shingles)
+                  - len(list_intersect(ha.shingles, hb.shingles)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a_id
+  JOIN sig sb ON sb.doc_id = c.b_id
+  JOIN sh ha ON ha.doc_id = c.a_id
+  JOIN sh hb ON hb.doc_id = c.b_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(abs(est_j - jaccard)), 6) AS mean_abs_err,
+       round(max(abs(est_j - jaccard)), 6) AS max_abs_err,
+       round(avg(est_j - jaccard), 6) AS mean_bias
+FROM pair
+"""
+
+
+@register("minhash_estimator_error", oracle=_sql_minhash_estimator_error())
+def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit over the LSH candidate pairs: signature
+    estimate (equal-slot fraction, k=16) vs exact shingle Jaccard —
+    mean/max absolute error and bias. The dedup-family analog of
+    quant_error_stats: the evidence that the chosen k is accurate
+    enough before the near-dup pass scales to the full corpus."""
+    return dedup_ops.minhash_estimator_error(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
