@@ -6744,6 +6744,9 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup_ops.ngram_shingles(docs, n=_DECON_N, extra_cols=("source",))
+    # the distinct posting table feeds three plan branches (per-source
+    # totals + both sides of the hash self-join): persist it once so
+    # the shingle explode+distinct shuffle runs once, not three times
     post = (
         sh.select("source", F.explode("shingles").alias("sh"))
         .select(
@@ -6753,6 +6756,7 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hh"),
         )
         .distinct()
+        .persist()
     )
     totals = post.groupBy("source").agg(F.count("*").alias("n"))
     a = post.select(F.col("source").alias("src_a"), "hh")
