@@ -7015,6 +7015,58 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _INDEX_CACHE[key]
 
 
+@register(
+    "quantize_error_by_dim",
+    oracle=f"""
+WITH enc AS (
+  SELECT s.vec_id, s.e, s.scale,
+         list_transform(s.e, x -> CAST(
+           CASE WHEN s.scale = 0 THEN 0
+                ELSE greatest(-127.0, least(127.0, round_even(x / CAST(s.scale AS DOUBLE), 0)))
+           END AS TINYINT)) AS codes
+  FROM ({_SQL_I8_PRE}) s
+),
+a AS (
+  SELECT list_transform(list_zip(codes, e),
+           p -> abs(CAST(p[1] AS DOUBLE) * CAST(scale AS DOUBLE) - p[2])) AS errs
+  FROM enc
+),
+x AS (
+  SELECT CAST(dim AS INT) AS dim, errs[CAST(dim AS INT) + 1] AS a
+  FROM (SELECT errs, unnest(range(0, len(errs))) AS dim FROM a)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       round(sqrt(avg(a * a)), 9) AS rmse,
+       max(a) AS max_abs_err
+FROM x GROUP BY dim
+""",
+)
+def quantize_error_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION reconstruction error of the per-row max-abs i8
+    codec — the diagnostic that shows which dimensions a row-wise scale
+    serves worst (dimensions with small dynamic range inherit the
+    row's coarse step), i.e. the measured case for SQ8's per-dimension
+    trained ranges. Companion to embedding_dim_stats on the quantized
+    side of the ladder.
+
+    Scale shape: same single-scan encode as quantize_i8, then
+    posexplode pipelined into a D-key hash aggregate with map-side
+    combine — one tiny exchange, no N×D shuffle."""
+    enc = _i8_base(spark, sf_dir)
+    scale_d = F.col("scale").cast("double")
+    errs = F.zip_with(
+        F.col("embedding_i8").cast("array<double>"),
+        F.col("embedding").cast("array<double>"),
+        lambda c, x: F.abs(c * scale_d - x),
+    )
+    ex = enc.select(F.posexplode(errs).alias("dim", "a"))
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.sqrt(F.avg(F.col("a") * F.col("a"))), 9).alias("rmse"),
+        F.max("a").alias("max_abs_err"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
