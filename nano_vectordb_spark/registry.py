@@ -7067,6 +7067,43 @@ def quantize_error_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUTOTUNE_TARGET = 0.8
+
+
+def _sql_ivf_autotune() -> str:
+    return f"""
+WITH sweep AS ({_ivf_sweep_oracle()}),
+sel AS (
+  SELECT *, row_number() OVER (ORDER BY nprobe ASC) AS rn
+  FROM sweep WHERE recall_at_k >= {_AUTOTUNE_TARGET}
+)
+SELECT nprobe, n_hits, n_queries, recall_at_k,
+       round(CAST(nprobe AS DOUBLE) / {_IVF_NLIST}.0, 6) AS probe_fraction
+FROM sel WHERE rn = 1
+"""
+
+
+@register("ivf_nprobe_autotune", oracle=_sql_ivf_autotune)
+def ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection (the FAISS AutoTune contract): the
+    MINIMUM nprobe whose measured recall@{K} meets the
+    {_AUTOTUNE_TARGET} target, with the probe fraction that nprobe
+    implies — i.e. what fraction of base bytes every future query must
+    scan to hit the recall SLO. This is the decision the recall sweep
+    exists to inform; recall is an exact integer-hit division, so the
+    threshold comparison is engine-exact."""
+    sweep = ivf_recall_sweep(spark, sf_dir)
+    return (
+        sweep.filter(F.col("recall_at_k") >= _AUTOTUNE_TARGET)
+        .orderBy("nprobe")
+        .limit(1)
+        .withColumn(
+            "probe_fraction",
+            F.round(F.col("nprobe").cast("double") / F.lit(float(_IVF_NLIST)), 6),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
