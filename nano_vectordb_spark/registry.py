@@ -7104,6 +7104,62 @@ def ivf_nprobe_autotune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT lang,
+         {_sql_marker_hits("en")} AS en_hits,
+         {_sql_marker_hits("de")} AS de_hits,
+         {_sql_marker_hits("es")} AS es_hits,
+         {_sql_marker_hits("fr")} AS fr_hits
+  FROM t
+),
+p AS (
+  SELECT lang,
+         CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+              WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+              WHEN es_hits >= fr_hits THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM m
+),
+c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n,
+       round(CAST(n AS DOUBLE) /
+             CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS share
+FROM c
+""",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the corpus's ground-truth
+    labels: per (actual, predicted) pair, the doc count and its share
+    of the actual language — the classifier audit that belongs next to
+    recall@k and the MinHash estimator error (every approximation in
+    the pipeline gets a measured error surface). Deliberately exposes
+    that the 4-marker classifier routes zh docs to its tie-break
+    default. Map-only CASE projection + a |langs|² aggregate."""
+    d = _toks_df(spark, sf_dir)
+    hits = {
+        lang: tx.marker_hits_expr(F.col("toks"), tx.LANG_MARKERS[lang])
+        for lang in ("en", "de", "es", "fr")
+    }
+    pred = d.select(
+        "lang",
+        tx.lang_pred_expr(
+            hits["en"], hits["de"], hits["es"], hits["fr"]
+        ).alias("pred_lang"),
+    )
+    c = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy("lang"))
+    return c.withColumn(
+        "share", F.round(F.col("n").cast("double") / total.cast("double"), 6)
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
