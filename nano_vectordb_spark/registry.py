@@ -7160,6 +7160,48 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_rate_by_source",
+    oracle=lambda: f"""
+WITH pairs AS ({_sql_minhash_lsh()}),
+d AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT a_id AS doc_id FROM pairs
+    UNION ALL
+    SELECT b_id AS doc_id FROM pairs)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(d.doc_id) AS BIGINT) AS n_dup_docs,
+       round(CAST(count(d.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+GROUP BY source
+""",
+)
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source: share of each source's docs
+    that appear in at least one verified MinHash-LSH pair — the
+    per-vendor dup-rate line every corpus intake report carries (a
+    source that is mostly near-dups of itself gets renegotiated, not
+    deduped). Reuses the memoized LSH pair plan; the flagged-id set is
+    tiny, so it broadcasts into the corpus join."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = docs.join(F.broadcast(dup_ids), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("is_dup").alias("n_dup_docs"),
+        F.round(
+            F.count("is_dup").cast("double") / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
