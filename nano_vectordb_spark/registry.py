@@ -7202,6 +7202,47 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_activity_skew",
+    oracle="""
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(n)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST(max(n) AS BIGINT) AS max_events
+FROM c GROUP BY 1
+""",
+)
+def user_activity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew histogram: users bucketed by the bit length of their
+    event count (power-of-two buckets without touching libm — binary
+    string length is integer-exact on both engines). This is the query
+    you run BEFORE choosing a salt factor for a user-keyed aggregation
+    (operators/skew.py): a heavy tail here is the evidence that a
+    plain groupBy would hot-spot one reducer at 100 TB.
+
+    Scale shape: per-user partial counts combine map-side; the bucket
+    rollup is a second tiny agg over |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return (
+        c.select(
+            F.length(F.conv(F.col("n").cast("string"), 10, 2))
+            .cast("int")
+            .alias("bucket"),
+            "n",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("total_events"),
+            F.max("n").alias("max_events"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
