@@ -7243,6 +7243,101 @@ def user_activity_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ivf_probe_cost() -> str:
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    l2_q = _sql_l2("CAST(q.embedding AS DOUBLE[])", "c.centroid")
+    per_np = "\nUNION ALL\n".join(
+        f"""
+  SELECT {np} AS nprobe,
+         CAST(sum(qsz) AS BIGINT) AS total_rows_scanned,
+         CAST(sum(qsz) AS DOUBLE) / (SELECT count(*) FROM q) AS avg_rows_per_query,
+         CAST(max(qsz) AS BIGINT) AS max_rows_per_query,
+         CAST(sum(qsz) AS DOUBLE)
+               / ((SELECT count(*) FROM q) * (SELECT n_rows FROM tot)) AS scan_fraction
+  FROM (
+    SELECT p.query_id, sum(s.sz) AS qsz
+    FROM probe_rank p JOIN sizes s USING (cluster_id)
+    WHERE p.rn <= {np}
+    GROUP BY p.query_id)"""
+        for np in _IVF_SWEEP_NPROBES
+    )
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+q AS ({_SQL_QUERIES}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM assigned GROUP BY cluster_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM embeddings),
+probe_rank AS (
+  SELECT q.query_id, c.cluster_id,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY {l2_q} ASC, c.cluster_id ASC) AS rn
+  FROM q CROSS JOIN centroids c
+)
+SELECT * FROM ({per_np})
+"""
+
+
+@register("ivf_probe_cost", oracle=_sql_ivf_probe_cost)
+def ivf_probe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-cost ladder: for every sweep nprobe, the rows each query's
+    probed clusters actually contain (total / avg / per-query max) and
+    the corpus scan fraction — the capacity-planning twin of
+    ivf_recall_sweep (recall ladder = quality axis, this = bytes axis;
+    autotune picks the knee between them). Also surfaces probe-cost
+    VARIANCE: with imbalanced lists (ivf_cluster_balance) the max row
+    shows the straggler query a mean-only model hides.
+
+    Cluster sizes come from one tiny aggregate over the assignment;
+    probing replays stage 1's driver-side NumPy ranking, so the whole
+    ladder costs one Spark job."""
+    import numpy as np
+
+    index = _ivf_index(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    qrows = q.select("query_id", "embedding").collect()
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    nq = len(qrows)
+    size_rows = index.assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("sz")
+    ).collect()
+    sizes = {int(r["cluster_id"]): int(r["sz"]) for r in size_rows}
+    n_rows = sum(sizes.values())
+    cent = ivf_ops.centroids_matrix(index)
+    out = []
+    for nprobe in _IVF_SWEEP_NPROBES:
+        qsz = [
+            sum(sizes.get(int(c), 0) for c in probed)
+            for probed in ivf_ops.probe_ids_np(cent, qmat, nprobe)
+        ]
+        total = sum(qsz)
+        out.append(
+            (
+                nprobe,
+                total,
+                total / nq,
+                max(qsz),
+                total / (nq * n_rows),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "nprobe int, total_rows_scanned bigint, avg_rows_per_query double,"
+        " max_rows_per_query bigint, scan_fraction double",
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
