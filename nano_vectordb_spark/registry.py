@@ -7338,6 +7338,111 @@ def ivf_probe_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_rankers_agreement() -> str:
+    qvals = ",\n    ".join(
+        f"({-(qid + 1)}, 0, '{' '.join(terms)}', 0)"
+        for qid, terms in _BM25_QUERIES
+    )
+    return f"""
+WITH lex AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id
+  FROM ({_bm25_oracle(_RRF_POOL)})
+),
+units AS (
+  SELECT doc_id, 0 AS chunk_id, text AS chunk,
+         CAST(length(text) AS INT) AS chunk_chars
+  FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {qvals}) v(doc_id, chunk_id, chunk, chunk_chars)
+),
+{_sql_embed_ctes('units')},
+demb AS (SELECT doc_id AS vec_id, emb FROM embedded WHERE doc_id >= 0),
+qemb AS (SELECT -doc_id - 1 AS query_id, emb FROM embedded WHERE doc_id < 0),
+sem AS (
+  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id FROM (
+    SELECT q.query_id, d.vec_id AS doc_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(d.emb, q.emb) DESC, d.vec_id ASC) AS rank
+    FROM demb d CROSS JOIN qemb q)
+  WHERE rank <= {_RRF_POOL}
+),
+l AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_lex FROM lex GROUP BY 1),
+s AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_sem FROM sem GROUP BY 1),
+c AS (
+  SELECT lex.query_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM lex JOIN sem USING (query_id, doc_id) GROUP BY 1
+)
+SELECT l.query_id, n_lex, n_sem,
+       coalesce(n_common, CAST(0 AS BIGINT)) AS n_common,
+       CAST(coalesce(n_common, 0) AS DOUBLE)
+         / (n_lex + n_sem - coalesce(n_common, 0)) AS jaccard
+FROM l JOIN s USING (query_id) LEFT JOIN c ON c.query_id = l.query_id
+"""
+
+
+@register("rankers_agreement", oracle=_sql_rankers_agreement)
+def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic ranker agreement: per query, the Jaccard
+    overlap of the two top-{_RRF_POOL} pools — the complementarity
+    measurement that justifies (or kills) hybrid RRF fusion: high
+    overlap means fusion adds nothing, low overlap means each ranker
+    sees docs the other misses. Integer set sizes + one exact IEEE
+    division; both pools reuse the proven ranker plans, the overlap is
+    a join of two Q x pool row sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = lexical_ops.bm25_search(
+        spark, docs, _BM25_QUERIES, k=_RRF_POOL
+    ).select(F.col("query_id").cast("long").alias("query_id"), "doc_id")
+    units = docs.select(
+        "doc_id",
+        F.lit(0).alias("chunk_id"),
+        F.col("text").alias("chunk"),
+        F.length("text").cast("int").alias("chunk_chars"),
+    )
+    qrows = spark.createDataFrame(
+        [(-(qid + 1), 0, " ".join(terms), 0) for qid, terms in _BM25_QUERIES],
+        "doc_id long, chunk_id int, chunk string, chunk_chars int",
+    )
+    emb = text_ops.hash_embed(units.unionByName(qrows), dim=_EMBED_DIM)
+    demb = emb.filter(F.col("doc_id") >= 0).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    qemb = emb.filter(F.col("doc_id") < 0).select(
+        (-F.col("doc_id") - 1).alias("query_id"), "embedding"
+    )
+    sem = topk_ops.topk_multi(demb, qemb, _RRF_POOL, strategy="two_phase")
+    sem = topk_ops.exact_rescore(demb, qemb, sem).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+    )
+    l = lex.groupBy("query_id").agg(F.count("*").alias("n_lex"))
+    s = sem.groupBy("query_id").agg(F.count("*").alias("n_sem"))
+    c = (
+        lex.join(sem, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        l.join(s, "query_id")
+        .join(c, "query_id", "left")
+        .select(
+            "query_id",
+            "n_lex",
+            "n_sem",
+            F.coalesce("n_common", F.lit(0).cast("long")).alias("n_common"),
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (
+                    F.col("n_lex")
+                    + F.col("n_sem")
+                    - F.coalesce("n_common", F.lit(0))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
