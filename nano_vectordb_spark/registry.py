@@ -4377,10 +4377,7 @@ _PACK_BUDGET = 256
 _PACK_BUCKETS = 8
 
 
-@register(
-    "pack_sequences",
-    oracle=f"""
-WITH RECURSIVE toks_p AS (
+_SQL_PACK_CTES = f"""WITH RECURSIVE toks_p AS (
   SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
@@ -4398,7 +4395,13 @@ packed AS (
          CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN p.pack_id + 1 ELSE p.pack_id END,
          CASE WHEN p.acc + o.n_tokens > {_PACK_BUDGET} THEN o.n_tokens ELSE p.acc + o.n_tokens END
   FROM packed p JOIN o ON o.bucket = p.bucket AND o.rn = p.rn + 1
-)
+)"""
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+{_SQL_PACK_CTES}
 SELECT bucket, CAST(pack_id AS INT) AS pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
@@ -7440,6 +7443,54 @@ def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "pack_efficiency",
+    oracle=f"""
+{_SQL_PACK_CTES},
+packs AS (
+  SELECT bucket, pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+  FROM packed GROUP BY bucket, pack_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_packs,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       CAST(count_if(pack_tokens > {_PACK_BUDGET}) AS BIGINT) AS n_overbudget,
+       CAST(sum(pack_tokens) AS DOUBLE) / (count(*) * {_PACK_BUDGET}.0) AS utilization,
+       min(CAST(pack_tokens AS DOUBLE) / {_PACK_BUDGET}.0) AS min_fill,
+       max(CAST(pack_tokens AS DOUBLE) / {_PACK_BUDGET}.0) AS max_fill
+FROM packs
+""",
+)
+def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality audit over pack_sequences' output: pack count,
+    token utilization (tokens packed / capacity), min/max fill, and
+    over-budget packs (oversize single documents) — the wasted-compute
+    number a training job reads before committing GPU-hours to a
+    packed dataset (utilization 0.9 means 10% of every batch is
+    padding). Integer sums + exact IEEE divisions over the pack table;
+    same {_PACK_BUCKETS}-bucket parallel fold underneath."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tx.tokens_expr("text")).cast("long")
+    )
+    packs = pipe_ops.pack_sequences(docs, _PACK_BUDGET, _PACK_BUCKETS)
+    budget = F.lit(float(_PACK_BUDGET))
+    return packs.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.sum((F.col("pack_tokens") > _PACK_BUDGET).cast("long")).alias(
+            "n_overbudget"
+        ),
+        (
+            F.sum("pack_tokens").cast("double") / (F.count("*") * budget)
+        ).alias("utilization"),
+        F.min(F.col("pack_tokens").cast("double") / budget).alias("min_fill"),
+        F.max(F.col("pack_tokens").cast("double") / budget).alias("max_fill"),
     )
 
 
