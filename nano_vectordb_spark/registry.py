@@ -7494,6 +7494,106 @@ def pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BF_M = 2048
+_BF_K = 3
+_BF_SEG = "BUILDING"
+
+_SQL_BLOOM_PRUNE = f"""
+WITH seeds(s) AS (VALUES (0), (1), (2)),
+keys AS (
+  SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = '{_BF_SEG}'
+),
+bits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5('bf' || CAST(s.s AS VARCHAR) || ':'
+              || CAST(k.k AS VARCHAR)), 1, 15))::BIGINT % {_BF_M} AS INT) AS pos
+  FROM keys k, seeds s
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+         CAST(count(b.pos) AS INT) AS hits
+  FROM orders o
+  CROSS JOIN seeds s
+  LEFT JOIN bits b
+    ON b.pos = CAST(('0x' || substr(md5('bf' || CAST(s.s AS VARCHAR) || ':'
+                 || CAST(o.o_custkey AS VARCHAR)), 1, 15))::BIGINT % {_BF_M} AS INT)
+  GROUP BY 1, 2, 3
+),
+flags AS (
+  SELECT p.o_totalprice,
+         (p.hits = {_BF_K}) AS pass,
+         EXISTS (SELECT 1 FROM keys k WHERE k.k = p.o_custkey) AS member
+  FROM probe p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_fact,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+       round(CAST(sum(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) - sum(CASE WHEN member THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS fp_rate,
+       CAST(sum(CASE WHEN member THEN CAST(o_totalprice AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS matched_revenue
+FROM flags
+"""
+
+
+@register("bloom_join_prune", oracle=_SQL_BLOOM_PRUNE)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-filter semi-join prune (operators/bloom.py): the
+    scale path for fact-vs-keyset semi-joins when the key set outgrows
+    the broadcast budget. The dim side aggregates to AT MOST m=2048
+    bit positions (driver state bounded by m, never by |keys|), the
+    bits broadcast as an m-int literal, and the orders scan is pruned
+    MAP-SIDE by three native md5 bit probes before the exact
+    broadcast-semi-join removes the false positives. Emits the audit
+    row — fact/pass/match/FP counts, measured FP rate, exact decimal
+    revenue of true matches — and the md5 hashing makes every one of
+    those numbers (including n_fp) exactly replayable in DuckDB."""
+    from nano_vectordb_spark.operators import bloom as bloom_ops
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.where(F.col("c_mktsegment") == _BF_SEG).select(
+        F.col("c_custkey").alias("k")
+    ).distinct()
+    bits = bloom_ops.build_bloom_bits(keys, "k", _BF_M, _BF_K)
+    # Audit plan: ONE fact scan — the bloom probe and the exact
+    # membership flag (broadcast left join against the key set) are
+    # evaluated side by side so pass/match/FP counts come out of a
+    # single map-side-combined aggregate. Production pruning uses
+    # bloom_ops.bloom_prune(fact, ...) ahead of the exchange.
+    flagged = (
+        orders.join(
+            F.broadcast(keys.withColumn("__member", F.lit(1))),
+            orders["o_custkey"] == keys["k"],
+            "left",
+        )
+        .select(
+            "o_totalprice",
+            bloom_ops.bloom_pass_expr("o_custkey", bits, _BF_K).alias("pass"),
+            F.col("__member").isNotNull().alias("member"),
+        )
+    )
+    return flagged.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.col("pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("member").cast("long")).alias("n_match"),
+        F.sum((F.col("pass") & ~F.col("member")).cast("long")).alias("n_fp"),
+        F.round(
+            F.sum((F.col("pass") & ~F.col("member")).cast("long")).cast("double")
+            / (F.count("*") - F.sum(F.col("member").cast("long"))).cast("double"),
+            6,
+        ).alias("fp_rate"),
+        F.sum(
+            F.when(
+                F.col("member"), F.col("o_totalprice").cast("decimal(18,2)")
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("matched_revenue"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
