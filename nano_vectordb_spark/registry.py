@@ -7594,6 +7594,146 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_FILES = 32
+_Z_BITS = 5
+_Z_UB_LO, _Z_UB_HI = 4, 11
+_Z_DB_LO, _Z_DB_HI = 8, 15
+
+_SQL_ZORDER = f"""
+WITH base AS (
+  SELECT CAST(user_id % 32 AS INT) AS ub,
+         CAST(EXTRACT(day FROM ts) - 1 AS INT) AS db,
+         event_id
+  FROM events
+),
+z AS (
+  SELECT ub, db, event_id,
+         ( ((ub >> 0) & 1) * 2    + ((db >> 0) & 1) * 1
+         + ((ub >> 1) & 1) * 8    + ((db >> 1) & 1) * 4
+         + ((ub >> 2) & 1) * 32   + ((db >> 2) & 1) * 16
+         + ((ub >> 3) & 1) * 128  + ((db >> 3) & 1) * 64
+         + ((ub >> 4) & 1) * 512  + ((db >> 4) & 1) * 256 ) AS zval
+  FROM base
+),
+filed AS (
+  SELECT layout, file_id,
+         min(ub) AS min_ub, max(ub) AS max_ub,
+         min(db) AS min_db, max(db) AS max_db,
+         CAST(sum(CASE WHEN ub BETWEEN {_Z_UB_LO} AND {_Z_UB_HI}
+                        AND db BETWEEN {_Z_DB_LO} AND {_Z_DB_HI}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM (
+    SELECT 'linear' AS layout,
+           ntile({_Z_FILES}) OVER (ORDER BY db, ub, event_id) AS file_id,
+           ub, db FROM z
+    UNION ALL
+    SELECT 'zorder' AS layout,
+           ntile({_Z_FILES}) OVER (ORDER BY zval, event_id) AS file_id,
+           ub, db FROM z
+  ) t
+  GROUP BY layout, file_id
+)
+SELECT
+  CAST(sum(CASE WHEN layout = 'linear' THEN 1 ELSE 0 END) AS BIGINT) AS n_files,
+  CAST(sum(CASE WHEN layout = 'linear' AND max_ub >= {_Z_UB_LO}
+                 AND min_ub <= {_Z_UB_HI} AND max_db >= {_Z_DB_LO}
+                 AND min_db <= {_Z_DB_HI} THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_scanned_linear,
+  CAST(sum(CASE WHEN layout = 'zorder' AND max_ub >= {_Z_UB_LO}
+                 AND min_ub <= {_Z_UB_HI} AND max_db >= {_Z_DB_LO}
+                 AND min_db <= {_Z_DB_HI} THEN 1 ELSE 0 END) AS BIGINT)
+    AS files_scanned_zorder,
+  CAST(sum(CASE WHEN layout = 'zorder' THEN n_match ELSE 0 END) AS BIGINT)
+    AS rows_matched,
+  CAST(sum(CASE WHEN layout = 'linear' AND max_ub >= {_Z_UB_LO}
+                 AND min_ub <= {_Z_UB_HI} AND max_db >= {_Z_DB_LO}
+                 AND min_db <= {_Z_DB_HI} THEN 1 ELSE 0 END) AS DOUBLE)
+    / {_Z_FILES} AS scan_frac_linear,
+  CAST(sum(CASE WHEN layout = 'zorder' AND max_ub >= {_Z_UB_LO}
+                 AND min_ub <= {_Z_UB_HI} AND max_db >= {_Z_DB_LO}
+                 AND min_db <= {_Z_DB_HI} THEN 1 ELSE 0 END) AS DOUBLE)
+    / {_Z_FILES} AS scan_frac_zorder
+FROM filed
+"""
+
+
+@register("zorder_skipping", oracle=_SQL_ZORDER)
+def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering vs linear sort, measured as data skipping —
+    the write-side layout decision behind Delta/Iceberg OPTIMIZE
+    ZORDER. Both dims bucket to 5 bits (user_id % 32, day-of-month-1),
+    the Morton code interleaves them natively (shift/mask/add — pure
+    JVM integer ops), and each candidate layout is cut into
+    equal-row "files" whose per-file min/max stats stand in for parquet
+    row-group footers. A min/max-pruning reader must scan every file
+    whose stat rectangle overlaps the predicate box; the emitted
+    files_scanned_{{linear,zorder}} counts are exactly that, showing
+    the curve turning a multi-dimensional predicate from
+    scan-most-files (linear layout prunes only the leading sort key)
+    into a bounded neighborhood. At 100 TB the layout job is a
+    repartitionByRange-on-zval rewrite (same cost class as any
+    compaction); the skip measurement itself is one tiny stats
+    aggregate. Integer-exact throughout; the two scan fractions are
+    exact IEEE divisions of small ints."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 32).cast("int").alias("ub"),
+        (F.dayofmonth("ts") - 1).cast("int").alias("db"),
+        "event_id",
+    )
+    zval = F.lit(0)
+    for i in range(_Z_BITS):
+        zval = (
+            zval
+            + F.shiftright("ub", i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+            + F.shiftright("db", i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        )
+    z = ev.withColumn("zval", zval)
+    pred = (
+        F.col("ub").between(_Z_UB_LO, _Z_UB_HI)
+        & F.col("db").between(_Z_DB_LO, _Z_DB_HI)
+    )
+
+    def file_stats(order_cols: list, tag: str) -> DataFrame:
+        w = Window.orderBy(*order_cols)
+        return (
+            z.withColumn("file_id", F.ntile(_Z_FILES).over(w))
+            .groupBy("file_id")
+            .agg(
+                F.min("ub").alias("min_ub"),
+                F.max("ub").alias("max_ub"),
+                F.min("db").alias("min_db"),
+                F.max("db").alias("max_db"),
+                F.sum(pred.cast("long")).alias("n_match"),
+            )
+            .withColumn("layout", F.lit(tag))
+        )
+
+    filed = file_stats(["db", "ub", "event_id"], "linear").unionByName(
+        file_stats(["zval", "event_id"], "zorder")
+    )
+    overlap = (
+        (F.col("max_ub") >= _Z_UB_LO)
+        & (F.col("min_ub") <= _Z_UB_HI)
+        & (F.col("max_db") >= _Z_DB_LO)
+        & (F.col("min_db") <= _Z_DB_HI)
+    )
+    is_lin = F.col("layout") == "linear"
+    return filed.agg(
+        F.sum(is_lin.cast("long")).alias("n_files"),
+        F.sum((is_lin & overlap).cast("long")).alias("files_scanned_linear"),
+        F.sum((~is_lin & overlap).cast("long")).alias("files_scanned_zorder"),
+        F.sum(F.when(~is_lin, F.col("n_match")).otherwise(F.lit(0))).alias(
+            "rows_matched"
+        ),
+        (
+            F.sum((is_lin & overlap).cast("long")).cast("double") / _Z_FILES
+        ).alias("scan_frac_linear"),
+        (
+            F.sum((~is_lin & overlap).cast("long")).cast("double") / _Z_FILES
+        ).alias("scan_frac_zorder"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
