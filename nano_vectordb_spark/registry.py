@@ -7734,6 +7734,105 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_REF_LANG = "en"
+
+_SQL_LM_PPL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, lang, unnest(toks) AS w FROM t),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok
+  WHERE lang = '{_LM_REF_LANG}' GROUP BY w
+),
+stats AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+lp AS (
+  SELECT u.w,
+         round(log2((u.c + 1.0) / CAST(s.n + s.v AS DOUBLE)), 6) AS lw
+  FROM uni u, stats s
+),
+scored AS (
+  SELECT a.doc_id,
+         coalesce(lp.lw,
+                  (SELECT round(log2(1.0 / CAST(n + v AS DOUBLE)), 6) FROM stats)
+         ) AS lw
+  FROM tok a LEFT JOIN lp ON lp.w = a.w
+),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-list_aggregate(list(lw ORDER BY lw), 'sum')
+               / CAST(count(*) AS DOUBLE), 6) AS bits_per_token
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, bits_per_token,
+       CAST(row_number() OVER (ORDER BY bits_per_token DESC, doc_id ASC)
+            <= (count(*) OVER () + 9) // 10 AS INT) AS flagged
+FROM doc
+"""
+
+
+@register("lm_perplexity_filter", oracle=_SQL_LM_PPL)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: an add-one-smoothed unigram LM
+    trained on the corpus's English slice scores every document as
+    bits-per-token (log2 perplexity); the worst decile is flagged.
+    Out-of-domain text — other languages, keyboard mash — surfaces at
+    the top exactly as the Wikipedia-LM filter intends. Upgrade of
+    bigram_commonness from frequency heuristics to a real probability
+    model.  Scale shape: LM "training" is one word-count aggregate
+    (map-side combined); the only driver-resident state is the (N, V)
+    normalizer pair — two integers, the same bounded-collect contract
+    as kmeans centroids — while the per-token scoring is a standard
+    vocab posting join, broadcastable when the vocab is small and an
+    ordinary shuffle join when it is not.  Determinism: per-token log
+    probs round to 6 decimals (the libm log2 contract), per-doc sums
+    run as value-ordered sequential folds, and the decile cut is pure
+    integer arithmetic over a total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens_expr("text")).alias("w")
+    )
+    uni = (
+        tok.where(F.col("lang") == _LM_REF_LANG)
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = uni.agg(
+        F.sum("c").cast("long").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    nv = float(stats["n"] + stats["v"])
+    lp = uni.select(
+        "w", F.round(F.log2((F.col("c") + F.lit(1.0)) / F.lit(nv)), 6).alias("lw")
+    )
+    unseen = F.round(F.log2(F.lit(1.0) / F.lit(nv)), 6)
+    scored = tok.join(lp, "w", "left").select(
+        "doc_id", F.coalesce("lw", unseen).alias("lw")
+    )
+    fold = F.aggregate(
+        F.array_sort(F.collect_list("lw")), F.lit(0.0), lambda a, b: a + b
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round((-fold) / F.count("*").cast("double"), 6).alias(
+            "bits_per_token"
+        ),
+    )
+    w_rank = Window.orderBy(F.col("bits_per_token").desc(), F.col("doc_id").asc())
+    n_docs = F.count("*").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return doc.select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        (F.row_number().over(w_rank) <= F.floor((n_docs + F.lit(9)) / F.lit(10)))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
