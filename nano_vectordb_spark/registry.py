@@ -7833,6 +7833,65 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HN_POOL = 30
+_HN_POS = 10
+_HN_FRAC = 0.6
+
+_SQL_HARD_NEG = f"""
+WITH q AS ({_SQL_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+),
+pos AS (SELECT query_id, score AS top_pos FROM ranked WHERE rank = 2)
+SELECT r.query_id, r.vec_id, r.score, r.rank AS pool_rank
+FROM ranked r JOIN pos p ON p.query_id = r.query_id
+WHERE r.rank BETWEEN {_HN_POS + 1} AND {_HN_POOL}
+  AND r.score >= {_HN_FRAC} * p.top_pos
+"""
+
+
+@register("hard_negative_mining", oracle=_SQL_HARD_NEG)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data generation: for each query, the
+    retrieval pool beyond the top-{_HN_POS} positives supplies hard
+    negatives — candidates ranked {_HN_POS + 1}..{_HN_POOL} that still
+    score within {_HN_FRAC} of the best non-self positive (rank 2; rank
+    1 is the query's own vector). This margin rule is how embedding
+    fine-tuning pipelines mine in-batch-beating negatives (DPR/SBERT
+    style): too-easy negatives teach nothing, near-dup "negatives"
+    would be false labels and sit above the margin's complement, top-k
+    keeps only the hard band.  Scale shape: the pool is the proven
+    two-phase exact top-k (only Q x P x k rows cross one exchange); the
+    margin join is a per-query scalar broadcast. Scores are exact
+    sequential-fold dots, so the margin comparison is engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = topk_ops.topk_multi(emb, _queries_df(spark, sf_dir), _HN_POOL)
+    pos = pool.where(F.col("rank") == 2).select(
+        "query_id", F.col("score").alias("top_pos")
+    )
+    return (
+        pool.join(F.broadcast(pos), "query_id")
+        .where(
+            (F.col("rank") >= _HN_POS + 1)
+            & (F.col("rank") <= _HN_POOL)
+            & (F.col("score") >= F.lit(_HN_FRAC) * F.col("top_pos"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "score",
+            F.col("rank").cast("int").alias("pool_rank"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
