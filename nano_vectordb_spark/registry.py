@@ -7892,6 +7892,99 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PMI_MIN = 5
+_PMI_TOP = 25
+
+_SQL_PMI = f"""
+WITH t AS ({_SQL_TOKS}),
+bgx AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bigc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bgx GROUP BY bg),
+words AS (SELECT unnest(toks) AS w FROM t),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+btot AS (SELECT CAST(sum(c12) AS BIGINT) AS b FROM bigc),
+j AS (
+  SELECT g.bg, g.c12, u1.c AS c1, u2.c AS c2
+  FROM bigc g
+  JOIN uni u1 ON u1.w = split_part(g.bg, ' ', 1)
+  JOIN uni u2 ON u2.w = split_part(g.bg, ' ', 2)
+  WHERE g.c12 >= {_PMI_MIN}
+)
+SELECT bg AS bigram, c12, c1, c2,
+       round(log2((CAST(c12 AS DOUBLE) * n * n)
+                  / (CAST(b AS DOUBLE) * c1 * c2)), 6) AS pmi
+FROM j, tot, btot
+ORDER BY pmi DESC, bigram ASC
+LIMIT {_PMI_TOP}
+"""
+
+
+@register("pmi_collocations", oracle=_SQL_PMI)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{_PMI_TOP} word pairs by pointwise
+    mutual information, PMI = log2(P(w1 w2) / (P(w1) P(w2))), with
+    min-support {_PMI_MIN} — the corpus-statistics dual of
+    bigram_commonness (that entry scores DOCUMENTS by their bigrams;
+    this one ranks the BIGRAMS themselves), and the classic phrase /
+    multi-word-expression detector (word2vec's phrase pass, NLTK
+    collocations).  Scale shape: two map-side-combined counts (bigrams,
+    unigrams), a vocab-keyed posting join, and a global top-n; the
+    only driver-resident state is the (N, B) normalizer pair of exact
+    integers. All count products stay under 2^53 so the PMI argument
+    is the same double in both engines; log2 carries the 6-decimal
+    contract and the top-n ranks on the ROUNDED value with a bigram
+    tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(tx.tokens_expr("text").alias("toks"))
+    big = (
+        tokd.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i + 1)))"
+                )
+            ).alias("bg")
+        )
+    )
+    bigc = big.groupBy("bg").agg(F.count("*").alias("c12"))
+    uni = (
+        tokd.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n_total = uni.agg(F.sum("c")).collect()[0][0]
+    b_total = bigc.agg(F.sum("c12")).collect()[0][0]
+    u1 = uni.select(F.col("w").alias("__w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("__w2"), F.col("c").alias("c2"))
+    j = (
+        bigc.where(F.col("c12") >= _PMI_MIN)
+        .withColumn("__w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("__w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(u1, "__w1")
+        .join(u2, "__w2")
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("c12").cast("double") * F.lit(float(n_total)) * F.lit(float(n_total)))
+            / (F.lit(float(b_total)) * F.col("c1") * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("bg").alias("bigram"), "c12", "c1", "c2", pmi.alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(_PMI_TOP)
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
