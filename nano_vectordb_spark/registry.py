@@ -1603,9 +1603,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EN_STOP = ", ".join(f"'{m}'" for m in tx.EN_STOPWORDS)
 
 
-@register(
-    "quality_score",
-    oracle=f"""
+_SQL_QUALITY = f"""
 WITH t AS ({_SQL_TOKS}),
 m AS (
   SELECT doc_id,
@@ -1623,8 +1621,10 @@ SELECT doc_id, n_tokens, stopword_ratio, punct_ratio,
          + 0.3 * (1.0 - stopword_ratio)
          + 0.2 * (1.0 - punct_ratio) AS quality
 FROM m
-""",
-)
+"""
+
+
+@register("quality_score", oracle=_SQL_QUALITY)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length saturation, stopword ratio,
     punctuation ratio, composite score in [0,1]."""
@@ -7736,8 +7736,9 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_REF_LANG = "en"
 
-_SQL_LM_PPL = f"""
-WITH t AS (
+# shared CTE chain ending in doc(doc_id, n_tokens, bits_per_token) —
+# used by lm_perplexity_filter and quality_signal_corr
+_SQL_LM_DOC_CTES = f"""t AS (
   SELECT doc_id, lang,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
@@ -7765,7 +7766,10 @@ doc AS (
          round(-list_aggregate(list(lw ORDER BY lw), 'sum')
                / CAST(count(*) AS DOUBLE), 6) AS bits_per_token
   FROM scored GROUP BY doc_id
-)
+)"""
+
+_SQL_LM_PPL = f"""
+WITH {_SQL_LM_DOC_CTES}
 SELECT doc_id, n_tokens, bits_per_token,
        CAST(row_number() OVER (ORDER BY bits_per_token DESC, doc_id ASC)
             <= (count(*) OVER () + 9) // 10 AS INT) AS flagged
@@ -7773,23 +7777,10 @@ FROM doc
 """
 
 
-@register("lm_perplexity_filter", oracle=_SQL_LM_PPL)
-def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style LM quality filter: an add-one-smoothed unigram LM
-    trained on the corpus's English slice scores every document as
-    bits-per-token (log2 perplexity); the worst decile is flagged.
-    Out-of-domain text — other languages, keyboard mash — surfaces at
-    the top exactly as the Wikipedia-LM filter intends. Upgrade of
-    bigram_commonness from frequency heuristics to a real probability
-    model.  Scale shape: LM "training" is one word-count aggregate
-    (map-side combined); the only driver-resident state is the (N, V)
-    normalizer pair — two integers, the same bounded-collect contract
-    as kmeans centroids — while the per-token scoring is a standard
-    vocab posting join, broadcastable when the vocab is small and an
-    ordinary shuffle join when it is not.  Determinism: per-token log
-    probs round to 6 decimals (the libm log2 contract), per-doc sums
-    run as value-ordered sequential folds, and the decile cut is pure
-    integer arithmetic over a total order."""
+def _lm_bits_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, bits_per_token) under the English-slice
+    add-one unigram LM — the shared core of lm_perplexity_filter and
+    quality_signal_corr. See lm_perplexity_filter for the contract."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(tx.tokens_expr("text")).alias("w")
@@ -7813,12 +7804,32 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = F.aggregate(
         F.array_sort(F.collect_list("lw")), F.lit(0.0), lambda a, b: a + b
     )
-    doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round((-fold) / F.count("*").cast("double"), 6).alias(
             "bits_per_token"
         ),
     )
+
+
+@register("lm_perplexity_filter", oracle=_SQL_LM_PPL)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: an add-one-smoothed unigram LM
+    trained on the corpus's English slice scores every document as
+    bits-per-token (log2 perplexity); the worst decile is flagged.
+    Out-of-domain text — other languages, keyboard mash — surfaces at
+    the top exactly as the Wikipedia-LM filter intends. Upgrade of
+    bigram_commonness from frequency heuristics to a real probability
+    model.  Scale shape: LM "training" is one word-count aggregate
+    (map-side combined); the only driver-resident state is the (N, V)
+    normalizer pair — two integers, the same bounded-collect contract
+    as kmeans centroids — while the per-token scoring is a standard
+    vocab posting join, broadcastable when the vocab is small and an
+    ordinary shuffle join when it is not.  Determinism: per-token log
+    probs round to 6 decimals (the libm log2 contract), per-doc sums
+    run as value-ordered sequential folds, and the decile cut is pure
+    integer arithmetic over a total order."""
+    doc = _lm_bits_df(spark, sf_dir)
     w_rank = Window.orderBy(F.col("bits_per_token").desc(), F.col("doc_id").asc())
     n_docs = F.count("*").over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -7982,6 +7993,81 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
         .limit(_PMI_TOP)
+    )
+
+
+_SQL_QSC = f"""
+WITH {_SQL_LM_DOC_CTES},
+qual AS ({_SQL_QUALITY}),
+xy AS (
+  SELECT CAST(round(q.quality, 6) AS DECIMAL(18,6)) AS x,
+         CAST(d.bits_per_token AS DECIMAL(18,6)) AS y
+  FROM qual q JOIN doc d USING (doc_id)
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy
+)
+SELECT n AS n_docs,
+       round(CAST(sx AS DOUBLE) / n, 6) AS mean_quality,
+       round(CAST(sy AS DOUBLE) / n, 6) AS mean_bits,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS pearson_r
+FROM s
+"""
+
+
+@register("quality_signal_corr", oracle=_SQL_QSC)
+def quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal agreement: Pearson correlation between the
+    heuristic composite quality score and the LM bits-per-token over
+    every tokenized document — the calibration check a pipeline runs
+    before stacking two filters (redundant signals waste a pass;
+    anti-correlated ones mean one is broken; quality should correlate
+    NEGATIVELY with perplexity). Joins the two proven per-doc signal
+    plans on doc_id and reduces to one row.  Determinism: both inputs
+    are 6-decimal-rounded doubles cast to DECIMAL(18,6), so every sum
+    and sum-of-products is exact and order-independent (the z-score
+    entry's contract); the final r passes through wide-decimal ->
+    double casts once and carries the 6-decimal rounding. Scale shape:
+    one keyed join plus a single map-side-combinable moment aggregate —
+    the same one-pass sufficient-statistics reduction any distributed
+    corr/variance uses."""
+    d = _toks_df(spark, sf_dir)
+    qual = d.select(
+        "doc_id", tx.quality_expr(F.col("toks"), "text").alias("quality")
+    )
+    bits = _lm_bits_df(spark, sf_dir)
+    xy = qual.join(bits, "doc_id").select(
+        F.round("quality", 6).cast("decimal(18,6)").alias("x"),
+        F.col("bits_per_token").cast("decimal(18,6)").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return s.select(
+        F.col("n").alias("n_docs"),
+        F.round(sxd / F.col("n"), 6).alias("mean_quality"),
+        F.round(syd / F.col("n"), 6).alias("mean_bits"),
+        F.round(
+            (F.col("n") * F.col("sxy").cast("double") - sxd * syd)
+            / (
+                F.sqrt(F.col("n") * F.col("sxx").cast("double") - sxd * sxd)
+                * F.sqrt(F.col("n") * F.col("syy").cast("double") - syd * syd)
+            ),
+            6,
+        ).alias("pearson_r"),
     )
 
 
