@@ -8071,6 +8071,85 @@ def quality_signal_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority) AS INT) AS grp,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_cube", oracle=_SQL_CUBE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage completed: CUBE over order
+    status/priority (all four grouping sets, vs orders_rollup's
+    hierarchy) with the grouping_id disambiguator — written with the
+    DataFrame cube() API so the expansion is Catalyst's Expand
+    operator, one pass over the fact with map-side partial aggregation
+    per set, not four scans. Exact decimal totals as everywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("int").alias("grp"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+_SQL_SLIDING_DISTINCT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM daily)
+SELECT d.day AS window_end,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS distinct_users,
+       CAST(sum(p.c) AS BIGINT) AS n_events
+FROM days d JOIN daily p ON p.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+@register("sliding_distinct_users", oracle=_SQL_SLIDING_DISTINCT)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counting from a mergeable day-grain
+    pre-aggregate: 7-day distinct users + event volume per window-end
+    day. COUNT(DISTINCT) does not decompose over overlapping windows,
+    so the scale answer is the day-grain (day, user) rollup — orders of
+    magnitude smaller than raw events — re-used by every window it
+    touches; each rollup row fans out map-side to the <=7 window-ends
+    it serves (explode of a date sequence, no range join, no
+    BroadcastNestedLoop) and one keyed aggregate finishes. The
+    approximate twin at extreme cardinality is per-day HLL sketches
+    merged per window (distinct_users_hll's mergeability argument);
+    this entry is the exact form and the oracle for that ladder.
+    Integer-exact end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    days = daily.select("day").distinct().withColumnRenamed("day", "wd")
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wd"),
+        "user_id",
+        "c",
+    )
+    return (
+        contrib.join(F.broadcast(days), "wd")
+        .groupBy("wd")
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.sum("c").alias("n_events"),
+        )
+        .withColumnRenamed("wd", "window_end")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
