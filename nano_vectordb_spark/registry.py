@@ -8150,6 +8150,105 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LABEL_CENTROID = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ex0 AS (
+  SELECT label, v, unnest(range(0, len(v))) AS dim FROM e
+),
+ex AS (
+  SELECT label, CAST(dim AS INT) AS dim, v[CAST(dim AS INT) + 1] AS val FROM ex0
+),
+cent AS (
+  SELECT label, dim, round(avg(val), 6) AS cv FROM ex GROUP BY label, dim
+),
+cvecs AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label),
+dist AS (
+  SELECT e.vec_id, e.label AS vlabel, c.label AS clabel,
+         list_aggregate(list_transform(range(1, len(e.v) + 1),
+            i -> (e.v[i] - c.cvec[i]) * (e.v[i] - c.cvec[i])), 'sum') AS d2
+  FROM e CROSS JOIN cvecs c
+),
+pv AS (
+  SELECT vec_id, vlabel,
+         max(CASE WHEN clabel = vlabel THEN d2 END) AS own_d2,
+         min(CASE WHEN clabel <> vlabel THEN d2 END) AS other_d2
+  FROM dist GROUP BY vec_id, vlabel
+),
+agg AS (
+  SELECT vlabel AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(avg(own_d2), 6) AS avg_own_d2,
+         round(avg(other_d2), 6) AS avg_nearest_other_d2
+  FROM pv GROUP BY vlabel
+)
+SELECT label, n_vecs, avg_own_d2, avg_nearest_other_d2,
+       round(avg_nearest_other_d2 / avg_own_d2, 6) AS separation
+FROM agg
+"""
+
+
+@register("label_centroid_quality", oracle=_SQL_LABEL_CENTROID)
+def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labelled-embedding cohesion audit (simplified silhouette): per
+    class label, mean squared distance to the OWN class centroid vs the
+    NEAREST other centroid, and their ratio — the separability report
+    read before trusting labels for stratified eval splits or
+    classifier training (separation ~1 means the label carries no
+    geometric signal). Scale shape: centroids come from the
+    posexplode -> (label, dim)-keyed aggregate (map-side combined, D x
+    L rows total — embedding_dim_stats' shape grouped by label); the
+    bounded L-row centroid relation then broadcasts against one base
+    scan, the same tiny-side pattern as the IVF probe stage.
+    Determinism: centroid coordinates are 6-decimal-rounded avgs
+    (identical both engines), distances are dim-ordered sequential
+    folds over identical doubles, the per-vector min over labels is an
+    exact compare, and the final per-label avgs carry the round-6
+    contract."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    cent = ex.groupBy("label", "dim").agg(F.round(F.avg("val"), 6).alias("cv"))
+    cvecs = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s["cv"],
+        ).alias("cvec")
+    )
+    cl = cvecs.select(F.col("label").alias("clabel"), "cvec")
+    d2 = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    dist = emb.crossJoin(F.broadcast(cl)).select(
+        "vec_id", F.col("label").alias("vlabel"), "clabel", d2.alias("d2")
+    )
+    pv = dist.groupBy("vec_id", "vlabel").agg(
+        F.max(F.when(F.col("clabel") == F.col("vlabel"), F.col("d2"))).alias(
+            "own_d2"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("vlabel"), F.col("d2"))).alias(
+            "other_d2"
+        ),
+    )
+    agg = pv.groupBy("vlabel").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("own_d2"), 6).alias("avg_own_d2"),
+        F.round(F.avg("other_d2"), 6).alias("avg_nearest_other_d2"),
+    )
+    return agg.select(
+        F.col("vlabel").alias("label"),
+        "n_vecs",
+        "avg_own_d2",
+        "avg_nearest_other_d2",
+        F.round(
+            F.col("avg_nearest_other_d2") / F.col("avg_own_d2"), 6
+        ).alias("separation"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

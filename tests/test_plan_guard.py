@@ -39,6 +39,7 @@ _BNLJ_OK = {
     "radius_search",          # broadcast query batch x base scan (range search)
     "search_quality_i8",      # embeds topk_i8's broadcast query batch x scan
     "mixture_weights_temperature",  # broadcast 1-row fold denominator
+    "label_centroid_quality",  # broadcast L-row centroid relation x base scan
 }
 
 NAMES = sorted(registry.REGISTRY)
