@@ -8249,6 +8249,83 @@ def label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ISM_MOD = 10  # doc_id % 10 == 0 stands in for the incoming batch
+
+_SQL_STATS_MERGE = f"""
+WITH qual AS ({_SQL_QUALITY}),
+j AS (
+  SELECT d.source, d.n_chars, q.n_tokens,
+         CAST(round(q.quality, 6) AS DECIMAL(18,6)) AS q6
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+),
+s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         sum(q6) AS sq
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, total_tokens, min_chars, max_chars,
+       round(CAST(sq AS DOUBLE) / n_docs, 6) AS avg_quality
+FROM s
+"""
+
+
+@register("incremental_stats_merge", oracle=_SQL_STATS_MERGE)
+def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental profile maintenance: per-source corpus stats
+    computed SEPARATELY over the standing corpus (doc_id % {_ISM_MOD}
+    != 0) and an incoming batch (== 0), then combined purely
+    algebraically — counts and token totals add, min/max fold, and the
+    quality mean merges because what is stored is the exact
+    DECIMAL(18,6) SUM of 6-decimal-rounded scores, not the mean. The
+    oracle is the FULL-corpus recompute, so the hash match proves the
+    merge law itself: a nightly profile never rescans the corpus, it
+    folds each ingest's partial into the stored sufficient statistics
+    (the same mergeability argument as the HLL/count-min sketches,
+    here in exact form).  Scale shape: two map-side-combined
+    aggregates over disjoint slices plus a |sources|-row merge."""
+    d = _toks_df(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.round(tx.quality_expr(F.col("toks"), "text"), 6)
+        .cast("decimal(18,6)")
+        .alias("q6"),
+    )
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("q6").alias("sq"),
+        )
+
+    base = stats(d.where(F.col("doc_id") % _ISM_MOD != 0))
+    batch = stats(d.where(F.col("doc_id") % _ISM_MOD == 0))
+    merged = base.unionByName(batch).groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.min("min_chars").alias("min_chars"),
+        F.max("max_chars").alias("max_chars"),
+        F.sum("sq").alias("sq"),
+    )
+    return merged.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "min_chars",
+        "max_chars",
+        F.round(F.col("sq").cast("double") / F.col("n_docs"), 6).alias(
+            "avg_quality"
+        ),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
