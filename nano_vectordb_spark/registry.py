@@ -8326,6 +8326,121 @@ def incremental_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DQ = """
+WITH checks AS (
+  SELECT 'orders_orphan_custkey' AS rule,
+         CAST((SELECT count(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS violations,
+         CAST((SELECT count(*) FROM orders) AS BIGINT) AS checked
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey',
+         CAST((SELECT count(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_pk_unique',
+         CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+               GROUP BY o_orderkey HAVING count(*) > 1) t) AS BIGINT),
+         CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         CAST((SELECT count(*) FROM orders
+               WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT),
+         CAST((SELECT count(*) FROM orders) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST((SELECT count(*) FROM lineitem
+               WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'lineitem_ship_after_order',
+         CAST((SELECT count(*) FROM lineitem l JOIN orders o
+               ON o.o_orderkey = l.l_orderkey
+               WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+         CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+  UNION ALL
+  SELECT 'documents_text_nonnull',
+         CAST((SELECT count(*) FROM documents
+               WHERE text IS NULL OR length(text) = 0) AS BIGINT),
+         CAST((SELECT count(*) FROM documents) AS BIGINT)
+)
+SELECT rule, violations, checked,
+       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+FROM checks
+"""
+
+
+@register("dq_validation_suite", oracle=_SQL_DQ)
+def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/dbt-test shape): one
+    report row per declared rule — referential integrity (orphan
+    foreign keys via broadcast anti-joins), primary-key uniqueness,
+    range and non-null checks, and a cross-table temporal sanity rule
+    (no lineitem ships before its order) — the contract gate a
+    pipeline runs on every ingest before publishing a snapshot.
+    Scale shape: every rule is either a map-side predicate count or an
+    anti/inner join against a broadcastable dimension, all folded into
+    one pass per fact table by conditional aggregation where they
+    share a scan (the orphan + temporal rules share the lineitem-
+    orders join). Integer-exact throughout."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def row(rule: str, violations: DataFrame, checked: DataFrame) -> DataFrame:
+        v = violations.select(F.count("*").alias("violations"))
+        c = checked.select(F.count("*").alias("checked"))
+        # 1-row x 1-row combine without a join: union the two scalar
+        # aggregates and re-aggregate (keeps every rule BNLJ-free)
+        return (
+            v.select(F.lit(rule).alias("rule"), "violations", F.lit(None).cast("long").alias("checked"))
+            .unionByName(
+                c.select(F.lit(rule).alias("rule"), F.lit(None).cast("long").alias("violations"), "checked")
+            )
+            .groupBy("rule")
+            .agg(
+                F.max("violations").alias("violations"),
+                F.max("checked").alias("checked"),
+            )
+        )
+
+    orphan_orders = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    orphan_li = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    dup_pk = orders.groupBy("o_orderkey").count().where(F.col("count") > 1)
+    pk_distinct = orders.select("o_orderkey").distinct()
+    bad_price = orders.where(
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+    )
+    bad_disc = li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+    ship_before = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).where(F.col("l_shipdate") < F.col("o_orderdate"))
+    bad_text = docs.where(F.col("text").isNull() | (F.length("text") == 0))
+
+    report = (
+        row("orders_orphan_custkey", orphan_orders, orders)
+        .unionByName(row("lineitem_orphan_orderkey", orphan_li, li))
+        .unionByName(row("orders_pk_unique", dup_pk, pk_distinct))
+        .unionByName(row("orders_totalprice_positive", bad_price, orders))
+        .unionByName(row("lineitem_discount_range", bad_disc, li))
+        .unionByName(row("lineitem_ship_after_order", ship_before, li))
+        .unionByName(row("documents_text_nonnull", bad_text, docs))
+    )
+    return report.select(
+        "rule",
+        "violations",
+        "checked",
+        (F.col("violations") == 0).cast("int").alias("passed"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
