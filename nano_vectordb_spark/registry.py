@@ -8441,6 +8441,103 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "neardup_graph_stats",
+    oracle=lambda: f"""
+WITH pairs AS ({_sql_minhash_lsh()}),
+e AS (SELECT a_id AS a, b_id AS b FROM pairs),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) t GROUP BY node
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+ds AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         CAST(max(d) AS BIGINT) AS max_degree,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT n_nodes, n_edges, n_triangles, max_degree, n_wedges,
+       CASE WHEN n_wedges = 0 THEN 0.0
+            ELSE round(3.0 * n_triangles / n_wedges, 6) END AS global_clustering
+FROM ds, tri
+""",
+)
+def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph topology: node/edge/degree profile, exact
+    triangle count, and the global clustering coefficient (3*triangles
+    / wedges) over the verified MinHash-LSH pair graph — the shape
+    report that says whether near-dup clusters are chains (crawl
+    drift: low clustering) or cliques (template spam: high), which
+    changes the keeper policy dedup_keep_longest applies. Triangle
+    counting uses the classic distributed algorithm: edges oriented
+    low-id -> high-id (each triangle counted exactly once) and two
+    equi-joins e1(a,b) |x| e2(b,c) |x| e3(a,c) — at scale the
+    orientation is by DEGREE so every join side stays near-linear
+    (Suri-Vassilvitskii); ids stand in for degree rank here. Wedge
+    counts are pure integer arithmetic off the degree table; the one
+    division carries round-6."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("a_id").alias("a"), F.col("b_id").alias("b")
+    )
+    deg = (
+        pairs.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    ds = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.max("d").alias("max_degree"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    a_side = ds.select(
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        "n_wedges",
+        F.lit(None).cast("long").alias("n_triangles"),
+    )
+    b_side = tri.select(
+        F.lit(None).cast("long").alias("n_nodes"),
+        F.lit(None).cast("long").alias("n_edges"),
+        F.lit(None).cast("long").alias("max_degree"),
+        F.lit(None).cast("long").alias("n_wedges"),
+        "n_triangles",
+    )
+    merged = a_side.unionByName(b_side).agg(
+        F.max("n_nodes").alias("n_nodes"),
+        F.max("n_edges").alias("n_edges"),
+        F.max("n_triangles").alias("n_triangles"),
+        F.max("max_degree").alias("max_degree"),
+        F.max("n_wedges").alias("n_wedges"),
+    )
+    return merged.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "max_degree",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6)
+        )
+        .alias("global_clustering"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
