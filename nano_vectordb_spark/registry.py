@@ -8538,6 +8538,99 @@ def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_D = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Replay PageRank over the kNN graph: nested one-CTE-per-iteration
+    power method, contributions folded in value order (deterministic
+    sum). The (1-d)/n and 1/n constants are embedded as Python-double
+    literals on BOTH sides — DuckDB would otherwise fold (1.0 - 0.85)
+    in DECIMAL arithmetic and land one ulp away from the double path."""
+    import pyarrow.parquet as papq
+
+    n = papq.read_metadata(f"{_ORACLE_SF}/embeddings.parquet").num_rows
+    base = (1.0 - _PR_D) / n
+    init = 1.0 / n
+    knn_sql = REGISTRY["knn_self_join"].oracle
+    iters = ""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        iters += f""",
+it{i} AS (
+  SELECT nd.node, {base!r} + {_PR_D!r} * coalesce(agg.s, 0.0) AS r
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e2.dst AS node,
+           list_aggregate(list(p.r / e2.c ORDER BY p.r / e2.c), 'sum') AS s
+    FROM e2 JOIN {prev} p ON p.node = e2.src GROUP BY e2.dst
+  ) agg ON agg.node = nd.node
+)"""
+        prev = f"it{i}"
+    return f"""
+WITH knn AS ({knn_sql}),
+e AS (SELECT src_id AS src, nbr_id AS dst FROM knn),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY src),
+e2 AS (SELECT e.src, e.dst, od.c FROM e JOIN od USING (src)),
+nodes AS (SELECT vec_id AS node FROM embeddings),
+r0 AS (SELECT node, {init!r} AS r FROM nodes){iters}
+SELECT node, round(r, 6) AS pagerank,
+       CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node ASC) AS INT)
+         AS pr_rank
+FROM {prev}
+"""
+
+
+@register("knn_pagerank", oracle=_pagerank_oracle)
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact kNN graph ({_PR_ITERS}
+    power-method rounds, damping {_PR_D}) — density-peak scoring in
+    embedding space: vectors many neighbors point AT are corpus
+    "representatives" (coreset selection, diversity sampling, the
+    centrality sibling of topk_mmr's redundancy penalty). Completes
+    the iterative-algorithm family beyond dedup_components' label
+    propagation with a numeric fixed point.
+
+    Scale shape: per round, one join of the edge list against the
+    rank vector plus one dst-keyed aggregate — the canonical
+    distributed PageRank; at depth the rank table would checkpoint per
+    round exactly like components' pointer jumping (here the
+    {_PR_ITERS}-round plan is bounded and stays lazy). The kNN graph
+    guarantees outdegree k, so there are no dangling-mass corrections.
+    Determinism: per-node in-sums run as value-ordered sequential
+    folds, damping constants are shared Python-double literals, and
+    the published ranking orders on the 6-decimal-rounded score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(spark, sf_dir)
+    e = knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+    od = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    e2 = e.join(od, "src")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    n = emb.count()
+    base = (1.0 - _PR_D) / n
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = e2.join(ranks, e2["src"] == ranks["node"]).select(
+            "dst", (F.col("r") / F.col("odeg")).alias("c")
+        )
+        agg = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")), F.lit(0.0), lambda s, x: s + x
+            ).alias("s")
+        )
+        ranks = nodes.join(agg, nodes["node"] == agg["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.lit(_PR_D) * F.coalesce("s", F.lit(0.0))).alias("r"),
+        )
+    w = Window.orderBy(F.round("r", 6).desc(), F.col("node").asc())
+    return ranks.select(
+        "node",
+        F.round("r", 6).alias("pagerank"),
+        F.row_number().over(w).cast("int").alias("pr_rank"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
