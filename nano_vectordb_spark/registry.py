@@ -8631,6 +8631,130 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_EVENT_PATTERN = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, md5(seq) AS seq_md5,
+       CAST(len(string_split(seq, 'vcp')) - 1 AS BIGINT) AS n_view_click_buy,
+       CAST(len(string_split(seq, 'ce')) - 1 AS BIGINT) AS n_click_error
+FROM s
+"""
+
+
+@register("event_pattern_match", oracle=_SQL_EVENT_PATTERN)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching over event streams (the
+    MATCH_RECOGNIZE-lite shape): each user's history compresses to an
+    event-initial string in strict (ts, event_id) order — initials are
+    unique per type here — and patterns become plain substring counts:
+    view->click->purchase conversions and click->error rage signals,
+    counted non-overlapping by the split(seq, pat) trick in both
+    engines. The full sequence is also md5-hashed, so ONE mis-ordered
+    event for any user fails the gate — this doubles as the ordering
+    oracle for every window/sessionize operator. Scale shape: one
+    user-keyed aggregate whose state is bounded by events-per-user
+    (the sessionize contract); the pattern scan afterwards is
+    map-only string work, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ini"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                    lambda s: s["ini"],
+                ),
+                "",
+            ).alias("seq"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.md5("seq").alias("seq_md5"),
+        (F.size(F.split("seq", "vcp", -1)) - 1)
+        .cast("long")
+        .alias("n_view_click_buy"),
+        (F.size(F.split("seq", "ce", -1)) - 1)
+        .cast("long")
+        .alias("n_click_error"),
+    )
+
+
+_SQL_DIVERSITY = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY source),
+terms AS (
+  SELECT c.source, tot.nt,
+         -(CAST(c.n AS DOUBLE) / tot.nt) * log2(CAST(c.n AS DOUBLE) / tot.nt) AS h
+  FROM c JOIN tot USING (source)
+),
+e AS (
+  SELECT source, max(nt) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+         round(list_aggregate(list(h ORDER BY h), 'sum'), 6) AS entropy_bits
+  FROM terms GROUP BY source
+)
+SELECT source, n_docs, n_langs, entropy_bits,
+       round(pow(2.0, entropy_bits), 6) AS effective_langs
+FROM e
+"""
+
+
+@register("corpus_diversity_entropy", oracle=_SQL_DIVERSITY)
+def corpus_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity index: Shannon entropy (bits) of each source's
+    language mix and its exponential, the "effective number of
+    languages" — the mixture-design number read next to
+    mixture_weights (a source with effective_langs ~1 contributes no
+    multilingual signal no matter its row count). Scale shape: one
+    (source, lang)-keyed count (map-side combined), a |sources|-row
+    total join, and a per-source fold over at most |langs| entropy
+    terms. Determinism: p = n/nt is an exact IEEE division of exact
+    integers, the <=|langs|-term entropy sum folds in value order,
+    and log2/pow carry the 6-decimal libm contract (pow applied to
+    the already-rounded entropy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    terms = c.join(tot, "source").select(
+        "source", "nt", (-p * F.log2(p)).alias("h")
+    )
+    e = terms.groupBy("source").agg(
+        F.max("nt").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("h")), F.lit(0.0), lambda s, x: s + x
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return e.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "entropy_bits",
+        F.round(F.pow(F.lit(2.0), F.col("entropy_bits")), 6).alias(
+            "effective_langs"
+        ),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
