@@ -8755,6 +8755,93 @@ def corpus_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lsh_operating_point() -> str:
+    return f"""
+WITH {_sql_minhash_base()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        >= {_JACCARD_T}
+),
+j AS (
+  SELECT coalesce(c.a_id, t.a_id) AS a_id,
+         CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS in_cand,
+         CASE WHEN t.a_id IS NULL THEN 0 ELSE 1 END AS in_true
+  FROM cand c FULL OUTER JOIN truth t
+    ON t.a_id = c.a_id AND t.b_id = c.b_id
+),
+m AS (
+  SELECT CAST(sum(in_true) AS BIGINT) AS n_true,
+         CAST(sum(in_cand) AS BIGINT) AS n_candidates,
+         CAST(sum(in_cand * in_true) AS BIGINT) AS n_cand_true
+  FROM j
+)
+SELECT n_true, n_candidates, n_cand_true,
+       round(CAST(n_cand_true AS DOUBLE) / n_true, 6) AS candidate_recall,
+       round(CAST(n_cand_true AS DOUBLE) / n_candidates, 6) AS candidate_precision
+FROM m
+"""
+
+
+@register("lsh_operating_point", oracle=_sql_lsh_operating_point)
+def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding operating characteristic, MEASURED: candidate
+    recall and precision of the 16-slot / 4-band MinHash scheme
+    against the exact shingle-Jaccard truth set at threshold
+    {_JACCARD_T} — the empirical point on the S-curve
+    1-(1-s^r)^b that minhash_estimator_error bounds analytically and
+    every banding choice (r, b) is picked from. A recall shortfall
+    here means missed dups ship to training; a precision collapse
+    means the verify stage pays for junk candidates. Scale shape: the
+    candidate side is the production banded inverted-index join; the
+    truth side is the shingle-posting exact join (posting-list bound,
+    not N^2); the comparison is one full-outer join of two small pair
+    sets + a conditional aggregate. Integer-exact but for the two
+    round-6 ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        dedup_ops.minhash_lsh_pairs(docs, 0.0)
+        .select("a_id", "b_id")
+        .withColumn("in_cand", F.lit(1))
+    )
+    truth = (
+        dedup_ops.ngram_jaccard_pairs(docs, _JACCARD_T)
+        .select("a_id", "b_id")
+        .withColumn("in_true", F.lit(1))
+    )
+    j = cand.join(truth, ["a_id", "b_id"], "full_outer").select(
+        F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
+        F.coalesce("in_true", F.lit(0)).alias("in_true"),
+    )
+    m = j.agg(
+        F.sum("in_true").cast("long").alias("n_true"),
+        F.sum("in_cand").cast("long").alias("n_candidates"),
+        F.sum(F.col("in_cand") * F.col("in_true")).cast("long").alias(
+            "n_cand_true"
+        ),
+    )
+    return m.select(
+        "n_true",
+        "n_candidates",
+        "n_cand_true",
+        F.round(
+            F.col("n_cand_true").cast("double") / F.col("n_true"), 6
+        ).alias("candidate_recall"),
+        F.round(
+            F.col("n_cand_true").cast("double") / F.col("n_candidates"), 6
+        ).alias("candidate_precision"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
