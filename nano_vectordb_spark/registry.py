@@ -8842,6 +8842,76 @@ def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_TWA = """
+WITH b AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT user_id, value,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS dt
+  FROM b
+),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(dt) AS BIGINT) AS span_us,
+         list_aggregate(list(value * dt ORDER BY value * dt)
+                        FILTER (WHERE dt IS NOT NULL), 'sum') AS num
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       CASE WHEN span_us IS NULL OR span_us = 0 THEN NULL
+            ELSE round(num / span_us, 6) END AS twa_value
+FROM a
+"""
+
+
+@register("user_value_twa", oracle=_SQL_TWA)
+def user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted aggregation (the telemetry/finance TWAP
+    shape): per user, the time-weighted average of `value`, each
+    reading weighted by how long it was current (gap to the next
+    event, exact integer microseconds) — the correct summary when
+    readings arrive irregularly and a plain AVG over-weights bursts;
+    complements user_value_ewma's recency weighting with elapsed-time
+    weighting. NTZ-safe: the window orders by timezone-free epoch
+    micros (the trailing-window idiom — never unix_micros on NTZ).
+    Scale shape: one user-partitioned lead() window + one keyed
+    aggregate, state bounded per user. Determinism: gaps are exact
+    longs, the weighted numerator folds in value order, and the single
+    division carries round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    b = ev.select("user_id", "event_id", "value", ts_us.alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = b.select(
+        "user_id", "value", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt")
+    )
+    a = g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("dt").alias("span_us"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("value") * F.col("dt"))),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("num"),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.when(
+            F.col("span_us").isNull() | (F.col("span_us") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(F.col("num") / F.col("span_us"), 6))
+        .alias("twa_value"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
