@@ -9052,6 +9052,101 @@ def lsh_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KS_BINS = 20
+_KS_SPLIT_DAY = 15
+
+_SQL_VALUE_DRIFT = f"""
+WITH s AS (SELECT value, CAST(EXTRACT(day FROM ts) AS INT) AS d FROM events),
+mm AS (SELECT min(value) AS mn, max(value) AS mx FROM s),
+b AS (
+  SELECT least({_KS_BINS - 1}, greatest(0,
+           CAST(floor((value - mn) / ((mx - mn) / {_KS_BINS}.0)) AS INT))) AS bin,
+         CASE WHEN d <= {_KS_SPLIT_DAY} THEN 1 ELSE 0 END AS ia
+  FROM s, mm
+),
+h AS (
+  SELECT bin, CAST(sum(ia) AS BIGINT) AS cnt_a,
+         CAST(count(*) - sum(ia) AS BIGINT) AS cnt_b
+  FROM b GROUP BY bin
+),
+c AS (
+  SELECT bin, cnt_a, cnt_b,
+         sum(cnt_a) OVER (ORDER BY bin) AS cum_a,
+         sum(cnt_b) OVER (ORDER BY bin) AS cum_b,
+         sum(cnt_a) OVER () AS na, sum(cnt_b) OVER () AS nb
+  FROM h
+)
+SELECT CAST(bin AS INT) AS bin, cnt_a, cnt_b,
+       round(CAST(cum_a AS DOUBLE) / na, 6) AS cdf_a,
+       round(CAST(cum_b AS DOUBLE) / nb, 6) AS cdf_b,
+       round(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb), 6)
+         AS cdf_gap
+FROM c
+"""
+
+
+@register("value_drift_ks", oracle=_SQL_VALUE_DRIFT)
+def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (the binned Kolmogorov-Smirnov
+    shape): the event `value` distribution of the first
+    {_KS_SPLIT_DAY} days vs the rest, as a {_KS_BINS}-bin equi-width
+    histogram with both empirical CDFs and their per-bin gap — the max
+    of cdf_gap IS the binned KS statistic a drift alarm thresholds on
+    before a model retrain or a source renegotiation. Scale shape: the
+    global [min,max] is one exact 2-double aggregate (the bounded
+    driver-state contract); binning + both histograms then fold into
+    ONE conditional map-side-combined pass over the scan, and the CDF
+    window runs over {_KS_BINS} rows. Determinism: min/max of doubles
+    are exact, bin edges derive from them by identical IEEE
+    arithmetic in both engines, counts are integers, and the CDF
+    ratios carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "value", F.dayofmonth("ts").cast("int").alias("d")
+    )
+    mm = s.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    width = (mx - mn) / float(_KS_BINS)
+    bin_col = F.least(
+        F.lit(_KS_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.lit(mn)) / F.lit(width)).cast("int"),
+        ),
+    )
+    b = s.select(
+        bin_col.alias("bin"),
+        (F.col("d") <= _KS_SPLIT_DAY).cast("int").alias("ia"),
+    )
+    h = b.groupBy("bin").agg(
+        F.sum("ia").alias("cnt_a"),
+        (F.count("*") - F.sum("ia")).alias("cnt_b"),
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = h.select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w_cum).alias("cum_a"),
+        F.sum("cnt_b").over(w_cum).alias("cum_b"),
+        F.sum("cnt_a").over(w_all).alias("na"),
+        F.sum("cnt_b").over(w_all).alias("nb"),
+    )
+    cdf_a = F.col("cum_a").cast("double") / F.col("na")
+    cdf_b = F.col("cum_b").cast("double") / F.col("nb")
+    return c.select(
+        F.col("bin").cast("int").alias("bin"),
+        "cnt_a",
+        "cnt_b",
+        F.round(cdf_a, 6).alias("cdf_a"),
+        F.round(cdf_b, 6).alias("cdf_b"),
+        F.round(F.abs(cdf_a - cdf_b), 6).alias("cdf_gap"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
