@@ -9147,6 +9147,50 @@ def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("chunk_words_udtf", oracle=_SQL_CHUNK_WORDS)
+def chunk_words_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF escape hatch, demonstrated and pinned: the greedy
+    word-boundary chunker as an Arrow-optimized Python table function
+    lateral-joined per document — the API a user reaches for when an
+    operator truly cannot be expressed natively (SURVEY §2.2's
+    UDF/UDAF/UDTF row; mapInPandas/pandas_udf cover the other two).
+    It shares chunk_words' oracle, so the UDTF is PROVEN
+    output-identical to the native higher-order fold — and the native
+    form remains the default because it stays in whole-stage codegen
+    while this one pays a Python round trip per batch. Scale shape:
+    map-only lateral explode, no shuffle; Arrow batches amortize the
+    serialization."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, chunk_chars int", useArrow=True)
+    class ChunkWordsUdtf:
+        def eval(self, text: str, max_chars: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            done: list[str] = []
+            cur = ""
+            for t in toks:
+                joined = t if not cur else f"{cur} {t}"
+                if len(joined) <= max_chars:
+                    cur = joined
+                else:
+                    if cur:
+                        done.append(cur)
+                    cur = t
+            if cur:
+                done.append(cur)
+            for i, c in enumerate(done):
+                yield i, c, len(c)
+
+    from nano_vectordb_spark.sources.tables import register_views
+
+    spark.udtf.register("nvdb_chunk_words", ChunkWordsUdtf)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_id, c.chunk, c.chunk_chars "
+        f"FROM documents d, LATERAL nvdb_chunk_words(d.text, {_CHUNK_CHARS}) c"
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
