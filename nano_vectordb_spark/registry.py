@@ -9191,6 +9191,71 @@ def chunk_words_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_PARETO = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY o_custkey
+),
+c AS (
+  SELECT o_custkey, r,
+         sum(r) OVER (ORDER BY r DESC, o_custkey ASC) AS cum_r,
+         sum(r) OVER () AS tot_r,
+         row_number() OVER (ORDER BY r DESC, o_custkey ASC) AS rn,
+         count(*) OVER () AS n
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE) >= 0.8
+                THEN rn END) AS BIGINT) AS n_for_80pct,
+       round(CAST(min(CASE WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE) >= 0.8
+                      THEN rn END) AS DOUBLE) / max(n), 6) AS share_for_80pct,
+       round(CAST(max(CASE WHEN rn = 1 THEN cum_r END) AS DOUBLE)
+             / CAST(max(tot_r) AS DOUBLE), 6) AS top1_share
+FROM c
+"""
+
+
+@register("revenue_pareto", oracle=_SQL_PARETO)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration / Pareto analysis: how many customers (and what
+    fraction of the base) produce 80% of order revenue, plus the top
+    customer's share — the 80/20 report behind sales prioritization
+    and, in the corpus world, the "does one vendor dominate the
+    mixture" check. Scale shape: one keyed exact-DECIMAL aggregate,
+    then windows over the |customers|-row result ranked by the EXACT
+    decimal revenue (no float enters the ordering); only the final
+    shares divide through doubles with round-6."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    w_rank = Window.orderBy(F.col("r").desc(), F.col("o_custkey").asc())
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = rev.select(
+        F.sum("r").over(w_rank).alias("cum_r"),
+        F.sum("r").over(w_all).alias("tot_r"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    frac = F.col("cum_r").cast("double") / F.col("tot_r").cast("double")
+    return c.agg(
+        F.count("*").alias("n_customers"),
+        F.min(F.when(frac >= 0.8, F.col("rn"))).cast("long").alias("n_for_80pct"),
+        F.round(
+            F.min(F.when(frac >= 0.8, F.col("rn"))).cast("double") / F.max("n"),
+            6,
+        ).alias("share_for_80pct"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("cum_r"))).cast("double")
+            / F.max("tot_r").cast("double"),
+            6,
+        ).alias("top1_share"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
