@@ -9256,6 +9256,213 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPIC_K = 8
+_TOPIC_TOP = 5
+
+
+def _py_hash_embed(text: str, dim: int) -> list[float]:
+    """Pure-Python replica of operators/textops.hash_embed — same md5
+    buckets, same 1/(pos+1) weights, same sequential folds, same L2
+    normalize — bit-identical doubles (used only to fit the oracle's
+    centroid literals)."""
+    import hashlib
+    import math
+
+    toks = [t for t in (text or "").split(" ") if t]
+    raw = [0.0] * dim
+    for i, t in enumerate(toks):
+        b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:7], 16) % dim
+        raw[b] += 1.0 / (i + 1)
+    s = 0.0
+    for v in raw:
+        s += v * v
+    if s == 0.0:
+        return raw
+    n = math.sqrt(s)
+    return [v / n for v in raw]
+
+
+def _topic_centroids_np() -> "object":
+    def fit():
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        from nano_vectordb_spark.functions import kmeans as km
+
+        tbl = papq.read_table(
+            f"{_ORACLE_SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = sorted(
+            zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+        )
+        n_train = km.train_rows_for(_TOPIC_K)
+        mat = np.asarray(
+            [_py_hash_embed(t, _EMBED_DIM) for _, t in rows[:n_train]],
+            dtype=np.float64,
+        )
+        return km.lloyd_fit(mat, _TOPIC_K, seed=SEED)
+
+    return _fit_cached("topic_centroids", fit)
+
+
+def _topic_oracle() -> str:
+    cent = _topic_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2 = _sql_l2("e.emb", "c.centroid")
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, 0 AS chunk_id, text AS chunk, length(text) AS chunk_chars
+  FROM documents
+),
+{_sql_embed_ctes("chunks")},
+embx AS MATERIALIZED (SELECT doc_id, emb FROM embedded),
+centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+assigned AS (
+  SELECT doc_id, cluster_id FROM (
+    SELECT e.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.doc_id
+             ORDER BY {l2} ASC, c.cluster_id ASC) AS rn
+    FROM embx e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+toksx AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT a.cluster_id, t.term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toksx t JOIN assigned a USING (doc_id) GROUP BY 1, 2
+),
+dfc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS dfc
+  FROM (SELECT DISTINCT cluster_id, term FROM tc) t GROUP BY term
+),
+sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY cluster_id
+),
+scored AS (
+  SELECT tc.cluster_id, tc.term, tc.cnt, dfc.dfc,
+         round(tc.cnt * log2(CAST({_TOPIC_K} AS DOUBLE) / dfc.dfc), 6) AS score
+  FROM tc JOIN dfc USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY score DESC, term ASC) AS tr
+  FROM scored
+)
+SELECT CAST(r.cluster_id AS INT) AS cluster_id, sz.n_docs, r.term, r.cnt,
+       r.dfc AS df_clusters, r.score, CAST(r.tr AS INT) AS term_rank
+FROM ranked r JOIN sz USING (cluster_id)
+WHERE r.tr <= {_TOPIC_TOP}
+"""
+
+
+@register("cluster_topics", oracle=_topic_oracle)
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic discovery, end to end (the BERTopic shape on
+    deterministic parts): hash-projection doc embeddings -> seeded
+    k-means into {_TOPIC_K} clusters -> top-{_TOPIC_TOP} c-TF-IDF
+    terms per cluster (count-in-cluster x log2(K / clusters-containing-
+    term)) with cluster sizes — the unsupervised "what is in this
+    corpus" report curation teams read before designing mixtures.
+    Composes three proven subsystems: the O33 embed pipeline, the IVF
+    ladder's driver-side Lloyd fit (bounded training prefix in doc_id
+    order, centroid literals in the oracle), and the TF-IDF posting
+    machinery. Scale shape: embed is map-only codegen; assignment is a
+    K-way broadcast-centroid fold (no UDF — identical to the oracle's
+    argmin); topic scoring is two map-side-combined counts + a
+    |vocab|-keyed join. Determinism: embeds are bit-identical IEEE in
+    Spark / DuckDB / the Python fit replica; assignment ties break on
+    cluster_id; the score ranks on its rounded value."""
+    import numpy as np
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persist the embeds: the K-way assignment fold references the
+    # embedding column 8x32 times — without a materialization barrier
+    # Catalyst inlines the whole hash_embed expression at every
+    # reference and the md5 token hashes recompute K x dim times per row
+    emb = (
+        text_ops.hash_embed(
+            docs.select("doc_id", "text"), _EMBED_DIM, text_col="text"
+        )
+        .select("doc_id", "embedding")
+        .persist()
+    )
+    n_train = km.train_rows_for(_TOPIC_K)
+    mat = np.asarray(
+        [
+            r["embedding"]
+            for r in emb.orderBy("doc_id").limit(n_train).collect()
+        ],
+        dtype=np.float64,
+    )
+    cent = km.lloyd_fit(mat, _TOPIC_K, seed=SEED)
+
+    def l2_to(c: list) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.lit(c).cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    choices = F.array(
+        *[
+            F.struct(l2_to(cent[i].tolist()).alias("d2"), F.lit(i).alias("cid"))
+            for i in range(_TOPIC_K)
+        ]
+    )
+    assigned = emb.select(
+        "doc_id", F.array_min(choices)["cid"].alias("cluster_id")
+    )
+    toks = docs.select("doc_id", F.explode(tx.tokens_expr("text")).alias("term"))
+    tc = (
+        toks.join(assigned, "doc_id")
+        .groupBy("cluster_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfc = (
+        tc.select("cluster_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("dfc"))
+    )
+    sz = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    scored = tc.join(dfc, "term").select(
+        "cluster_id",
+        "term",
+        "cnt",
+        "dfc",
+        F.round(
+            F.col("cnt") * F.log2(F.lit(float(_TOPIC_K)) / F.col("dfc")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("tr", F.row_number().over(w))
+        .filter(F.col("tr") <= _TOPIC_TOP)
+        .join(F.broadcast(sz), "cluster_id")
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_docs",
+            "term",
+            "cnt",
+            F.col("dfc").alias("df_clusters"),
+            "score",
+            F.col("tr").cast("int").alias("term_rank"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
