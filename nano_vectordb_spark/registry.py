@@ -9463,6 +9463,71 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WRS_N = 20
+_WRS_DENOM = float((1 << 28) + 1)
+
+_SQL_WRS = f"""
+WITH qual AS ({_SQL_QUALITY}),
+k AS (
+  SELECT doc_id, round(quality, 6) AS w,
+         CAST(('0x' || substr(md5('wrs{SEED}:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+              + 1 AS DOUBLE) / {_WRS_DENOM!r} AS u
+  FROM qual
+),
+s AS (SELECT doc_id, w, round(pow(u, 1.0 / w), 6) AS sample_key FROM k),
+r AS (
+  SELECT doc_id, w, sample_key,
+         CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS INT)
+           AS sample_rank
+  FROM s
+)
+SELECT doc_id, w, sample_key, sample_rank FROM r WHERE sample_rank <= {_WRS_N}
+"""
+
+
+@register("weighted_sample_docs", oracle=_SQL_WRS)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed (Efraimidis-
+    Spirakis A-Res): every doc draws key = u^(1/w) from a seeded
+    md5-uniform u and its quality score w, and the global top-{_WRS_N}
+    keys ARE the weighted sample — quality-weighted corpus subsampling
+    with single-pass, coordination-free semantics (each partition can
+    keep a local top-n and merge: the same partial/final top-k
+    machinery as the vector scans, which is why this beats sequential
+    reservoir algorithms on a cluster). Complements mixture_sample's
+    with-replacement rate thinning with exact without-replacement
+    draws. Determinism: u is an md5-derived exact rational, w rounds
+    to 6, pow carries the libm round-6 contract, and the rank orders
+    on the rounded key."""
+    d = _toks_df(spark, sf_dir)
+    qual = d.select(
+        "doc_id", F.round(tx.quality_expr(F.col("toks"), "text"), 6).alias("w")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"wrs{SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(_WRS_DENOM)
+    s = qual.select(
+        "doc_id",
+        "w",
+        F.round(F.pow(u, F.lit(1.0) / F.col("w")), 6).alias("sample_key"),
+    )
+    w_rank = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return (
+        s.withColumn("sample_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("sample_rank") <= _WRS_N)
+        .select("doc_id", "w", "sample_key", "sample_rank")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
