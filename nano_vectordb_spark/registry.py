@@ -9528,6 +9528,115 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DTK_PER_SOURCE = 10
+_DTK_GLOBAL = 50
+
+_SQL_DIVERSE_TOPK = f"""
+WITH qual AS ({_SQL_QUALITY}),
+j AS (
+  SELECT d.doc_id, d.source, round(q.quality, 6) AS quality
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+),
+per_src AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY quality DESC, doc_id ASC) AS INT) AS source_rank
+  FROM j
+),
+capped AS (SELECT * FROM per_src WHERE source_rank <= {_DTK_PER_SOURCE})
+SELECT doc_id, source, quality, source_rank,
+       CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS INT)
+         AS global_rank
+FROM capped
+QUALIFY global_rank <= {_DTK_GLOBAL}
+"""
+
+
+@register("diverse_topk_docs", oracle=_SQL_DIVERSE_TOPK)
+def diverse_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained selection: global top-{_DTK_GLOBAL} docs
+    by quality, subject to a per-source cap of {_DTK_PER_SOURCE} — the
+    curation rule that stops one prolific vendor from monopolizing a
+    budgeted high-quality subset (the set-level cousin of topk_mmr's
+    per-query diversification). Scale shape: one source-partitioned
+    window (per-group top-k, map-side heap-friendly) then a global
+    top-n over only sources x cap survivors — the same partial/final
+    reduction as every top-k here. Ranks order on the 6-decimal-
+    rounded quality with doc_id tie-breaks, so both windows are total
+    orders in both engines."""
+    d = _toks_df(spark, sf_dir)
+    j = d.select(
+        "doc_id",
+        "source",
+        F.round(tx.quality_expr(F.col("toks"), "text"), 6).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    capped = (
+        j.withColumn("source_rank", F.row_number().over(w_src).cast("int"))
+        .filter(F.col("source_rank") <= _DTK_PER_SOURCE)
+    )
+    w_glob = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        capped.withColumn("global_rank", F.row_number().over(w_glob).cast("int"))
+        .filter(F.col("global_rank") <= _DTK_GLOBAL)
+        .select("doc_id", "source", "quality", "source_rank", "global_rank")
+    )
+
+
+_SCD2_MOD = 7  # doc_id % 7 == 0 receives a v2 update (corpus_upsert's batch)
+
+_SQL_SCD2 = f"""
+WITH hist AS (
+  SELECT doc_id, md5(text) AS text_md5, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, md5(text || ' [v2]') AS text_md5, 2 AS version
+  FROM documents WHERE doc_id % {_SCD2_MOD} = 0
+)
+SELECT doc_id, CAST(version AS INT) AS version, text_md5,
+       CAST(version AS INT) AS valid_from,
+       CAST(lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+            AS INT) AS valid_to,
+       CAST(CASE WHEN lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+                 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM hist
+"""
+
+
+@register("corpus_history_scd2", oracle=_SQL_SCD2)
+def corpus_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history corpus versioning (SCD type 2): where
+    corpus_upsert keeps only the LATEST row per doc (type 1), this
+    derives the validity-interval history table — every version with
+    [valid_from, valid_to) bounds and an is_current flag — the layout
+    that lets a training run pin "the corpus as of release R" forever
+    (reproducibility) while ingests keep appending. Closing the
+    previous version is one doc-keyed lead() window over the unioned
+    history, no self-join. Integer-exact; text content enters only as
+    md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.lit(1).alias("version")
+    )
+    v2 = docs.where(F.col("doc_id") % _SCD2_MOD == 0).select(
+        "doc_id",
+        F.md5(F.concat("text", F.lit(" [v2]"))).alias("text_md5"),
+        F.lit(2).alias("version"),
+    )
+    hist = v1.unionByName(v2)
+    w = Window.partitionBy("doc_id").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "doc_id",
+        F.col("version").cast("int").alias("version"),
+        "text_md5",
+        F.col("version").cast("int").alias("valid_from"),
+        nxt.cast("int").alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
