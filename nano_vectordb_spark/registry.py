@@ -9637,6 +9637,111 @@ def corpus_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jaccard threshold over distinct 3-gram shingle sets — the SAME
+# semantics as ngram_jaccard_pairs/_JACCARD_T, so the two entries are
+# two candidate-generation algorithms for one contract.
+# ceil(0.2 * n) == (n + 4) // 5 in exact integer arithmetic.
+
+_SQL_PREFIX_JOIN = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+dt AS (SELECT doc_id, unnest(shingles) AS w FROM sh),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY w),
+ordered AS (
+  SELECT d.doc_id, d.w,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY f.c ASC, d.w ASC) AS rn,
+         count(*) OVER (PARTITION BY d.doc_id) AS n
+  FROM dt d JOIN freq f USING (w)
+),
+prefix AS (SELECT doc_id, w FROM ordered WHERE rn <= n - (n + 4) // 5 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, shingles AS s, len(shingles) AS n FROM sh),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.a_id
+  JOIN sets sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_JACCARD_T}
+"""
+
+
+@register("prefix_filter_join", oracle=_SQL_PREFIX_JOIN)
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07): the deterministic alternative to
+    MinHash-LSH when missed pairs are unacceptable — same contract as
+    ngram_jaccard_pairs (3-gram shingle Jaccard >= threshold), third
+    algorithm beside the full inverted-index join and the banded LSH.
+    Shingles order globally by frequency (rarest first); a qualifying
+    pair MUST share a shingle among each side's first
+    n - ceil(t*n) + 1 rarest, so the candidate index is built over
+    PREFIXES only — rare shingles with short posting lists — and the
+    verify step recomputes exact Jaccard on survivors. Any recall bug
+    in the filter surfaces as a hash mismatch vs the exact semantics.
+    Scale shape: one frequency count, one per-doc window, a posting
+    join on prefix shingles, set-lookup verify. Prefix length is pure
+    integer arithmetic; the one division is the exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = dedup_ops.ngram_shingles(docs).select(
+        "doc_id", F.col("shingles").alias("s")
+    )
+    dt = t.select("doc_id", F.explode("s").alias("w"))
+    freq = dt.groupBy("w").agg(F.count("*").alias("c"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("c").asc(), F.col("w").asc())
+    w_n = Window.partitionBy("doc_id")
+    ordered = dt.join(freq, "w").select(
+        "doc_id",
+        "w",
+        F.row_number().over(w_doc).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    prefix = ordered.where(
+        F.col("rn") <= F.col("n") - F.expr("(n + 4) div 5") + 1
+    ).select("doc_id", "w")
+    a = prefix.select(F.col("doc_id").alias("a_id"), "w")
+    b = prefix.select(F.col("doc_id").alias("b_id"), "w")
+    cand = (
+        a.join(b, "w")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets = t.select("doc_id", "s", F.size("s").alias("n"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("s").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("s").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= _JACCARD_T)
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
