@@ -9742,6 +9742,198 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("jaccard") >= _JACCARD_T)
 
 
+_SQL_TREND = """
+WITH daily AS (
+  SELECT event_type, CAST(EXTRACT(day FROM ts) AS INT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+         CAST(sum(d * d) AS BIGINT) AS sxx, CAST(sum(d * c) AS BIGINT) AS sxy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, sy AS total_events,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+       round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+             / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept
+FROM s
+"""
+
+
+@register("event_type_trend", oracle=_SQL_TREND)
+def event_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection: per event type, the OLS slope and intercept of
+    its daily volume over the month — the "is this signal growing or
+    decaying" line a monitoring dashboard fits before alerting on
+    value_drift_ks's distribution shift. Every sufficient statistic
+    (n, Σx, Σy, Σx², Σxy) is an exact INTEGER (day indices x counts),
+    so the slope is an exact rational and both engines compute the
+    identical double before the shared round-6; the whole fit is one
+    map-side-combined aggregate over the day-grain rollup — the same
+    one-pass moment reduction as the Pearson entry, here with closed-
+    form normal equations."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.dayofmonth("ts").cast("int").alias("d")
+    ).groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d") * F.col("c")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx")).cast("double")
+            / (F.col("n") * den).cast("double"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+_SQL_MAX_CONCURRENT = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+),
+s AS (
+  SELECT user_id, session_id,
+         min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+  FROM sess GROUP BY user_id, session_id
+),
+pts AS (
+  SELECT st AS t, 1 AS d, user_id, session_id FROM s
+  UNION ALL
+  SELECT en AS t, -1 AS d, user_id, session_id FROM s
+),
+c AS (
+  SELECT t,
+         sum(d) OVER (ORDER BY t ASC, d DESC, user_id ASC, session_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+),
+m AS (SELECT CAST(max(conc) AS BIGINT) AS max_concurrent FROM c)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sessions,
+       m.max_concurrent,
+       CAST((SELECT min(t) FROM c WHERE c.conc = m.max_concurrent) AS BIGINT)
+         AS peak_t_us
+FROM m
+"""
+
+
+@register("max_concurrent_sessions", oracle=_SQL_MAX_CONCURRENT)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line algorithm: sessions (the
+    30-minute-gap sessionize derivation) become +1/-1 boundary points,
+    a single ordered running sum IS the concurrency curve, and its max
+    and first-peak time are the capacity-planning numbers (how many
+    simultaneous sessions must the serving tier hold). Interval-
+    overlap counting without any interval self-join — the sweep
+    replaces an O(n^2) overlap join with one sort, exactly like the
+    hypertable rollup replaces point lookups. Inclusive semantics:
+    starts order before ends at equal timestamps (d DESC tie-break),
+    then user/session ids make the sweep a total order. Integer
+    microseconds end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            ts_us - F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            )
+            > 1_800_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.select(
+        "user_id", "ts_us", F.sum("is_new").over(w_run).alias("session_id")
+    )
+    s = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("st"), F.max("ts_us").alias("en")
+    )
+    pts = s.select(
+        F.col("st").alias("t"), F.lit(1).alias("d"), "user_id", "session_id"
+    ).unionByName(
+        s.select(
+            F.col("en").alias("t"), F.lit(-1).alias("d"), "user_id", "session_id"
+        )
+    )
+    w_sweep = Window.orderBy(
+        F.col("t").asc(), F.col("d").desc(), F.col("user_id").asc(),
+        F.col("session_id").asc(),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    c = pts.select("t", F.sum("d").over(w_sweep).alias("conc"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    peak = (
+        c.select(
+            "t", "conc", F.max("conc").over(w_all).alias("mx")
+        )
+        .where(F.col("conc") == F.col("mx"))
+        .agg(
+            F.max("mx").cast("long").alias("max_concurrent"),
+            F.min("t").cast("long").alias("peak_t_us"),
+        )
+    )
+    n_sess = s.agg(F.count("*").alias("n_sessions"))
+    a_side = n_sess.select(
+        "n_sessions",
+        F.lit(None).cast("long").alias("max_concurrent"),
+        F.lit(None).cast("long").alias("peak_t_us"),
+    )
+    b_side = peak.select(
+        F.lit(None).cast("long").alias("n_sessions"),
+        "max_concurrent",
+        "peak_t_us",
+    )
+    return (
+        a_side.unionByName(b_side)
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("max_concurrent").alias("max_concurrent"),
+            F.max("peak_t_us").alias("peak_t_us"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
