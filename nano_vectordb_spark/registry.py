@@ -9934,6 +9934,145 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_ASSOC = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n FROM b),
+items AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS ante, c.event_type AS cons,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM b a JOIN b c
+    ON a.user_id = c.user_id AND a.day = c.day
+   AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons, p.c_ab,
+       ia.c AS c_ante, ic.c AS c_cons,
+       round(CAST(p.c_ab AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(p.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+       round((CAST(p.c_ab AS DOUBLE) * nb.n) / (CAST(ia.c AS DOUBLE) * ic.c), 6)
+         AS lift
+FROM pairs p
+JOIN items ia ON ia.event_type = p.ante
+JOIN items ic ON ic.event_type = p.cons
+CROSS JOIN nb
+"""
+
+
+@register("event_assoc_rules", oracle=_SQL_ASSOC)
+def event_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (the market-basket shape, Apriori's
+    first level): baskets are (user, day) distinct event-type sets;
+    for every type pair, support, confidence and lift — lift near 1
+    says the behaviors co-occur by volume alone, which is exactly what
+    a feature-engineering pass needs to know before crossing features.
+    Scale shape: basket dedup is one distinct (map-side combinable),
+    pair counts come from a basket-keyed self-join whose per-basket
+    fan-out is bounded by the item-type cardinality squared (never
+    rows^2), and the rule stats are a broadcast item-count join.
+    Counts exact; the three ratios carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_baskets = b.select("user_id", "day").distinct().count()
+    items = b.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = b.select("user_id", "day", F.col("event_type").alias("ante"))
+    c = b.select("user_id", "day", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(c, ["user_id", "day"])
+        .where(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ia = items.select(F.col("event_type").alias("ante"), F.col("c").alias("c_ante"))
+    ic = items.select(F.col("event_type").alias("cons"), F.col("c").alias("c_cons"))
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            "c_ante",
+            "c_cons",
+            F.round(F.col("c_ab").cast("double") / F.lit(n_baskets), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c_ab").cast("double") / F.col("c_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("c_ab").cast("double") * F.lit(n_baskets))
+                / (F.col("c_ante").cast("double") * F.col("c_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_PHH_TOP = 10
+_PHH_MIN_DAYS = 4
+
+_SQL_PERSISTENT_HH = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, user_id, c,
+         row_number() OVER (PARTITION BY day ORDER BY c DESC, user_id ASC) AS rn
+  FROM daily
+),
+hh AS (SELECT day, user_id, c FROM ranked WHERE rn <= {_PHH_TOP})
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS days_in_top{_PHH_TOP},
+       CAST(sum(c) AS BIGINT) AS events_while_top,
+       CAST(min(day) AS DATE) AS first_day,
+       CAST(max(day) AS DATE) AS last_day
+FROM hh
+GROUP BY user_id
+HAVING count(*) >= {_PHH_MIN_DAYS}
+"""
+
+
+@register("persistent_heavy_hitters", oracle=_SQL_PERSISTENT_HH)
+def persistent_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal stability of heavy hitters: users in the daily
+    top-{_PHH_TOP} by event volume on at least {_PHH_MIN_DAYS} of the
+    month's days — separating persistent power users (or abusers:
+    rate-limit candidates, dedup-source suspects) from one-day bursts
+    that a single global top-k cannot distinguish. Scale shape: the
+    day-grain rollup (the sliding-distinct entry's pre-agg) ranked
+    inside each day partition — top-k per window is map-side-heap
+    friendly — then one user-keyed aggregate over days x {_PHH_TOP}
+    survivor rows. Integer-exact throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    hh = daily.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PHH_TOP
+    )
+    return (
+        hh.groupBy("user_id")
+        .agg(
+            F.count("*").alias(f"days_in_top{_PHH_TOP}"),
+            F.sum("c").alias("events_while_top"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .filter(F.col(f"days_in_top{_PHH_TOP}") >= _PHH_MIN_DAYS)
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
