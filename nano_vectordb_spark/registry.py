@@ -10073,6 +10073,76 @@ def persistent_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_FEDERATED = """
+WITH chk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+               || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+             ), 1, 12))::BIGINT) AS BIGINT) AS checksum
+  FROM documents
+)
+SELECT f.fmt AS format, chk.n_docs, chk.checksum
+FROM (VALUES ('csv'), ('jsonl'), ('parquet')) f(fmt) CROSS JOIN chk
+"""
+
+
+def _row_checksum_expr() -> Column:
+    """Order-independent corpus checksum: sum of 48-bit md5 row hashes
+    (bounded so a BIGINT sum cannot overflow at any plausible sf)."""
+    payload = F.concat_ws(
+        "",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("long")
+
+
+@register("federated_format_audit", oracle=_SQL_FEDERATED)
+def federated_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated-source consistency: the SAME corpus read back through
+    all three interchange formats (parquet at rest, RFC-4180 CSV,
+    JSON-lines) must agree on an order-independent content checksum —
+    the cheap invariant a pipeline checks after every format hop
+    (vendor deliveries arrive as CSV/JSONL; one mangled quote or
+    dropped row flips the sum). The checksum is a SUM of 48-bit md5
+    row digests: commutative (no ordering requirement between
+    engines/partitions), mergeable (per-partition partials add), and
+    BIGINT-safe by construction. The oracle derives every format's
+    expected row from the parquet truth, so a format reader that
+    diverges fails the hash even though each roundtrip entry is also
+    checked row-by-row elsewhere."""
+    import os as _os
+
+    from nano_vectordb_spark.sources import jsonl as jsonl_src
+
+    pq = load_table(spark, sf_dir, "documents")
+    csv = _csv_docs(spark, sf_dir)
+    path = _jsonl_docs_path(sf_dir)
+    _materialize_once(
+        path,
+        lambda p: jsonl_src.write_documents_jsonl(
+            load_table(spark, sf_dir, "documents"), p
+        ),
+    )
+    jl = jsonl_src.read_documents_jsonl(spark, path)
+
+    def audit(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_row_checksum_expr()).alias("checksum"),
+        ).select(F.lit(fmt).alias("format"), "n_docs", "checksum")
+
+    return (
+        audit(csv, "csv")
+        .unionByName(audit(jl, "jsonl"))
+        .unionByName(audit(pq, "parquet"))
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
