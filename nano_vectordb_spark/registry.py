@@ -10143,6 +10143,91 @@ def federated_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DOW_SEASONALITY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+d2 AS (SELECT CAST(EXTRACT(isodow FROM day) AS INT) AS dow, c FROM daily),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c) AS BIGINT) AS s_g, CAST(sum(c * c) AS BIGINT) AS q_g
+  FROM d2 GROUP BY dow
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         list_aggregate(
+           list(q_g - CAST(s_g AS DOUBLE) * s_g / n_g
+                ORDER BY q_g - CAST(s_g AS DOUBLE) * s_g / n_g), 'sum') AS sse
+  FROM g
+),
+prof AS (
+  SELECT dow, n_g, s_g, round(CAST(s_g AS DOUBLE) / n_g, 6) AS mean_daily
+  FROM g
+),
+pk AS (
+  SELECT max(mean_daily) AS peak_mean, min(mean_daily) AS trough_mean FROM prof
+)
+SELECT tot.n AS n_days,
+       round(1.0 - tot.sse / (tot.q - CAST(tot.s AS DOUBLE) * tot.s / tot.n), 6)
+         AS r2_dow,
+       pk.peak_mean, pk.trough_mean,
+       round(pk.peak_mean / pk.trough_mean, 6) AS peak_over_trough
+FROM tot CROSS JOIN pk
+"""
+
+
+@register("dow_seasonality", oracle=_SQL_DOW_SEASONALITY)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength: how much of daily event-volume variance
+    the day-of-week explains — R^2 of the seven dow means as a model
+    (the ANOVA between/within decomposition), plus the peak/trough
+    amplitude. R^2 near 0 says the traffic has no weekly rhythm and a
+    capacity plan can ignore weekday; near 1 says dow-aware
+    autoscaling pays. Everything reduces over the 30-row day-grain
+    rollup: group sums/squares are exact integers, each group's
+    within-term pays one exact IEEE division, the 7-term SSE folds in
+    value order, and the final ratios carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("c"))
+    )
+    d2 = daily.select((F.weekday("day") + 1).alias("dow"), "c")
+    g = d2.groupBy("dow").agg(
+        F.count("*").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("q_g"),
+    )
+    term = F.col("q_g") - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)), F.lit(0.0), lambda a, x: a + x
+        ).alias("sse"),
+        F.max(F.round(F.col("s_g").cast("double") / F.col("n_g"), 6)).alias(
+            "peak_mean"
+        ),
+        F.min(F.round(F.col("s_g").cast("double") / F.col("n_g"), 6)).alias(
+            "trough_mean"
+        ),
+    )
+    sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.round(F.lit(1.0) - F.col("sse") / sst, 6).alias("r2_dow"),
+        "peak_mean",
+        "trough_mean",
+        F.round(F.col("peak_mean") / F.col("trough_mean"), 6).alias(
+            "peak_over_trough"
+        ),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
