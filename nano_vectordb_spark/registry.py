@@ -10228,6 +10228,69 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+),
+tr AS (
+  SELECT f, t, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE t IS NOT NULL GROUP BY f, t
+),
+fr AS (SELECT f, CAST(sum(c) AS BIGINT) AS c_f FROM tr GROUP BY f),
+tto AS (SELECT t, CAST(sum(c) AS BIGINT) AS c_t FROM tr GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tr)
+SELECT tr.f AS from_type, tr.t AS to_type, tr.c AS n_transitions,
+       round(CAST(tr.c AS DOUBLE) / fr.c_f, 6) AS prob,
+       round(CAST(tr.c AS DOUBLE) * tot.n / (CAST(fr.c_f AS DOUBLE) * tto.c_t), 6)
+         AS lift
+FROM tr
+JOIN fr ON fr.f = tr.f
+JOIN tto ON tto.t = tr.t
+CROSS JOIN tot
+"""
+
+
+@register("event_markov_transitions", oracle=_SQL_MARKOV)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: the event-type
+    transition matrix (row-normalized probabilities) plus each cell's
+    lift over the independence baseline — the sequential counterpart
+    of event_assoc_rules' co-occurrence view (P(next|current) vs
+    P(A,B) per basket) and the statistical layer under
+    event_pattern_match's literal patterns. Scale shape: one
+    user-partitioned lead() window (no self-join builds the bigrams),
+    then a 25-cell aggregate with two broadcast marginal joins.
+    Counts exact; prob and lift are exact-integer ratios through one
+    round-6 each."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    tr = seq.groupBy("f", "t").agg(F.count("*").alias("c"))
+    fr = tr.groupBy("f").agg(F.sum("c").alias("c_f"))
+    tto = tr.groupBy("t").agg(F.sum("c").alias("c_t"))
+    n = tr.agg(F.sum("c")).collect()[0][0]
+    return (
+        tr.join(F.broadcast(fr), "f")
+        .join(F.broadcast(tto), "t")
+        .select(
+            F.col("f").alias("from_type"),
+            F.col("t").alias("to_type"),
+            F.col("c").alias("n_transitions"),
+            F.round(F.col("c").cast("double") / F.col("c_f"), 6).alias("prob"),
+            F.round(
+                F.col("c").cast("double") * F.lit(int(n))
+                / (F.col("c_f").cast("double") * F.col("c_t")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
