@@ -10291,6 +10291,106 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RPP_P = 16  # target partition count
+
+_SQL_RANGE_PARTITION = f"""
+WITH k AS (SELECT o_custkey AS key FROM orders),
+n_(n) AS (SELECT CAST(count(*) AS BIGINT) FROM k),
+dist AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY key
+),
+cum AS (
+  SELECT key, sum(c) OVER (ORDER BY key) AS cum FROM dist
+),
+bounds AS (
+  SELECT i,
+         (SELECT min(key) FROM cum, n_
+          WHERE cum.cum >= (i * n_.n + {_RPP_P} - 1) // {_RPP_P}) AS b
+  FROM (SELECT unnest(range(1, {_RPP_P})) AS i) t
+),
+blist AS (SELECT list(b ORDER BY b) AS bs FROM bounds),
+assigned AS (
+  SELECT k.key,
+         CAST(len(list_filter(blist.bs, x -> k.key > x)) AS INT) AS pid
+  FROM k CROSS JOIN blist
+),
+per AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(key) AS BIGINT) AS min_key,
+         CAST(max(key) AS BIGINT) AS max_key
+  FROM assigned GROUP BY pid
+)
+SELECT pid AS partition_id, n_rows, min_key, max_key,
+       round(CAST(n_rows AS DOUBLE)
+             / (CAST(sum(n_rows) OVER () AS DOUBLE) / {_RPP_P}), 6) AS load_factor
+FROM per
+"""
+
+
+@register("range_partition_plan", oracle=_SQL_RANGE_PARTITION)
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioning planner, exact: the {_RPP_P - 1} split keys a
+    repartitionByRange over orders.o_custkey SHOULD use (true order
+    statistics, not Spark's reservoir-sampled approximation), each
+    resulting partition's row count and key range, and its load factor
+    vs the ideal n/P — the pre-write diagnostic that says whether a
+    chosen range layout will stragglerize before a single byte is
+    written (the write-side sibling of user_activity_skew's salt
+    sizing). Boundaries come from the counting-quantile trick over the
+    DISTINCT-key cumulative histogram (never a global row sort), the
+    boundary list is bounded driver state (P-1 longs), and assignment
+    is a map-side literal-array comparison. Integer-exact except the
+    round-6 load factor."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.select(F.col("o_custkey").alias("key"))
+    n = k.count()
+    cum = (
+        k.groupBy("key")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "key",
+            F.sum("c").over(Window.orderBy("key")).alias("cum"),
+        )
+    )
+    targets = [((i * n + _RPP_P - 1) // _RPP_P) for i in range(1, _RPP_P)]
+    # one tiny aggregate job: the i-th boundary is the least key whose
+    # cumulative count reaches ceil(i*n/P); P-1 conditional mins in a
+    # single row, collected as the bounded driver-state boundary list
+    brow = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= t, F.col("key"))).alias(f"b{j}")
+            for j, t in enumerate(targets)
+        ]
+    ).collect()[0]
+    bounds = sorted(brow[f"b{j}"] for j in range(len(targets)))
+    pid = F.size(
+        F.filter(F.lit(bounds).cast("array<bigint>"), lambda x: F.col("key") > x)
+    ).cast("int")
+    per = (
+        k.select("key", pid.alias("pid"))
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        F.col("pid").alias("partition_id"),
+        "n_rows",
+        "min_key",
+        "max_key",
+        F.round(
+            F.col("n_rows").cast("double")
+            / (F.sum("n_rows").over(w_all).cast("double") / _RPP_P),
+            6,
+        ).alias("load_factor"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
