@@ -10391,6 +10391,157 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHURN_CUTOFF_DAY = 24  # label window = last week of the month
+
+_SQL_CHURN = f"""
+WITH e AS (
+  SELECT user_id, event_type, value,
+         CAST(EXTRACT(day FROM ts) AS INT) AS d, CAST(ts AS DATE) AS day
+  FROM events
+),
+feat AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events_obs,
+         CAST(count(DISTINCT day) AS BIGINT) AS active_days_obs,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase_obs,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_error_obs,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum_obs,
+         CAST(max(d) AS INT) AS last_obs_day
+  FROM e WHERE d < {_CHURN_CUTOFF_DAY}
+  GROUP BY user_id
+),
+lab AS (
+  SELECT user_id, 1 AS active_label
+  FROM e WHERE d >= {_CHURN_CUTOFF_DAY} GROUP BY user_id
+)
+SELECT f.user_id, f.n_events_obs, f.active_days_obs, f.n_purchase_obs,
+       f.n_error_obs, f.value_sum_obs, f.last_obs_day,
+       CAST({_CHURN_CUTOFF_DAY} - 1 - f.last_obs_day AS INT) AS recency_days,
+       CAST(CASE WHEN l.user_id IS NULL THEN 1 ELSE 0 END AS INT) AS churned
+FROM feat f LEFT JOIN lab l ON l.user_id = f.user_id
+"""
+
+
+@register("churn_training_set", oracle=_SQL_CHURN)
+def churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised training-table builder: per user, behavioral features
+    from the observation window (days 1..{_CHURN_CUTOFF_DAY - 1} —
+    volume, active days, purchases, errors, exact decimal spend,
+    recency) joined to a churn label from the strictly-later holdout
+    week — the leakage-safe feature/label temporal split every churn
+    model needs, materialized as ONE table a trainer can read
+    directly. This is the end product the engine's event operators
+    exist to feed. Scale shape: one user-keyed conditional aggregate
+    per window + a broadcast label anti-pattern (left join + null
+    flag); no row ever crosses the cutoff in both directions. Integer
+    counts, exact decimal money, label integer."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.dayofmonth("ts").cast("int").alias("d"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    feat = (
+        e.where(F.col("d") < _CHURN_CUTOFF_DAY)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_obs"),
+            F.count_distinct("day").alias("active_days_obs"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "n_purchase_obs"
+            ),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "n_error_obs"
+            ),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum_obs"),
+            F.max("d").alias("last_obs_day"),
+        )
+    )
+    lab = (
+        e.where(F.col("d") >= _CHURN_CUTOFF_DAY)
+        .select("user_id")
+        .distinct()
+        .withColumn("__active", F.lit(1))
+    )
+    return feat.join(F.broadcast(lab), "user_id", "left").select(
+        "user_id",
+        "n_events_obs",
+        "active_days_obs",
+        "n_purchase_obs",
+        "n_error_obs",
+        "value_sum_obs",
+        "last_obs_day",
+        (F.lit(_CHURN_CUTOFF_DAY - 1) - F.col("last_obs_day"))
+        .cast("int")
+        .alias("recency_days"),
+        F.col("__active").isNull().cast("int").alias("churned"),
+    )
+
+
+_TRIM_PCT = 5  # percent trimmed from EACH tail
+
+_SQL_TRIMMED = f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY value ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+kept AS (
+  SELECT event_type, value, n FROM r
+  WHERE rn > (n * {_TRIM_PCT}) // 100 AND rn <= n - (n * {_TRIM_PCT}) // 100
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS trimmed_mean
+FROM kept GROUP BY event_type
+"""
+
+
+@register("trimmed_mean_value", oracle=_SQL_TRIMMED)
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: the {_TRIM_PCT}%-per-tail trimmed mean of
+    event value per type — the outlier-resistant center a telemetry
+    summary should report when single corrupted readings would drag a
+    plain AVG (the estimator between mean and median). Rank-based
+    trim over a total order (value, event_id), so the kept set is
+    identical in both engines; the kept values round to 6 decimals
+    and sum in exact DECIMAL, making the mean order-independent.
+    Scale shape: one per-type window rank + one keyed aggregate —
+    same cost class as any percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    w_n = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    cut = F.expr(f"(n * {_TRIM_PCT}) div 100")
+    kept = r.where((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
