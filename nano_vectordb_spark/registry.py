@@ -10542,6 +10542,104 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LNS_DRAWS = 5
+
+
+def _lns_oracle() -> str:
+    knn_sql = REGISTRY["knn_self_join"].oracle
+    return f"""
+WITH knn AS ({knn_sql}),
+e AS (SELECT src_id AS a, nbr_id AS b FROM knn),
+und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+nodes AS (SELECT vec_id FROM embeddings),
+n_(n) AS (SELECT CAST(count(*) AS BIGINT) FROM nodes),
+cand AS (
+  SELECT nd.vec_id AS src_id, j.j AS draw,
+         CAST(('0x' || substr(md5('neg' || CAST(j.j AS VARCHAR) || ':'
+                || CAST(nd.vec_id AS VARCHAR)), 1, 15))::BIGINT % n_.n
+           AS BIGINT) AS neg_id
+  FROM nodes nd
+  CROSS JOIN (SELECT unnest(range(1, {_LNS_DRAWS + 1})) AS j) j
+  CROSS JOIN n_
+),
+valid AS (
+  SELECT c.src_id, c.neg_id, CAST(c.draw AS INT) AS draw
+  FROM cand c
+  JOIN nodes v ON v.vec_id = c.neg_id
+  WHERE c.neg_id <> c.src_id
+)
+SELECT v.src_id, v.neg_id, v.draw
+FROM valid v
+LEFT JOIN und u ON u.a = v.src_id AND u.b = v.neg_id
+WHERE u.a IS NULL
+"""
+
+
+@register("link_negative_samples", oracle=_lns_oracle)
+def link_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for link prediction over the kNN graph: per
+    node, {_LNS_DRAWS} seeded md5-uniform partner draws, kept only if
+    the pair is NOT an edge in either direction — the (node, non-
+    neighbor) pairs a graph-ML trainer consumes alongside the positive
+    edges (hard_negative_mining's counterpart in graph space; here
+    negatives are uniform because kNN non-edges carry no ranking).
+    Draws that collide with self or a real edge drop out
+    deterministically, so corpus-level negative rates stay auditable.
+    Scale shape: candidate generation is map-only hashing; validity
+    and edge checks are two joins against the node list and the
+    (bounded, 2k-per-node) edge set. Integer-exact throughout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(spark, sf_dir)
+    e = knn.select(F.col("src_id").alias("a"), F.col("nbr_id").alias("b"))
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nodes = emb.select("vec_id")
+    n = nodes.count()
+    draws = F.explode(
+        F.array(*[F.lit(j) for j in range(1, _LNS_DRAWS + 1)])
+    ).alias("draw")
+    cand = nodes.select(F.col("vec_id").alias("src_id"), draws).select(
+        "src_id",
+        "draw",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg"),
+                            F.col("draw").cast("string"),
+                            F.lit(":"),
+                            F.col("src_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n
+        ).alias("neg_id"),
+    )
+    valid = (
+        cand.where(F.col("neg_id") != F.col("src_id"))
+        .join(
+            F.broadcast(nodes.select(F.col("vec_id").alias("neg_id"))),
+            "neg_id",
+            "left_semi",
+        )
+    )
+    return (
+        valid.join(
+            und,
+            (und["a"] == valid["src_id"]) & (und["b"] == valid["neg_id"]),
+            "left_anti",
+        )
+        .select("src_id", "neg_id", F.col("draw").cast("int").alias("draw"))
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
