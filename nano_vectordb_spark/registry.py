@@ -10640,6 +10640,99 @@ def link_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_VOCAB_JS = f"""
+WITH ta AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+ca AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ta GROUP BY w),
+tb AS (
+  SELECT unnest(list_filter(string_split(
+           CASE WHEN doc_id % {_UPSERT_MOD} = 0 THEN text || ' [v2]'
+                ELSE text END, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+cb AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tb GROUP BY w),
+na AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ca),
+nb AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cb),
+u AS (
+  SELECT coalesce(a.w, b.w) AS w,
+         coalesce(a.c, 0) AS ka, coalesce(b.c, 0) AS kb
+  FROM ca a FULL OUTER JOIN cb b ON b.w = a.w
+),
+terms AS (
+  SELECT w, ka, kb,
+         CAST(ka AS DOUBLE) / na.n AS p,
+         CAST(kb AS DOUBLE) / nb.n AS q
+  FROM u CROSS JOIN na CROSS JOIN nb
+),
+contrib AS (
+  SELECT ka, kb,
+         CASE WHEN p > 0
+              THEN 0.5 * p * round(log2(p / (0.5 * (p + q))), 6) ELSE 0.0 END
+       + CASE WHEN q > 0
+              THEN 0.5 * q * round(log2(q / (0.5 * (p + q))), 6) ELSE 0.0 END AS c
+  FROM terms
+)
+SELECT CAST(sum(CASE WHEN ka > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_a,
+       CAST(sum(CASE WHEN kb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_b,
+       CAST(sum(CASE WHEN ka = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_terms,
+       CAST(sum(CASE WHEN kb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_terms,
+       round(list_aggregate(list(c ORDER BY c), 'sum'), 6) AS js_divergence
+FROM contrib
+"""
+
+
+@register("vocab_drift_js", oracle=_SQL_VOCAB_JS)
+def vocab_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release vocabulary drift: Jensen-Shannon divergence
+    (bits) between the term distributions of the standing corpus and
+    its upserted successor (corpus_upsert's batch), plus vocab
+    added/dropped counts — the language-level companion of
+    corpus_snapshot_diff's row-level delta and value_drift_ks's
+    numeric drift (JS is symmetric, bounded [0,1], and defined even
+    where one side has zero mass — why monitoring prefers it to KL).
+    Scale shape: two token counts (map-side combined), one vocab-keyed
+    full-outer join, a value-ordered fold over per-term contributions.
+    Probabilities are exact-integer ratios; log2 terms carry the
+    round-6 libm contract inside the fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(F.explode(tx.tokens_expr("text")).alias("w"))
+    text_b = F.when(
+        F.col("doc_id") % _UPSERT_MOD == 0, F.concat("text", F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    tb = docs.select(F.explode(tx.tokens_expr(text_b)).alias("w"))
+    ca = ta.groupBy("w").agg(F.count("*").alias("ka"))
+    cb = tb.groupBy("w").agg(F.count("*").alias("kb"))
+    na = ca.agg(F.sum("ka")).collect()[0][0]
+    nb = cb.agg(F.sum("kb")).collect()[0][0]
+    u = ca.join(cb, "w", "full_outer").select(
+        F.coalesce("ka", F.lit(0)).alias("ka"),
+        F.coalesce("kb", F.lit(0)).alias("kb"),
+    )
+    p = F.col("ka").cast("double") / F.lit(int(na))
+    q = F.col("kb").cast("double") / F.lit(int(nb))
+    m = F.lit(0.5) * (p + q)
+    c = F.when(p > 0, F.lit(0.5) * p * F.round(F.log2(p / m), 6)).otherwise(
+        F.lit(0.0)
+    ) + F.when(q > 0, F.lit(0.5) * q * F.round(F.log2(q / m), 6)).otherwise(
+        F.lit(0.0)
+    )
+    contrib = u.select("ka", "kb", c.alias("c"))
+    return contrib.agg(
+        F.sum((F.col("ka") > 0).cast("long")).alias("n_terms_a"),
+        F.sum((F.col("kb") > 0).cast("long")).alias("n_terms_b"),
+        F.sum((F.col("ka") == 0).cast("long")).alias("n_new_terms"),
+        F.sum((F.col("kb") == 0).cast("long")).alias("n_dropped_terms"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")), F.lit(0.0), lambda s, x: s + x
+            ),
+            6,
+        ).alias("js_divergence"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
