@@ -10733,6 +10733,159 @@ def vocab_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_PCHART = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errs
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(errs) AS BIGINT) AS te FROM d
+)
+SELECT d.day, d.n, d.errs,
+       round(CAST(d.errs AS DOUBLE) / d.n, 6) AS p_day,
+       round(CAST(tot.te AS DOUBLE) / tot.tn, 6) AS p_bar,
+       round(CAST(tot.te AS DOUBLE) / tot.tn
+             + 3.0 * sqrt((CAST(tot.te AS DOUBLE) / tot.tn)
+                          * (1.0 - CAST(tot.te AS DOUBLE) / tot.tn) / d.n),
+             6) AS ucl,
+       round(greatest(0.0,
+             CAST(tot.te AS DOUBLE) / tot.tn
+             - 3.0 * sqrt((CAST(tot.te AS DOUBLE) / tot.tn)
+                          * (1.0 - CAST(tot.te AS DOUBLE) / tot.tn) / d.n)),
+             6) AS lcl,
+       CAST(CASE WHEN CAST(d.errs AS DOUBLE) / d.n >
+                      CAST(tot.te AS DOUBLE) / tot.tn
+                      + 3.0 * sqrt((CAST(tot.te AS DOUBLE) / tot.tn)
+                                   * (1.0 - CAST(tot.te AS DOUBLE) / tot.tn)
+                                   / d.n)
+                 OR CAST(d.errs AS DOUBLE) / d.n <
+                      CAST(tot.te AS DOUBLE) / tot.tn
+                      - 3.0 * sqrt((CAST(tot.te AS DOUBLE) / tot.tn)
+                                   * (1.0 - CAST(tot.te AS DOUBLE) / tot.tn)
+                                   / d.n)
+            THEN 1 ELSE 0 END AS INT) AS out_of_control
+FROM d CROSS JOIN tot
+"""
+
+
+@register("error_rate_control_chart", oracle=_SQL_PCHART)
+def error_rate_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical process control (the p-chart): each day's error
+    RATE against 3-sigma binomial control limits around the monthly
+    center line — the SPC discipline that separates common-cause
+    noise from a day that genuinely broke (z-score flags extreme
+    EVENTS; this flags abnormal DAYS with per-day limits that widen
+    when the day had less traffic). Scale shape: one day-grain
+    conditional aggregate + a 2-value broadcast total; all inputs
+    integer-exact, sqrt is correctly-rounded IEEE on identical
+    doubles, outputs carry round-6 (the flag compares UNROUNDED
+    values identically in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.sum("is_err").alias("errs"))
+    )
+    tot = d.agg(F.sum("n").alias("tn"), F.sum("errs").alias("te")).collect()[0]
+    pbar = F.lit(float(tot["te"])) / F.lit(float(tot["tn"]))
+    sig = F.sqrt(pbar * (F.lit(1.0) - pbar) / F.col("n"))
+    p_day = F.col("errs").cast("double") / F.col("n")
+    ucl = pbar + F.lit(3.0) * sig
+    lcl = pbar - F.lit(3.0) * sig
+    return d.select(
+        "day",
+        "n",
+        "errs",
+        F.round(p_day, 6).alias("p_day"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(F.greatest(F.lit(0.0), lcl), 6).alias("lcl"),
+        ((p_day > ucl) | (p_day < lcl)).cast("int").alias("out_of_control"),
+    )
+
+
+_SQL_RFM = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(max(o_orderdate) AS DATE) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency,
+         CAST(monetary AS DOUBLE) AS monetary,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+  FROM base
+)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(r * 100 + f * 10 + m AS INT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+FROM scored
+GROUP BY r, f, m
+"""
+
+
+@register("customer_rfm_segments", oracle=_SQL_RFM)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, the classic CRM partitioning: every customer
+    quartile-coded on Recency (latest order), Frequency (order count)
+    and Monetary (exact decimal spend), rolled up to segment sizes and
+    revenue — champions are 111, at-risk whales 411, etc. Each ntile
+    orders on a TOTAL order (metric + custkey tie-break), so quartile
+    assignment is deterministic in both engines; the decimal monetary
+    passes through a double once for the ntile ordering (exact — same
+    value both engines) and stays exact decimal in the revenue sum.
+    Scale shape: one keyed aggregate then three global ntile windows
+    over the |customers|-row summary."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(
+        F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()
+    )
+    scored = base.select(
+        "o_custkey",
+        F.col("monetary").cast("double").alias("monetary"),
+        F.ntile(4).over(w_r).alias("r"),
+        F.ntile(4).over(w_f).alias("f"),
+        F.ntile(4).over(w_m).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("int")
+            .alias("segment"),
+            "n_customers",
+            "segment_revenue",
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
