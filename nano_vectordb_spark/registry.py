@@ -10886,6 +10886,164 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BUDGET_CLAMP = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN round(value, 6)
+              WHEN event_type = 'error' THEN -round(value, 6)
+              ELSE 0.0 END AS delta
+  FROM events
+),
+seq AS (
+  SELECT user_id,
+         list([delta, 0.0, 0.0] ORDER BY ts, event_id) AS items,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM d GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n_events,
+         list_reduce(
+           list_prepend([0.0, 0.0, 0.0], items),
+           (a, x) -> [
+             greatest(0.0, a[1] + x[1]),
+             a[2] + CASE WHEN a[1] + x[1] < 0.0 THEN -(a[1] + x[1]) ELSE 0.0 END,
+             a[3] + CASE WHEN a[1] + x[1] < 0.0 THEN 1.0 ELSE 0.0 END
+           ]) AS st
+  FROM seq
+)
+SELECT user_id, n_events,
+       round(st[1], 6) AS final_balance,
+       round(st[2], 6) AS total_forfeited,
+       CAST(st[3] AS BIGINT) AS n_clamps
+FROM folded
+"""
+
+
+@register("user_budget_clamp", oracle=_SQL_BUDGET_CLAMP)
+def user_budget_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running ledger — the NONLINEAR sequential aggregate no
+    window sum can express: per user, a chronological credit balance
+    where purchases add value, errors subtract it, and the balance
+    floors at zero (overdraft forfeited, as in prepaid quotas, rate
+    limiters, inventory that can't go negative). Because clamping
+    makes every step depend on the clamped previous state, the only
+    faithful shapes are a stateful pass (streaming:
+    applyInPandasWithState) or, in batch, this per-key ordered fold —
+    state bounded per user, zero Python. Emits final balance, total
+    forfeited, and clamp count from one 3-slot fold state.
+    Determinism: deltas round to 6 first; the fold order is the total
+    (ts, event_id) order; greatest/+ are exact IEEE on identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    delta = (
+        F.when(F.col("event_type") == "purchase", F.round("value", 6))
+        .when(F.col("event_type") == "error", -F.round("value", 6))
+        .otherwise(F.lit(0.0))
+    )
+    d = ev.select("user_id", "ts", "event_id", delta.alias("delta"))
+    items = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "delta"))),
+        lambda s: s["delta"],
+    )
+    st = F.aggregate(
+        items,
+        F.struct(
+            F.lit(0.0).alias("bal"),
+            F.lit(0.0).alias("forf"),
+            F.lit(0.0).alias("clamps"),
+        ),
+        lambda a, x: F.struct(
+            F.greatest(F.lit(0.0), a["bal"] + x).alias("bal"),
+            (
+                a["forf"]
+                + F.when(a["bal"] + x < 0.0, -(a["bal"] + x)).otherwise(F.lit(0.0))
+            ).alias("forf"),
+            (
+                a["clamps"]
+                + F.when(a["bal"] + x < 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+            ).alias("clamps"),
+        ),
+    )
+    g = d.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), st.alias("st")
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("st.bal"), 6).alias("final_balance"),
+        F.round(F.col("st.forf"), 6).alias("total_forfeited"),
+        F.col("st.clamps").cast("long").alias("n_clamps"),
+    )
+
+
+_BENFORD_PROBS = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+_SQL_BENFORD = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INT) AS d1
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT d1, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY d1),
+exp_(d1, p) AS (VALUES
+    {", ".join(f"({d}, CAST({p!r} AS DOUBLE))" for d, p in _BENFORD_PROBS.items())}),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs)
+SELECT e.d1 AS first_digit,
+       coalesce(o.c, 0) AS observed,
+       round(e.p * tot.n, 6) AS expected,
+       round(CAST(coalesce(o.c, 0) AS DOUBLE) / tot.n, 6) AS observed_share,
+       round(e.p, 6) AS benford_share,
+       round((coalesce(o.c, 0) - e.p * tot.n)
+             * (coalesce(o.c, 0) - e.p * tot.n) / (e.p * tot.n), 6) AS chi2_term
+FROM exp_ e LEFT JOIN obs o ON o.d1 = e.d1 CROSS JOIN tot
+"""
+
+
+@register("benford_price_audit", oracle=_SQL_BENFORD)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-forensics audit: first significant digit of order totals
+    against Benford's law, with per-digit chi-square terms — the
+    fabricated-data / broken-generator detector finance and fraud
+    teams run (naturally-growing magnitudes follow log10(1+1/d);
+    uniform synthetic generators — like this fixture's — visibly do
+    NOT, which the table shows honestly). Digit extraction goes
+    through the exact DECIMAL(18,2) string, never float formatting;
+    the Benford probabilities are shared Python-double literals in
+    both engines; counts are exact and every derived column carries
+    round-6. One conditional aggregate over the scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d1")
+    )
+    obs = digits.groupBy("d1").agg(F.count("*").alias("c"))
+    n = digits.count()
+    exp_rows = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PROBS.items()], "d1 int, p double"
+    )
+    j = F.broadcast(exp_rows).join(obs, "d1", "left").select(
+        F.col("d1").alias("first_digit"),
+        F.coalesce("c", F.lit(0)).alias("observed"),
+        "p",
+    )
+    exp_n = F.col("p") * F.lit(int(n))
+    return j.select(
+        "first_digit",
+        "observed",
+        F.round(exp_n, 6).alias("expected"),
+        F.round(F.col("observed").cast("double") / F.lit(int(n)), 6).alias(
+            "observed_share"
+        ),
+        F.round("p", 6).alias("benford_share"),
+        F.round(
+            (F.col("observed") - exp_n) * (F.col("observed") - exp_n) / exp_n, 6
+        ).alias("chi2_term"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
