@@ -11044,6 +11044,222 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_AB_TEST = f"""
+WITH assign AS (
+  SELECT user_id,
+         CASE WHEN ('0x' || substr(md5('ab{SEED}:' || CAST(user_id AS VARCHAR)),
+                    1, 7))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events) u
+),
+conv AS (
+  SELECT user_id, 1 AS converted FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+  HAVING count(*) >= 15
+),
+arms AS (
+  SELECT a.arm,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(CASE WHEN c.converted IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_converted
+  FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+  GROUP BY a.arm
+),
+w AS (
+  SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+         max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+         max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+         max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+  FROM arms
+)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z_stat,
+       CAST(CASE WHEN abs((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                 / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb))) > 1.959963984540054
+            THEN 1 ELSE 0 END AS INT) AS significant_5pct
+FROM w
+"""
+
+
+@register("ab_test_conversion", oracle=_SQL_AB_TEST)
+def ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analysis: users deterministically bucketed into
+    A/B arms by seeded md5 parity (the hash-based assignment real
+    experiment platforms use — stable, uniform, no coordination),
+    heavy-buyer (>= 15 purchases) conversion rates compared with the
+    pooled two-proportion
+    z-test and a 5% two-sided significance flag. On this fixture the
+    arms are exchangeable, so the honest expected readout is
+    NON-significant — the A/A-test sanity every platform runs first.
+    Scale shape: assignment is map-only hashing; conversion is one
+    distinct-user aggregate; the test reduces to four integers.
+    1.96… is the shared z-critical literal; sqrt/divisions are IEEE
+    on exact-integer-derived doubles with round-6 on outputs (the
+    flag compares unrounded, identically in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ab{SEED}:"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = users.select("user_id", arm.alias("arm"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("__np"))
+        .where(F.col("__np") >= 15)
+        .select("user_id")
+        .withColumn("__c", F.lit(1))
+    )
+    arms = (
+        assign.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.col("__c").isNotNull().cast("long")).alias("n_converted"),
+        )
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (ra - rb) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+    )
+    return w.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > F.lit(1.959963984540054)).cast("int").alias(
+            "significant_5pct"
+        ),
+    )
+
+
+_SQL_KM_SURVIVAL = """
+WITH first_purchase AS (
+  SELECT user_id, CAST(min(EXTRACT(day FROM ts)) AS INT) AS event_day
+  FROM events
+  WHERE event_type = 'purchase' AND EXTRACT(day FROM ts) <= 7
+  GROUP BY user_id
+),
+users AS (SELECT DISTINCT user_id FROM events),
+subj AS (
+  SELECT u.user_id, coalesce(fp.event_day, 8) AS t,
+         CASE WHEN fp.user_id IS NULL THEN 0 ELSE 1 END AS observed
+  FROM users u LEFT JOIN first_purchase fp ON fp.user_id = u.user_id
+),
+n_(n) AS (SELECT CAST(count(*) AS BIGINT) FROM subj),
+dd AS (
+  SELECT t AS day, CAST(sum(observed) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS leaving
+  FROM subj GROUP BY t
+),
+curve AS (
+  SELECT day, d,
+         n_.n - coalesce(sum(leaving) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+  FROM dd CROSS JOIN n_
+),
+factors AS (
+  SELECT day, d, CAST(at_risk AS BIGINT) AS at_risk,
+         1.0 - CAST(d AS DOUBLE) / at_risk AS f
+  FROM curve
+)
+SELECT a.day, a.at_risk, a.d AS n_events,
+       round(list_aggregate(list(ln(b.f) ORDER BY b.day), 'sum'), 6)
+         AS log_survival
+FROM factors a JOIN factors b ON b.day <= a.day
+WHERE a.day <= 7
+GROUP BY a.day, a.at_risk, a.d
+"""
+
+
+@register("km_survival_curve", oracle=_SQL_KM_SURVIVAL)
+def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis (Kaplan-Meier): per day, the risk set, the
+    users whose FIRST purchase falls that day, and the log survival
+    function log S(t) = Σ ln(1 - d_t / n_t) — time-to-conversion with
+    RIGHT-CENSORING done correctly (users with no week-1 purchase are
+    censored at day 8 instead of polluting the rates), which is
+    what separates this from a naive daily conversion share. Working
+    in log space makes the KM product a running SUM of per-day
+    factors — the ordered-prefix fold both engines replay identically
+    (ln carries the round-6 contract on the final sum). Scale shape:
+    one first-event aggregate, a 31-row day table, prefix windows over
+    it."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.where(
+            (F.col("event_type") == "purchase") & (F.dayofmonth("ts") <= 7)
+        )
+        .groupBy("user_id")
+        .agg(F.min(F.dayofmonth("ts")).cast("int").alias("event_day"))
+    )
+    users = ev.select("user_id").distinct()
+    subj = users.join(F.broadcast(fp), "user_id", "left").select(
+        F.coalesce("event_day", F.lit(8)).alias("t"),
+        F.col("event_day").isNotNull().cast("long").alias("observed"),
+    )
+    n = subj.count()
+    dd = subj.groupBy("t").agg(
+        F.sum("observed").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = dd.select(
+        F.col("t").alias("day"),
+        "d",
+        (F.lit(int(n)) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)))
+        .cast("long")
+        .alias("at_risk"),
+    )
+    f = F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk")
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    lnf = F.ln(f)
+    out = curve.select(
+        "day",
+        "at_risk",
+        F.col("d").alias("n_events"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("day", lnf.alias("lf"))).over(w_cum)
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["lf"],
+            ),
+            6,
+        ).alias("log_survival"),
+    )
+    return out.where(F.col("day") <= 7)
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
