@@ -11266,6 +11266,90 @@ def km_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("day") <= 7)
 
 
+_SQL_LTV = """
+WITH firsts AS (
+  SELECT o_custkey,
+         CAST(min(EXTRACT(year FROM o_orderdate)) AS INT) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT f.cohort,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INT) - f.cohort AS age,
+         o.o_custkey,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+cell AS (
+  SELECT cohort, age,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         sum(rev) AS revenue
+  FROM j GROUP BY cohort, age
+),
+sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY cohort)
+SELECT c.cohort, CAST(c.age AS INT) AS age, sz.cohort_size,
+       c.active_customers, c.n_orders,
+       CAST(c.revenue AS DOUBLE) AS revenue,
+       CAST(sum(c.revenue) OVER (PARTITION BY c.cohort ORDER BY c.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_revenue,
+       round(CAST(c.active_customers AS DOUBLE) / sz.cohort_size, 6)
+         AS retention
+FROM cell c JOIN sz ON sz.cohort = c.cohort
+"""
+
+
+@register("customer_ltv_cohorts", oracle=_SQL_LTV)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers cohorted by
+    first-order YEAR, each (cohort, age) cell carrying active
+    customers, orders, exact decimal revenue, the cohort's cumulative
+    LTV-to-date, and retention vs cohort size — the revenue-side
+    companion of user_retention_cohorts (which counts event activity)
+    and the table a finance model reads payback periods from. The
+    cumulative sum runs over EXACT DECIMAL inside the window (order-
+    independent), cast to double only on output, so cross-engine
+    equality holds regardless of accumulation grouping. Scale shape:
+    one first-order aggregate, a customer-keyed join back, a
+    years x years cell aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("int")
+    firsts = orders.groupBy("o_custkey").agg(F.min(yr).alias("cohort"))
+    j = orders.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort",
+        (yr - F.col("cohort")).alias("age"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cell = j.groupBy("cohort", "age").agg(
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum("rev").alias("revenue"),
+    )
+    sz = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    w_cum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cell.join(F.broadcast(sz), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age"),
+            "cohort_size",
+            "active_customers",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.sum("revenue").over(w_cum).cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("active_customers").cast("double") / F.col("cohort_size"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
