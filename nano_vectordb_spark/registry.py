@@ -11350,6 +11350,87 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LASPEYRES = """
+WITH py AS (
+  SELECT l_partkey AS part,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS q,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT b.yr,
+         a.part,
+         CAST(b.r AS DOUBLE) / CAST(b.q AS DOUBLE) * CAST(a.q AS DOUBLE) AS num_i,
+         a.r AS den_i
+  FROM py a JOIN py b ON b.part = a.part AND b.yr = a.yr + 1
+)
+SELECT yr AS year,
+       CAST(count(*) AS BIGINT) AS n_common_parts,
+       round(list_aggregate(list(num_i ORDER BY num_i), 'sum')
+             / CAST(sum(den_i) AS DOUBLE), 6) AS laspeyres_index
+FROM pairs GROUP BY yr
+"""
+
+
+@register("price_index_laspeyres", oracle=_SQL_LASPEYRES)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Economic index numbers: the year-over-year Laspeyres price
+    index over lineitem (base-year quantity weights: sum p1*q0 /
+    sum p0*q0 across parts sold in both years) — how a business
+    answers "did prices rise, holding last year's basket fixed", and
+    in the corpus world, how token-cost-per-document drift would be
+    indexed across releases. The denominator collapses algebraically
+    to last year's EXACT decimal revenue (p0*q0 = r0 — no float ever
+    enters it); only the numerator's per-part reweights are doubles,
+    folded in value order. Scale shape: one (part, year) aggregate,
+    a part-keyed self-join of adjacent years, a per-year fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"),
+    )
+    a = py.select(
+        F.col("part").alias("part0"),
+        F.col("yr").alias("yr0"),
+        F.col("q").alias("q0"),
+        F.col("r").alias("r0"),
+    )
+    b = py.select(
+        F.col("part").alias("part1"),
+        F.col("yr").alias("yr1"),
+        F.col("q").alias("q1"),
+        F.col("r").alias("r1"),
+    )
+    pairs = a.join(
+        b, (F.col("part1") == F.col("part0")) & (F.col("yr1") == F.col("yr0") + 1)
+    ).select(
+        F.col("yr1").alias("yr"),
+        (
+            F.col("r1").cast("double") / F.col("q1").cast("double")
+            * F.col("q0").cast("double")
+        ).alias("num_i"),
+        F.col("r0").alias("den_i"),
+    )
+    return pairs.groupBy("yr").agg(
+        F.count("*").alias("n_common_parts"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("num_i")),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            / F.sum("den_i").cast("double"),
+            6,
+        ).alias("laspeyres_index"),
+    ).select(
+        F.col("yr").alias("year"), "n_common_parts", "laspeyres_index"
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
