@@ -11431,6 +11431,88 @@ def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_LOCF = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+cal AS (
+  SELECT u.user_id, CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM users u CROSS JOIN bounds b
+),
+j AS (
+  SELECT c.user_id, c.day, d.v
+  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+),
+filled AS (
+  SELECT user_id, day, v,
+         max(CASE WHEN v IS NOT NULL THEN {'d': day, 'val': v} END)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+  FROM j
+)
+SELECT user_id, day,
+       carry.val AS value_filled,
+       CAST(CASE WHEN v IS NULL AND carry.val IS NOT NULL THEN 1 ELSE 0 END
+            AS INT) AS imputed
+FROM filled
+"""
+
+
+@register("locf_imputation", oracle=_SQL_LOCF)
+def locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series imputation: every (user, calendar day) cell filled
+    by last-observation-carried-forward — the standard panel-data
+    densification before models that cannot take missing values
+    (events_gapfill fills the TIME AXIS with explicit nulls; this
+    fills the VALUES). The carry is the struct-max trick — max over
+    the preceding frame of (day, value) structs, built only for
+    observed days — which both engines order lexicographically, so no
+    IGNORE NULLS dialect dependence exists; leading missing days stay
+    null honestly. Scale shape: the calendar densification is a
+    map-side date-sequence explode per user (users x days rows, the
+    gapfill contract), then one user-partitioned window. Daily means
+    round to 6 first, so every carried value is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    b = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    ).collect()[0]
+    users = ev.select("user_id").distinct()
+    cal = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(b["d0"]), F.lit(b["d1"]))).alias("day"),
+    )
+    j = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = F.max(
+        F.when(
+            F.col("v").isNotNull(),
+            F.struct(F.col("day").alias("d"), F.col("v").alias("val")),
+        )
+    ).over(w)
+    return j.select(
+        "user_id",
+        "day",
+        carry["val"].alias("value_filled"),
+        (F.col("v").isNull() & carry["val"].isNotNull())
+        .cast("int")
+        .alias("imputed"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
