@@ -11513,6 +11513,86 @@ def locf_imputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_N = 3
+_PATH_TOP = 15
+
+_SQL_EVENT_PATHS = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+),
+grams AS (
+  SELECT substr(seq, CAST(i AS INT), {_PATH_N}) AS path
+  FROM s, LATERAL (SELECT unnest(range(1, length(seq) - {_PATH_N - 2})) AS i) t
+  WHERE length(seq) >= {_PATH_N}
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY path),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+SELECT c.path, c.n,
+       round(CAST(c.n AS DOUBLE) / tot.t, 6) AS share,
+       CAST(row_number() OVER (ORDER BY c.n DESC, c.path ASC) AS INT) AS path_rank
+FROM c CROSS JOIN tot
+QUALIFY path_rank <= {_PATH_TOP}
+"""
+
+
+@register("event_top_paths", oracle=_SQL_EVENT_PATHS)
+def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the {_PATH_TOP} most common {_PATH_N}-event
+    behavioral paths across all user journeys (sliding window over
+    each user's event-initial sequence) — the "what do users actually
+    do" report between event_pattern_match's fixed patterns and
+    event_markov_transitions' one-step probabilities (a 3-gram is the
+    empirical check of the Markov assumption: paths over-represented
+    vs the chain product are memory effects). Scale shape: sequences
+    build in one user-keyed ordered aggregate; the sliding window is
+    a native per-row explode of bounded fan-out; counting is
+    map-side combined. Integer counts, one round-6 share, rank on
+    (count, path)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ini"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ini"))
+                    ),
+                    lambda x: x["ini"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    grams = (
+        s.where(F.length("seq") >= _PATH_N)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(seq) - {_PATH_N - 1}),"
+                    f" i -> substring(seq, i, {_PATH_N}))"
+                )
+            ).alias("path")
+        )
+    )
+    c = grams.groupBy("path").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n")).collect()[0][0]
+    w = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        c.withColumn("share", F.round(F.col("n").cast("double") / F.lit(int(t)), 6))
+        .withColumn("path_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("path_rank") <= _PATH_TOP)
+        .select("path", "n", "share", "path_rank")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
