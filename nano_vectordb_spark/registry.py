@@ -11593,6 +11593,106 @@ def event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ATTR_WINDOW_US = 24 * 3600 * 1000000  # 24h lookback
+
+_SQL_ATTRIBUTION = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+),
+purchases AS (
+  SELECT user_id, event_id AS p_id, t AS pt FROM e WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT p.p_id, tch.event_type, tch.t, tch.event_id
+  FROM purchases p
+  JOIN e tch ON tch.user_id = p.user_id
+            AND tch.t >= p.pt - {_ATTR_WINDOW_US} AND tch.t < p.pt
+            AND tch.event_type IN ('view', 'click')
+),
+pick AS (
+  SELECT p_id,
+         min({{'t': t, 'e': event_id, 'ty': event_type}}).ty AS first_touch,
+         max({{'t': t, 'e': event_id, 'ty': event_type}}).ty AS last_touch
+  FROM touch GROUP BY p_id
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pick)
+SELECT m.model, m.channel, m.n_conversions,
+       round(CAST(m.n_conversions AS DOUBLE) / tot.n, 6) AS share
+FROM (
+  SELECT 'first_touch' AS model, first_touch AS channel,
+         CAST(count(*) AS BIGINT) AS n_conversions
+  FROM pick GROUP BY first_touch
+  UNION ALL
+  SELECT 'last_touch', last_touch, CAST(count(*) AS BIGINT)
+  FROM pick GROUP BY last_touch
+) m CROSS JOIN tot
+"""
+
+
+@register("attribution_model_compare", oracle=_SQL_ATTRIBUTION)
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, two models side by side: each purchase
+    credited to the FIRST vs the LAST view/click touch in its 24-hour
+    lookback, per-channel conversion counts and shares — the
+    model-sensitivity table that decides budget shifts (big
+    first-vs-last deltas mean the journey has distinct opener and
+    closer channels). The touch pick is the struct-min/max trick over
+    (time, event_id, type) — a total order, no IGNORE NULLS or
+    argmax-tie dialect risk. Scale shape: the purchase x touch join is
+    user-keyed with a bounded time predicate (the interval-join
+    contract of stream_click_attribution); each purchase then reduces
+    map-side to two structs. Integer-exact + one round-6 share."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    e = ev.select("user_id", "event_id", "event_type", ts_us.alias("t"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("t").alias("pt")
+    )
+    tch = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_eid"),
+        F.col("event_type").alias("t_type"),
+        F.col("t").alias("tt"),
+    )
+    touch = purchases.join(
+        tch,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("tt") >= F.col("pt") - _ATTR_WINDOW_US)
+        & (F.col("tt") < F.col("pt")),
+    )
+    s = F.struct(
+        F.col("tt").alias("t"), F.col("t_eid").alias("e"), F.col("t_type").alias("ty")
+    )
+    pick = touch.groupBy("p_id").agg(
+        F.min(s)["ty"].alias("first_touch"),
+        F.max(s)["ty"].alias("last_touch"),
+    )
+    n = pick.count()
+    first = pick.groupBy("first_touch").agg(F.count("*").alias("n_conversions"))
+    last = pick.groupBy("last_touch").agg(F.count("*").alias("n_conversions"))
+    out = first.select(
+        F.lit("first_touch").alias("model"),
+        F.col("first_touch").alias("channel"),
+        "n_conversions",
+    ).unionByName(
+        last.select(
+            F.lit("last_touch").alias("model"),
+            F.col("last_touch").alias("channel"),
+            "n_conversions",
+        )
+    )
+    return out.select(
+        "model",
+        "channel",
+        "n_conversions",
+        F.round(F.col("n_conversions").cast("double") / F.lit(int(n)), 6).alias(
+            "share"
+        ),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
