@@ -33,22 +33,18 @@ K1 = 1.2
 B = 0.75
 
 
-def bm25_search(
+def bm25_term_scores(
     spark: SparkSession,
     docs: DataFrame,
     queries: list[tuple[int, list[str]]],
-    k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
-    round_to: int = 6,
 ) -> DataFrame:
-    """Top-k BM25 over `docs` for literal term queries.
-
-    `queries` is [(query_id, [term, ...]), ...] with distinct terms per
-    query. Returns (query_id, doc_id, score, rank), score rounded to
-    `round_to` decimals (the cross-engine contract for order-dependent
-    float math; ranking uses the rounded score).
-    """
+    """Per-(query, doc, term) BM25 contributions — the shared core of
+    bm25_search (which folds them into ranked scores) and the
+    score-explain entry (which surfaces them). Columns: query_id,
+    doc_id, term, tf, df, dl, n_docs, sum_dl, s (the unrounded
+    contribution)."""
     vocab = sorted({t for _, terms in queries for t in terms})
     qmap = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms], "query_id int, term string"
@@ -120,8 +116,33 @@ def bm25_search(
                     )
                 )
             ).alias("s"),
+            "tf",
+            "df",
+            "dl",
+            "n_docs",
+            "sum_dl",
         )
     )
+    return scored
+
+
+def bm25_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k BM25 over `docs` for literal term queries.
+
+    `queries` is [(query_id, [term, ...]), ...] with distinct terms per
+    query. Returns (query_id, doc_id, score, rank), score rounded to
+    `round_to` decimals (the cross-engine contract for order-dependent
+    float math; ranking uses the rounded score).
+    """
+    scored = bm25_term_scores(spark, docs, queries, text_col, id_col)
 
     # order-independent double sum: fold term contributions in term order
     summed = scored.groupBy("query_id", "doc_id").agg(

@@ -11693,6 +11693,110 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_explain_oracle() -> str:
+    from nano_vectordb_spark.operators.lexical import B, K1
+
+    vocab = sorted({t for _, terms in _BM25_QUERIES for t in terms})
+    vlist = ", ".join(f"'{t}'" for t in vocab)
+    qvals = ",\n    ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, x -> list_contains([{vlist}], x)) AS qtoks
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d
+),
+posting AS (SELECT doc_id, dl, unnest(qtoks) AS term FROM d),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+  FROM posting GROUP BY doc_id, term
+),
+idf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+qmap(query_id, term) AS (VALUES
+    {qvals}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, tf.term, tf.tf, i.df, s.n_docs,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - i.df + 0.5) / (i.df + 0.5))
+         * (tf.tf * {K1 + 1.0!r}
+            / (tf.tf + {K1!r} * ({1.0 - B!r} + {B!r}
+               * (CAST(tf.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS s
+  FROM tf JOIN idf i USING (term) JOIN qmap q USING (term) CROSS JOIN stats s
+),
+summed AS (
+  SELECT query_id, doc_id,
+         round(list_aggregate(list(s ORDER BY term ASC), 'sum'), 6) AS score
+  FROM scored GROUP BY query_id, doc_id
+),
+top1 AS (
+  SELECT doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rank
+    FROM summed)
+  WHERE query_id = 0 AND rank = 1
+)
+SELECT sc.doc_id, sc.term,
+       CAST(sc.tf AS BIGINT) AS tf,
+       CAST(sc.df AS BIGINT) AS df,
+       round(ln(1.0 + (CAST(sc.n_docs AS DOUBLE) - sc.df + 0.5)
+                / (sc.df + 0.5)), 6) AS idf,
+       round(sc.s, 6) AS contribution,
+       t1.score AS total_score
+FROM scored sc JOIN top1 t1 ON t1.doc_id = sc.doc_id
+WHERE sc.query_id = 0
+"""
+
+
+@register("bm25_score_explain", oracle=_bm25_explain_oracle)
+def bm25_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search explainability: the per-term decomposition of the
+    winning BM25 score — for query 0's top document, each query
+    term's tf, df, idf and contribution next to the total — the
+    "why did this doc rank first" breakdown a relevance engineer (or
+    a user-facing 'matched because') reads, made possible because
+    bm25_term_scores is now the shared core under both the ranker
+    and this explainer (same plan, same numbers, no drift between
+    what's served and what's explained). Scale shape: identical to
+    doc_search_bm25 plus one broadcast top-1 join. Contributions and
+    idf carry round-6; tf/df are exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = lexical_ops.bm25_term_scores(spark, docs, _BM25_QUERIES)
+    top1 = (
+        lexical_ops.bm25_search(spark, docs, _BM25_QUERIES, k=1)
+        .where(F.col("query_id") == 0)
+        .select(F.col("doc_id").alias("__d"), F.col("score").alias("total_score"))
+    )
+    expl = scored.where(F.col("query_id") == 0).join(
+        F.broadcast(top1), F.col("doc_id") == F.col("__d")
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    return expl.select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        idf.alias("idf"),
+        F.round("s", 6).alias("contribution"),
+        "total_score",
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
