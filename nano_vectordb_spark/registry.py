@@ -11797,6 +11797,44 @@ def bm25_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATE_SPLIT_DAY = 8
+
+_SQL_LATE_DROP = f"""
+WITH ontime AS (
+  SELECT * FROM events WHERE EXTRACT(day FROM ts) >= {_LATE_SPLIT_DAY}
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ontime),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM ontime GROUP BY 1
+)
+SELECT d.window_start, d.n_events
+FROM daily d CROSS JOIN wm
+WHERE d.window_start + INTERVAL 1 DAY <= wm.w
+"""
+
+
+@register("stream_late_drop", oracle=_SQL_LATE_DROP)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, proven end to end: a REAL
+    three-microbatch streaming run (file source ordered by mtime,
+    maxFilesPerTrigger=1; bulk -> tail -> late) where the final batch
+    delivers days 1..{_LATE_SPLIT_DAY - 1} AFTER the watermark has
+    advanced past them — the engine must DROP every late row, and the append-mode
+    output must contain exactly the on-time daily windows whose end
+    cleared the final watermark. The oracle states that closed form;
+    if late rows leaked into state their long-past windows would
+    finalize instantly and surface as extra rows, failing the hash.
+    This is the semantics that bounds streaming state at scale:
+    state follows the watermark horizon, not stream history (the
+    sixth streaming entry, completing window/dedup/join/sessionize/
+    rank with the late-data contract)."""
+    from nano_vectordb_spark.streaming.events import late_drop_stream
+
+    return late_drop_stream(spark, sf_dir, split_day=_LATE_SPLIT_DAY)
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

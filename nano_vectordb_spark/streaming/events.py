@@ -243,3 +243,102 @@ def heavy_hitters_stream(
         tbl.withColumn("rank", F.row_number().over(rank_w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def late_drop_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    split_day: int = 8,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark late-data semantics, DEMONSTRATED and exactly
+    checkable: the events table is split into an on-time file (days
+    >= split_day) and a LATE file (days < split_day) whose
+    modification times force the file source to deliver them as two
+    microbatches in that order (maxFilesPerTrigger=1, oldest first).
+    After batch 1 the watermark stands near the end of the month, so
+    every row of batch 2 arrives below it and is DROPPED — if the
+    engine failed to drop them, their (long-past) daily windows would
+    finalize instantly and appear in the append-mode output. The
+    emitted result is therefore exactly the on-time days whose window
+    END cleared the final watermark: days split_day .. last_day-1 —
+    a closed form the DuckDB oracle states directly.
+
+    At scale this is the contract that bounds streaming state: state
+    size follows the watermark horizon, not the stream's history."""
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    root = "/tmp/nvdb_latedrop3_" + hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{split_day}".encode()
+    ).hexdigest()[:8]
+    if not os.path.exists(os.path.join(root, "_READY")):
+        tmp = root + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        tbl = papq.read_table(src)
+        day = pc.day(tbl.column("ts"))
+        last_day = pc.max(day).as_py()
+        # three microbatches: bulk on-time, a fresh tail, then the late
+        # file. The tail batch matters: the watermark computed from the
+        # bulk batch only becomes the late-row FILTER one batch later
+        # (measured on this engine build), so late data must arrive at
+        # least two batches after the data that advanced the watermark.
+        papq.write_table(
+            tbl.filter(
+                pc.and_(pc.greater_equal(day, split_day), pc.less(day, last_day))
+            ),
+            os.path.join(tmp, "a_ontime.parquet"),
+        )
+        papq.write_table(
+            tbl.filter(pc.greater_equal(day, last_day)),
+            os.path.join(tmp, "b_tail.parquet"),
+        )
+        papq.write_table(
+            tbl.filter(pc.less(day, split_day)),
+            os.path.join(tmp, "c_late.parquet"),
+        )
+        now = _time.time()
+        os.utime(os.path.join(tmp, "a_ontime.parquet"), (now - 120, now - 120))
+        os.utime(os.path.join(tmp, "b_tail.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(tmp, "c_late.parquet"), (now, now))
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+
+    ensure_read_confs(spark)
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(root)
+    )
+    dt = batch_schema["ts"].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, ts)")
+            ),
+        )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.expr(
+                f"timestampadd(MICROSECOND, unix_micros(w.start), {_NTZ_EPOCH})"
+            ).alias("window_start"),
+            "n_events",
+        )
+    )
+    return run_stream_to_table(spark, agg, "late", "append")
