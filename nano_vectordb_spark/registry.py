@@ -11835,6 +11835,73 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late_drop_stream(spark, sf_dir, split_day=_LATE_SPLIT_DAY)
 
 
+_GDPR_MOD = 37  # user_id % 37 == 0 stands in for the erasure request list
+
+_SQL_GDPR = f"""
+WITH req AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % {_GDPR_MOD} = 0
+),
+ev AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted
+  FROM events e LEFT JOIN req r ON r.user_id = e.user_id
+),
+sess AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_before,
+         CAST(sum(CASE WHEN r.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deleted
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events) s
+  LEFT JOIN req r ON r.user_id = s.user_id
+)
+SELECT t.tbl, t.n_before, t.n_deleted,
+       CAST(t.n_before - t.n_deleted AS BIGINT) AS n_after,
+       CAST(0 AS BIGINT) AS n_residual
+FROM (
+  SELECT 'events' AS tbl, n_before, n_deleted FROM ev
+  UNION ALL
+  SELECT 'user_days' AS tbl, n_before, n_deleted FROM sess
+) t
+"""
+
+
+@register("gdpr_erasure_audit", oracle=_SQL_GDPR)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade, audited: for a deterministic
+    erasure-request list (user_id % {_GDPR_MOD} == 0), delete the
+    users from the raw events AND from a derived user-day rollup, and
+    report per table: rows before, rows deleted, rows after, and —
+    the line compliance actually signs off on — the RESIDUAL count of
+    surviving rows that still reference a requested user, re-measured
+    from the post-delete tables by anti-join (provably 0, not assumed
+    0). Scale shape: the request list broadcasts into anti-joins on
+    every table (the tombstone pattern ivf_search_after_delete uses
+    for vectors); the audit is one conditional aggregate per table.
+    Integer-exact throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    req = (
+        ev.where(F.col("user_id") % _GDPR_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+
+    def audit(df: DataFrame, tbl: str) -> DataFrame:
+        kept = df.join(F.broadcast(req), "user_id", "left_anti")
+        residual = kept.join(F.broadcast(req), "user_id", "left_semi")
+        n_before = df.count()
+        n_after = kept.count()
+        n_residual = residual.count()
+        return spark.createDataFrame(
+            [(tbl, n_before, n_before - n_after, n_after, n_residual)],
+            "tbl string, n_before long, n_deleted long, n_after long, n_residual long",
+        )
+
+    return audit(ev, "events").unionByName(audit(user_days, "user_days"))
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
