@@ -11902,6 +11902,67 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(ev, "events").unionByName(audit(user_days, "user_days"))
 
 
+def _frontier_oracle() -> str:
+    sweep = resolve_oracle(REGISTRY["ivf_recall_sweep"])
+    cost = resolve_oracle(REGISTRY["ivf_probe_cost"])
+    return f"""
+WITH s AS ({sweep}),
+c AS ({cost}),
+dim_(d) AS (SELECT CAST(max(len(embedding)) AS BIGINT) FROM embeddings),
+j AS (
+  SELECT s.nprobe, s.recall_at_k, c.scan_fraction,
+         c.total_rows_scanned * dim_.d * 4 AS bytes_f32
+  FROM s JOIN c ON c.nprobe = s.nprobe CROSS JOIN dim_
+)
+SELECT nprobe, recall_at_k, scan_fraction,
+       CAST(bytes_f32 AS BIGINT) AS bytes_f32,
+       round(recall_at_k / scan_fraction, 6) AS recall_per_scan,
+       round((recall_at_k - lag(recall_at_k) OVER w)
+             / (scan_fraction - lag(scan_fraction) OVER w), 6)
+         AS marginal_recall_per_scan
+FROM j
+WINDOW w AS (ORDER BY nprobe)
+"""
+
+
+@register("ann_cost_frontier", oracle=_frontier_oracle)
+def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN operating-point decision table, composed: recall@k
+    (ivf_recall_sweep) joined to scan cost (ivf_probe_cost) per
+    nprobe, with f32 bytes per query batch, recall-per-scan
+    efficiency, and the MARGINAL recall bought by each extra unit of
+    scan fraction — the declining-marginal column IS the knee the
+    autotuner and the reference's Performance.md tables eyeball; a
+    capacity planner multiplies bytes_f32 by QPS and reads the
+    memory-bandwidth budget straight off this table. Pure composition
+    of two proven entries plus one lag window over 5 rows; recall and
+    fractions are exact-integer ratios, divisions carry round-6."""
+    sweep = REGISTRY["ivf_recall_sweep"].fn(spark, sf_dir)
+    cost = REGISTRY["ivf_probe_cost"].fn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    j = sweep.select("nprobe", "recall_at_k").join(
+        cost.select("nprobe", "scan_fraction", "total_rows_scanned"), "nprobe"
+    )
+    w = Window.orderBy("nprobe")
+    return j.select(
+        "nprobe",
+        "recall_at_k",
+        "scan_fraction",
+        (F.col("total_rows_scanned") * F.lit(int(dim)) * 4)
+        .cast("long")
+        .alias("bytes_f32"),
+        F.round(F.col("recall_at_k") / F.col("scan_fraction"), 6).alias(
+            "recall_per_scan"
+        ),
+        F.round(
+            (F.col("recall_at_k") - F.lag("recall_at_k").over(w))
+            / (F.col("scan_fraction") - F.lag("scan_fraction").over(w)),
+            6,
+        ).alias("marginal_recall_per_scan"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
