@@ -11963,6 +11963,188 @@ def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_GINI = """
+WITH rev AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT r, CAST(row_number() OVER (ORDER BY r ASC, o_custkey ASC) AS BIGINT) AS i
+  FROM rev
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(r) AS tot,
+         sum(r * i) AS weighted
+  FROM ranked
+)
+SELECT n AS n_customers,
+       CAST(tot AS DOUBLE) AS total_revenue,
+       round((2.0 * CAST(weighted AS DOUBLE)) / (n * CAST(tot AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / n, 6) AS gini
+FROM s
+"""
+
+
+@register("revenue_gini", oracle=_SQL_GINI)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality measurement: the Gini coefficient of per-customer
+    revenue, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-sorted x — the single-number concentration summary next
+    to revenue_pareto's 80/20 cut (and, for a corpus, the mixture-
+    imbalance score of per-source token counts). Every sum is EXACT
+    DECIMAL weighted by exact integer ranks over a total order; only
+    the final closed form touches doubles, with round-6. Scale shape:
+    one keyed aggregate + one global rank window over the
+    |customers|-row summary — same cost class as any ntile."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
+    ranked = rev.select(
+        "r", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("r") * F.col("i")).alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(
+            (F.lit(2.0) * F.col("weighted").cast("double"))
+            / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n").cast("double") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_SQL_SIMPSON = f"""
+WITH assign AS (
+  SELECT e.user_id, d.lang,
+         CASE WHEN ('0x' || substr(md5('ab{SEED}:' || CAST(e.user_id AS VARCHAR)),
+                    1, 7))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT DISTINCT user_id FROM events) e
+  JOIN documents d ON d.doc_id = e.user_id % 500
+),
+conv AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING count(*) >= 15
+),
+cells AS (
+  SELECT a.lang, a.arm,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS conv
+  FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+  GROUP BY a.lang, a.arm
+),
+strata AS (
+  SELECT lang,
+         max(CASE WHEN arm = 'A' THEN n END) AS na,
+         max(CASE WHEN arm = 'A' THEN conv END) AS ca,
+         max(CASE WHEN arm = 'B' THEN n END) AS nb,
+         max(CASE WHEN arm = 'B' THEN conv END) AS cb
+  FROM cells GROUP BY lang
+),
+overall AS (
+  SELECT sum(na) AS na, sum(ca) AS ca, sum(nb) AS nb, sum(cb) AS cb FROM strata
+)
+SELECT s.lang AS stratum,
+       CAST(s.na AS BIGINT) AS n_a, CAST(s.ca AS BIGINT) AS conv_a,
+       CAST(s.nb AS BIGINT) AS n_b, CAST(s.cb AS BIGINT) AS conv_b,
+       round(CAST(s.ca AS DOUBLE) / s.na - CAST(s.cb AS DOUBLE) / s.nb, 6)
+         AS rate_diff,
+       round(CAST(o.ca AS DOUBLE) / o.na - CAST(o.cb AS DOUBLE) / o.nb, 6)
+         AS overall_rate_diff,
+       CAST(CASE WHEN (CAST(s.ca AS DOUBLE) / s.na - CAST(s.cb AS DOUBLE) / s.nb)
+                      * (CAST(o.ca AS DOUBLE) / o.na - CAST(o.cb AS DOUBLE) / o.nb)
+                      < 0 THEN 1 ELSE 0 END AS INT) AS sign_reversed
+FROM strata s CROSS JOIN overall o
+"""
+
+
+@register("simpson_paradox_audit", oracle=_SQL_SIMPSON)
+def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confounding audit (Simpson's paradox detector): the A/B
+    conversion gap recomputed inside strata — users keyed to a
+    document attribute (lang, via the deterministic user->doc map) —
+    with a flag wherever a stratum's effect direction REVERSES the
+    pooled one; any reversal means the pooled ab_test_conversion
+    readout is confounded and per-stratum (or weighted) estimates
+    must be reported instead. Same md5 arm assignment and heavy-buyer
+    conversion as the pooled test, so the two entries reconcile
+    exactly. Integer counts, round-6 rate gaps (the flag multiplies
+    unrounded gaps identically in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ab{SEED}:"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = users.join(
+        F.broadcast(docs.select("doc_id", "lang")),
+        users["user_id"] % 500 == docs["doc_id"],
+    ).select("user_id", "lang", arm.alias("arm"))
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("__np"))
+        .where(F.col("__np") >= 15)
+        .select("user_id")
+        .withColumn("__c", F.lit(1))
+    )
+    cells = (
+        assign.join(F.broadcast(conv), "user_id", "left")
+        .groupBy("lang", "arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("__c").isNotNull().cast("long")).alias("conv"),
+        )
+    )
+    strata = cells.groupBy("lang").agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    tot = strata.agg(
+        F.sum("na").alias("ona"),
+        F.sum("ca").alias("oca"),
+        F.sum("nb").alias("onb"),
+        F.sum("cb").alias("ocb"),
+    ).collect()[0]
+    odiff = float(tot["oca"]) / float(tot["ona"]) - float(tot["ocb"]) / float(
+        tot["onb"]
+    )
+    sdiff = F.col("ca").cast("double") / F.col("na") - F.col("cb").cast(
+        "double"
+    ) / F.col("nb")
+    return strata.select(
+        F.col("lang").alias("stratum"),
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(sdiff, 6).alias("rate_diff"),
+        F.round(F.lit(odiff), 6).alias("overall_rate_diff"),
+        ((sdiff * F.lit(odiff)) < 0).cast("int").alias("sign_reversed"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
