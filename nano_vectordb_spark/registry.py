@@ -12145,6 +12145,82 @@ def simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_HOLT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+arr AS (SELECT list([y, 0.0] ORDER BY d) AS items, CAST(count(*) AS BIGINT) AS n FROM daily),
+folded AS (
+  SELECT n,
+         list_reduce(
+           list_prepend([items[1][1], 0.0], items[2:]),
+           (a, x) -> [
+             0.5 * x[1] + 0.5 * (a[1] + a[2]),
+             0.3 * ((0.5 * x[1] + 0.5 * (a[1] + a[2])) - a[1]) + 0.7 * a[2]
+           ]) AS st
+  FROM arr
+)
+SELECT n AS n_days,
+       round(st[1], 6) AS level,
+       round(st[2], 6) AS trend,
+       round(st[1] + 1.0 * st[2], 6) AS forecast_1d,
+       round(st[1] + 2.0 * st[2], 6) AS forecast_2d,
+       round(st[1] + 3.0 * st[2], 6) AS forecast_3d
+FROM folded
+"""
+
+
+@register("holt_forecast_daily", oracle=_SQL_HOLT)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting: Holt's linear exponential smoothing (alpha=0.5,
+    beta=0.3) over daily event volume, with 1/2/3-day-ahead forecasts
+    — the next step up the ladder from user_value_ewma (level only)
+    and event_type_trend (one global line): a recency-weighted level
+    PLUS trend, which is what a short-horizon capacity forecast
+    actually runs on. The recurrence is inherently sequential, so
+    it runs as the same day-ordered fold (2-slot state) as the
+    clamped ledger — reduced over the 30-row day-grain rollup, a
+    constant-size driver of work at any event volume. Smoothing
+    constants are shared literals; both engines evaluate the
+    identically-structured IEEE expressions over identical inputs;
+    outputs carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    g = daily.agg(
+        F.count("*").alias("n"),
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("items"),
+    )
+    ys = F.transform(F.col("items"), lambda s: s["y"])
+    init = F.struct(
+        F.element_at(ys, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+    rest = F.slice(ys, 2, F.size(ys) - 1)
+
+    def step(a, x):
+        l_new = F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])
+        b_new = (
+            F.lit(0.3)
+            * ((F.lit(0.5) * x + F.lit(0.5) * (a["l"] + a["b"])) - a["l"])
+            + F.lit(0.7) * a["b"]
+        )
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    st = F.aggregate(rest, init, step)
+    return g.select(
+        F.col("n").alias("n_days"),
+        F.round(st["l"], 6).alias("level"),
+        F.round(st["b"], 6).alias("trend"),
+        F.round(st["l"] + F.lit(1.0) * st["b"], 6).alias("forecast_1d"),
+        F.round(st["l"] + F.lit(2.0) * st["b"], 6).alias("forecast_2d"),
+        F.round(st["l"] + F.lit(3.0) * st["b"], 6).alias("forecast_3d"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
