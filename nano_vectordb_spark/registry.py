@@ -12221,6 +12221,118 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_DISPERSION = """
+WITH c AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS k FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(k) AS BIGINT) AS sk,
+         CAST(sum(k * k) AS BIGINT) AS skk
+  FROM c
+)
+SELECT n AS n_customers, sk AS n_orders,
+       round(CAST(sk AS DOUBLE) / n, 6) AS mean_orders,
+       round((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n)
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS var_orders,
+       round(((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n)
+              / (CAST(n AS DOUBLE) - 1.0)) / (CAST(sk AS DOUBLE) / n), 6)
+         AS dispersion_index
+FROM s
+"""
+
+
+@register("order_count_dispersion", oracle=_SQL_DISPERSION)
+def order_count_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-model diagnostics: the variance-to-mean (Poisson
+    dispersion) index of orders per customer — the one number that
+    says whether a Poisson assumption holds (~1), the population is
+    bursty/heterogeneous (>1, reach for negative-binomial), or
+    suspiciously regular (<1, often a synthetic generator — which
+    this fixture honestly shows). One map-side-combined moment
+    aggregate; sufficient statistics are exact integers, the closed
+    forms carry round-6."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.count("*").alias("k"))
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    var = (
+        F.col("skk").cast("double") - F.col("sk").cast("double") * F.col("sk") / F.col("n")
+    ) / (F.col("n").cast("double") - F.lit(1.0))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("sk").alias("n_orders"),
+        F.round(mean, 6).alias("mean_orders"),
+        F.round(var, 6).alias("var_orders"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+_SQL_ENTROPY_RATE = """
+WITH seq AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+),
+tr AS (
+  SELECT f, t, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE t IS NOT NULL GROUP BY f, t
+),
+fr AS (SELECT f, CAST(sum(c) AS BIGINT) AS c_f FROM tr GROUP BY f),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tr),
+terms AS (
+  SELECT tr.f,
+         -(CAST(tr.c AS DOUBLE) / tot.n)
+           * log2(CAST(tr.c AS DOUBLE) / fr.c_f) AS h
+  FROM tr JOIN fr ON fr.f = tr.f CROSS JOIN tot
+)
+SELECT CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_transition_types,
+       round(list_aggregate(list(h ORDER BY h), 'sum'), 6) AS entropy_rate_bits
+FROM terms
+"""
+
+
+@register("event_entropy_rate", oracle=_SQL_ENTROPY_RATE)
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: the entropy rate of the first-order
+    event chain, H(next | current) = -sum p(f,t) log2 p(t|f) — how
+    many bits each next action actually carries given the current one
+    (the information-theoretic summary of event_markov_transitions;
+    compare against corpus_diversity_entropy's static mix:
+    rate << log2(5) means behavior is predictable and journey-level
+    caching/prefetch pays). One lead() window + a 25-cell aggregate;
+    probabilities are exact-integer ratios, the per-cell terms fold
+    in value order with the round-6 log2 contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    tr = seq.groupBy("f", "t").agg(F.count("*").alias("c"))
+    fr = tr.groupBy("f").agg(F.sum("c").alias("c_f"))
+    n = tr.agg(F.sum("c")).collect()[0][0]
+    terms = tr.join(F.broadcast(fr), "f").select(
+        (
+            -(F.col("c").cast("double") / F.lit(int(n)))
+            * F.log2(F.col("c").cast("double") / F.col("c_f"))
+        ).alias("h")
+    )
+    return terms.agg(
+        F.count("*").alias("n_transition_types"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("h")), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("entropy_rate_bits"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
