@@ -12333,6 +12333,193 @@ def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XCORR_MAX_LAG = 3
+
+_SQL_XCORR = f"""
+WITH d AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS day,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN d a ON TRUE
+  JOIN d b ON b.day = a.day + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+FROM m
+"""
+
+
+@register("error_purchase_xcorr", oracle=_SQL_XCORR)
+def error_purchase_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag analysis: cross-correlation of the daily error series
+    against the purchase series at lags -{_XCORR_MAX_LAG}..
+    +{_XCORR_MAX_LAG} — the "does X lead Y" table that turns two
+    monitoring curves into a causal hypothesis (a peak at positive
+    lag means errors PRECEDE purchase changes: investigate checkout;
+    at zero, shared load). Every sufficient statistic is an exact
+    integer over day-grain counts, so each lag's correlation is
+    exact-rational into one round-6 — same normal-equation shape as
+    event_type_trend, swept over a 7-row lag dimension via a
+    day-offset self-join of the 30-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.dayofmonth("ts").cast("int").alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("is_x"),
+            (F.col("event_type") == "purchase").cast("long").alias("is_y"),
+        )
+        .groupBy("day")
+        .agg(F.sum("is_x").alias("x"), F.sum("is_y").alias("y"))
+    )
+    a = d.select(
+        F.col("day").alias("da"),
+        F.col("x"),
+        F.explode(
+            F.array(
+                *[F.lit(l) for l in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)]
+            )
+        ).alias("lag"),
+    )
+    b = d.select(F.col("day").alias("db"), F.col("y"))
+    pairs = a.join(b, F.col("db") == F.col("da") + F.col("lag"))
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            num.cast("double")
+            / (F.sqrt(denx.cast("double")) * F.sqrt(deny.cast("double"))),
+            6,
+        ).alias("xcorr"),
+    )
+
+
+_CUSUM_K = 0.5   # slack, in sigma units
+_CUSUM_H = 4.0   # decision threshold, in sigma units
+
+_SQL_CUSUM = f"""
+WITH d AS (
+  SELECT CAST(EXTRACT(day FROM ts) AS INT) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS scc
+  FROM d
+),
+z AS (
+  SELECT d.day, d.c,
+         (CAST(d.c AS DOUBLE) - CAST(s.sc AS DOUBLE) / s.n)
+         / sqrt((CAST(s.scc AS DOUBLE) - CAST(s.sc AS DOUBLE) * s.sc / s.n)
+                / (CAST(s.n AS DOUBLE) - 1.0)) AS zv
+  FROM d CROSS JOIN s
+),
+pref AS (
+  SELECT a.day, a.c, round(a.zv, 6) AS z,
+         list(round(b.zv, 6) ORDER BY b.day) AS zs
+  FROM z a JOIN z b ON b.day <= a.day
+  GROUP BY a.day, a.c, a.zv
+),
+folded AS (
+  SELECT day, c, z,
+         list_reduce(list_prepend([0.0, 0.0], list_transform(zs, v -> [v, 0.0])),
+           (a, x) -> [
+             greatest(0.0, a[1] + x[1] - {_CUSUM_K!r}),
+             greatest(0.0, a[2] - x[1] - {_CUSUM_K!r})
+           ]) AS st
+  FROM pref
+)
+SELECT day, c AS n_events, z,
+       round(st[1], 6) AS cusum_hi, round(st[2], 6) AS cusum_lo,
+       CAST(CASE WHEN st[1] > {_CUSUM_H!r} OR st[2] > {_CUSUM_H!r}
+            THEN 1 ELSE 0 END AS INT) AS shift_detected
+FROM folded
+"""
+
+
+@register("volume_cusum_chart", oracle=_SQL_CUSUM)
+def volume_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection (tabular CUSUM): daily volume
+    standardized against the month's mean/sd, then the classic
+    one-sided cumulative sums C+ = max(0, C+ + z - k) and
+    C- = max(0, C- - z - k) with a 4-sigma decision threshold — the
+    SPC chart that catches SMALL SUSTAINED level shifts the p-chart's
+    per-day 3-sigma test misses entirely. The recurrence is the
+    clamp-fold family again (per-day prefix folds over the 30-row
+    rollup; at scale the per-key sequential state is the streaming
+    applyInPandasWithState shape). z-scores round to 6 BEFORE
+    entering the fold, so every engine folds identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.dayofmonth("ts").cast("int").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("c"))
+    )
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    ).collect()[0]
+    n, sc, scc = int(s["n"]), int(s["sc"]), int(s["scc"])
+    mean = float(sc) / n
+    sd = _math.sqrt((float(scc) - float(sc) * sc / n) / (float(n) - 1.0))
+    z = d.select(
+        "day",
+        "c",
+        F.round((F.col("c").cast("double") - F.lit(mean)) / F.lit(sd), 6).alias("z"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    zs = F.transform(
+        F.array_sort(F.collect_list(F.struct("day", "z")).over(w_cum)),
+        lambda x: x["z"],
+    )
+    st = F.aggregate(
+        zs,
+        F.struct(F.lit(0.0).alias("hi"), F.lit(0.0).alias("lo")),
+        lambda a, x: F.struct(
+            F.greatest(F.lit(0.0), a["hi"] + x - F.lit(_CUSUM_K)).alias("hi"),
+            F.greatest(F.lit(0.0), a["lo"] - x - F.lit(_CUSUM_K)).alias("lo"),
+        ),
+    )
+    out = z.select(
+        "day",
+        F.col("c").alias("n_events"),
+        "z",
+        F.round(st["hi"], 6).alias("cusum_hi"),
+        F.round(st["lo"], 6).alias("cusum_lo"),
+        ((st["hi"] > _CUSUM_H) | (st["lo"] > _CUSUM_H)).cast("int").alias(
+            "shift_detected"
+        ),
+    )
+    return out
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
