@@ -12520,6 +12520,154 @@ def volume_cusum_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_HEAPS = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY term),
+half AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v1,
+         CAST(count(*) AS BIGINT) AS n1
+  FROM w WHERE doc_id % 2 = 0
+),
+full_ AS (
+  SELECT CAST(count(*) AS BIGINT) AS v2,
+         CAST(sum(c) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM tc
+)
+SELECT full_.v2 AS vocab_size, full_.n2 AS n_tokens, full_.hapax,
+       round(CAST(full_.hapax AS DOUBLE) / full_.v2, 6) AS hapax_rate,
+       half.v1 AS vocab_half, half.n1 AS tokens_half,
+       round(ln(CAST(full_.v2 AS DOUBLE) / half.v1)
+             / ln(CAST(full_.n2 AS DOUBLE) / half.n1), 6) AS heaps_beta
+FROM full_ CROSS JOIN half
+"""
+
+
+@register("vocab_growth_heaps", oracle=_SQL_HEAPS)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth diagnostics: hapax-legomenon rate (terms seen
+    exactly once — the OOV-pressure signal a tokenizer budget is sized
+    against) and the Heaps'-law exponent estimated from a half-corpus
+    vs full-corpus vocabulary pair, V = K*N^beta — natural text sits
+    near beta ~0.5; this fixture's closed vocabulary honestly reads
+    ~0 (vocabulary saturates), exactly what the measurement is FOR
+    (detecting template/synthetic text). Two distinct-count
+    aggregates and one frequency table; ln carries round-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(tx.tokens_expr("text")).alias("term"))
+    tc = w.groupBy("term").agg(F.count("*").alias("c"))
+    half = w.where(F.col("doc_id") % 2 == 0).agg(
+        F.count_distinct("term").alias("v1"), F.count("*").alias("n1")
+    ).collect()[0]
+    fullr = tc.agg(
+        F.count("*").alias("v2"),
+        F.sum("c").alias("n2"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+    )
+    v1, n1 = int(half["v1"]), int(half["n1"])
+    return fullr.select(
+        F.col("v2").alias("vocab_size"),
+        F.col("n2").alias("n_tokens"),
+        "hapax",
+        F.round(F.col("hapax").cast("double") / F.col("v2"), 6).alias(
+            "hapax_rate"
+        ),
+        F.lit(v1).cast("long").alias("vocab_half"),
+        F.lit(n1).cast("long").alias("tokens_half"),
+        F.round(
+            F.log(F.col("v2").cast("double") / F.lit(v1))
+            / F.log(F.col("n2").cast("double") / F.lit(n1)),
+            6,
+        ).alias("heaps_beta"),
+    )
+
+
+_PD_TOP = 15
+
+_SQL_PRICE_DISPERSION = f"""
+WITH up AS (
+  SELECT l_partkey AS part, l_suppkey AS supp,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+pp AS (
+  SELECT part, supp,
+         round(CAST(r AS DOUBLE) / CAST(q AS DOUBLE), 6) AS unit_price
+  FROM up
+),
+m AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS n_suppliers,
+         round(avg(unit_price), 6) AS mean_price,
+         min(unit_price) AS min_price, max(unit_price) AS max_price
+  FROM pp GROUP BY part HAVING count(*) >= 3
+)
+SELECT part, n_suppliers, mean_price, min_price, max_price,
+       round((max_price - min_price) / mean_price, 6) AS price_range_ratio,
+       CAST(row_number() OVER (
+         ORDER BY round((max_price - min_price) / mean_price, 6) DESC,
+                  part ASC) AS INT) AS dispersion_rank
+FROM m
+QUALIFY dispersion_rank <= {_PD_TOP}
+"""
+
+
+@register("price_dispersion_by_part", oracle=_SQL_PRICE_DISPERSION)
+def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketplace price dispersion: for parts sold by >= 3 suppliers,
+    the spread of quantity-weighted unit prices across suppliers,
+    ranked by range-over-mean — the procurement arbitrage (or data-
+    error) shortlist, and the classic industrial-organization
+    dispersion measure. Unit prices are exact-decimal revenue /
+    exact-decimal quantity rounded to 6 (engine-identical), min/max
+    exact compares, the mean avg+round-6; ranking orders on the
+    ROUNDED ratio with a part tie-break. One (part, supplier)
+    aggregate then a part-keyed reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    up = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+    )
+    pp = up.select(
+        "part",
+        F.round(F.col("r").cast("double") / F.col("q").cast("double"), 6).alias(
+            "unit_price"
+        ),
+    )
+    m = (
+        pp.groupBy("part")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("unit_price"), 6).alias("mean_price"),
+            F.min("unit_price").alias("min_price"),
+            F.max("unit_price").alias("max_price"),
+        )
+        .where(F.col("n_suppliers") >= 3)
+    )
+    ratio = F.round(
+        (F.col("max_price") - F.col("min_price")) / F.col("mean_price"), 6
+    )
+    w = Window.orderBy(ratio.desc(), F.col("part").asc())
+    return (
+        m.select(
+            "part",
+            "n_suppliers",
+            "mean_price",
+            "min_price",
+            "max_price",
+            ratio.alias("price_range_ratio"),
+        )
+        .withColumn("dispersion_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("dispersion_rank") <= _PD_TOP)
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
