@@ -12668,6 +12668,100 @@ def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_WATERFILL = """
+WITH caps AS (
+  SELECT source,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS cap
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(cap) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS ns FROM caps),
+budget AS (SELECT CAST(total * 9 // 10 AS BIGINT) AS t FROM tot),
+ranked AS (
+  SELECT source, cap,
+         CAST(row_number() OVER (ORDER BY cap ASC, source ASC) AS BIGINT) AS i,
+         sum(cap) OVER (ORDER BY cap ASC, source ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+  FROM caps
+),
+lev AS (
+  -- the water level: smallest-cap sources saturate; the first rank i
+  -- where distributing the remaining budget over the remaining
+  -- sources stays below the NEXT cap fixes the level
+  SELECT max(CAST(b.t - (r.pref - r.cap) AS DOUBLE) / (tot.ns - r.i + 1)) AS level
+  FROM ranked r CROSS JOIN budget b CROSS JOIN tot
+  WHERE CAST(b.t - (r.pref - r.cap) AS DOUBLE) / (tot.ns - r.i + 1) <= r.cap
+),
+alloc AS (
+  SELECT r.source, r.cap,
+         CASE WHEN CAST(r.cap AS DOUBLE) <= lev.level
+              THEN CAST(r.cap AS DOUBLE) ELSE lev.level END AS a
+  FROM ranked r CROSS JOIN lev
+)
+SELECT source, cap AS available_tokens,
+       round(a, 6) AS allocated_tokens,
+       round(a / cap, 6) AS take_fraction,
+       CAST(CASE WHEN CAST(cap AS DOUBLE) <= a THEN 1 ELSE 0 END AS INT)
+         AS saturated
+FROM alloc
+"""
+
+
+@register("mixture_waterfill", oracle=_SQL_WATERFILL)
+def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture allocation by water-filling: given a token budget (90%
+    of the corpus), give every source an EQUAL share except where a
+    source's availability caps it — small sources saturate and their
+    shortfall redistributes to the rest, the max-min-fair allocation
+    (waterfilling) that mixture_weights' proportional and
+    temperature schemes do NOT produce. The water level has a closed
+    form over the cap-sorted prefix sums (no iteration): the first
+    rank where the evenly-split remainder fits under the next cap
+    fixes it — one |sources|-row window pass. Caps and budget are
+    exact integers; the level and allocations carry round-6. At
+    scale: one token-count aggregate then arithmetic over the tiny
+    source table."""
+    docs = load_table(spark, sf_dir, "documents")
+    caps = docs.groupBy("source").agg(
+        F.sum(F.size(tx.tokens_expr("text"))).cast("long").alias("cap")
+    )
+    tot = caps.agg(
+        F.sum("cap").alias("total"), F.count("*").alias("ns")
+    ).collect()[0]
+    total, ns = int(tot["total"]), int(tot["ns"])
+    t = total * 9 // 10
+    w = Window.orderBy(F.col("cap").asc(), F.col("source").asc())
+    ranked = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("cap")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pref"),
+    )
+    cand = (F.lit(t) - (F.col("pref") - F.col("cap"))).cast("double") / (
+        F.lit(ns) - F.col("i") + 1
+    )
+    # the first valid rank carries the true level; later ranks'
+    # candidates only shrink (their prefixes over-subtract), so the
+    # level is the MAX of the valid candidates
+    lev = (
+        ranked.where(cand <= F.col("cap"))
+        .agg(F.max(cand).alias("level"))
+        .collect()[0]["level"]
+    )
+    a = F.when(
+        F.col("cap").cast("double") <= F.lit(lev), F.col("cap").cast("double")
+    ).otherwise(F.lit(lev))
+    return ranked.select(
+        "source",
+        F.col("cap").alias("available_tokens"),
+        F.round(a, 6).alias("allocated_tokens"),
+        F.round(a / F.col("cap"), 6).alias("take_fraction"),
+        (F.col("cap").cast("double") <= a).cast("int").alias("saturated"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
