@@ -94,3 +94,17 @@ def test_gdpr_residual_zero(spark):
     for r in _run(spark, "gdpr_erasure_audit").collect():
         assert r["n_residual"] == 0
         assert r["n_before"] == r["n_deleted"] + r["n_after"]
+
+
+def test_waterfill_exhausts_budget_fairly(spark):
+    rows = _run(spark, "mixture_waterfill").collect()
+    total = sum(r["available_tokens"] for r in rows)
+    budget = total * 9 // 10
+    allocated = sum(r["allocated_tokens"] for r in rows)
+    assert abs(allocated - budget) < 1e-3 * budget
+    levels = {
+        round(r["allocated_tokens"], 3) for r in rows if r["saturated"] == 0
+    }
+    assert len(levels) == 1  # every unsaturated source sits at ONE level
+    for r in rows:
+        assert r["allocated_tokens"] <= r["available_tokens"] + 1e-6
