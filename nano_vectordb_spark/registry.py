@@ -12762,6 +12762,85 @@ def mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CHI2_INDEP = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+),
+marg_s AS (SELECT source, CAST(sum(o) AS BIGINT) AS ns FROM cells GROUP BY source),
+marg_l AS (SELECT lang, CAST(sum(o) AS BIGINT) AS nl FROM cells GROUP BY lang),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT s.source, l.lang, s.ns, l.nl, tot.n,
+         coalesce(c.o, 0) AS o,
+         CAST(s.ns AS DOUBLE) * l.nl / tot.n AS e
+  FROM marg_s s CROSS JOIN marg_l l CROSS JOIN tot
+  LEFT JOIN cells c ON c.source = s.source AND c.lang = l.lang
+),
+terms AS (SELECT (o - e) * (o - e) / e AS t FROM grid),
+chis AS (
+  SELECT round(list_aggregate(list(t ORDER BY t), 'sum'), 6) AS chi2 FROM terms
+),
+dims AS (
+  SELECT CAST((SELECT count(*) FROM marg_s) AS BIGINT) AS r,
+         CAST((SELECT count(*) FROM marg_l) AS BIGINT) AS c
+)
+SELECT dims.r AS n_sources, dims.c AS n_langs,
+       CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS dof,
+       chis.chi2,
+       round(chis.chi2 / ((dims.r - 1) * (dims.c - 1)), 6) AS chi2_per_dof
+FROM dims CROSS JOIN chis
+"""
+
+
+@register("source_lang_independence", oracle=_SQL_CHI2_INDEP)
+def source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between source and language —
+    the contingency-table audit that says whether vendors specialize
+    by language (chi2/dof >> 1) or the mix is exchangeable (~1, so
+    per-source language stratification in mixture design buys
+    nothing); the independence sibling of benford_price_audit's
+    goodness-of-fit. The full marginal grid (including
+    zero-observed cells, which carry weight (0-e)^2/e) comes from a
+    marginals cross join — bounded by |sources| x |langs|, never by
+    rows; expected counts are exact-integer products through one
+    division; the term sum folds in value order with round-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    ms = cells.groupBy("source").agg(F.sum("o").alias("ns"))
+    ml = cells.groupBy("lang").agg(F.sum("o").alias("nl"))
+    tot = cells.agg(F.sum("o")).collect()[0][0]
+    r = ms.count()
+    c = ml.count()
+    grid = (
+        ms.crossJoin(F.broadcast(ml))
+        .join(cells, ["source", "lang"], "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (
+                F.col("ns").cast("double") * F.col("nl") / F.lit(int(tot))
+            ).alias("e"),
+        )
+    )
+    t = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    agg = grid.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(t)), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("chi2")
+    )
+    dof = (r - 1) * (c - 1)
+    return agg.select(
+        F.lit(r).cast("long").alias("n_sources"),
+        F.lit(c).cast("long").alias("n_langs"),
+        F.lit(dof).cast("long").alias("dof"),
+        "chi2",
+        F.round(F.col("chi2") / F.lit(float(dof)), 6).alias("chi2_per_dof"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #

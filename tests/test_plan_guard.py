@@ -37,6 +37,7 @@ _BNLJ_OK = {
     "hybrid_search_rrf",      # embeds doc_search_bm25's broadcast-stats join
     "rankers_agreement",      # embeds doc_search_bm25's broadcast-stats join
     "bm25_score_explain",     # embeds doc_search_bm25's broadcast-stats join
+    "source_lang_independence",  # bounded marginals cross join (|sources| x |langs|)
     "radius_search",          # broadcast query batch x base scan (range search)
     "search_quality_i8",      # embeds topk_i8's broadcast query batch x scan
     "mixture_weights_temperature",  # broadcast 1-row fold denominator
