@@ -12841,6 +12841,119 @@ def source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONT_T = 0.6  # containment threshold |A ∩ B| / |A|
+
+_SQL_CONTAINMENT = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+sizes AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n FROM sh),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS i
+  FROM post a JOIN post b ON b.g = a.g AND b.doc_id <> a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.a_id, i.b_id, i.i AS n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       round(CAST(i.i AS DOUBLE) / sa.n, 6) AS containment_a_in_b,
+       round(CAST(i.i AS DOUBLE)
+             / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a_id
+JOIN sizes sb ON sb.doc_id = i.b_id
+WHERE CAST(i.i AS DOUBLE) / sa.n >= {_CONT_T}
+"""
+
+
+@register("containment_pairs", oracle=_SQL_CONTAINMENT)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    |A∩B| / |A| >= {_CONT_T} — the excerpt/quote/subset relation that
+    symmetric Jaccard structurally misses (a paragraph fully embedded
+    in a long doc has tiny Jaccard but containment ~1; Broder's
+    original resemblance-AND-containment pair). Emitted next to the
+    pair's Jaccard so the asymmetry is visible: high containment +
+    low Jaccard = A lives inside B, the rows a keep-longest policy
+    must see. Scale shape: the same shingle inverted-index join as
+    ngram_jaccard_pairs (posting-list bound, never N^2), one
+    intersection count per co-shingled ORDERED pair, broadcast size
+    lookups. Integer-exact but for two round-6 ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.ngram_shingles(docs)
+    post = sh.select("doc_id", F.explode("shingles").alias("g"))
+    sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
+    a = post.select(F.col("doc_id").alias("a_id"), "g")
+    b = post.select(F.col("doc_id").alias("b_id"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("b_id") != F.col("a_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("n_b"))
+    j = inter.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+    cont = F.col("i").cast("double") / F.col("n_a")
+    return (
+        j.where(cont >= _CONT_T)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("i").alias("n_shared"),
+            "n_a",
+            "n_b",
+            F.round(cont, 6).alias("containment_a_in_b"),
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("i")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SQL_NOVELTY = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+post AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+first_seen AS (SELECT g, CAST(min(doc_id) AS BIGINT) AS fs FROM post GROUP BY g)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN f.fs = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(sum(CASE WHEN f.fs = p.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty_share
+FROM post p JOIN first_seen f ON f.g = p.g
+GROUP BY p.doc_id
+"""
+
+
+@register("doc_novelty_share", oracle=_SQL_NOVELTY)
+def doc_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty attribution: per document (in doc_id ingest order), the
+    share of its shingles that NO earlier document contained — the
+    marginal-contribution number that turns dedup from binary
+    keep/drop into a budgeted ranking (a doc that is 95% re-used
+    shingles adds almost nothing even if it is nobody's near-dup;
+    streaming pipelines compute exactly this against a Bloom/shingle
+    store before paying for a document). Scale shape: one min-
+    aggregate over the shingle postings (first-seen owner), one
+    posting join back, one doc-keyed conditional count — all
+    inverted-index bound. Integer-exact plus one round-6 share."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup_ops.ngram_shingles(docs)
+    post = sh.select("doc_id", F.explode("shingles").alias("g"))
+    first_seen = post.groupBy("g").agg(F.min("doc_id").alias("fs"))
+    j = post.join(first_seen, "g")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("fs") == F.col("doc_id")).cast("long")).alias("n_novel"),
+        F.round(
+            F.sum((F.col("fs") == F.col("doc_id")).cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("novelty_share"),
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
