@@ -12954,6 +12954,74 @@ def doc_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FANOUT_KS = (1, 10, 100)
+_FANOUT_QS = (0.5, 0.99)
+
+
+def _fanout_levels() -> list[tuple[int, float, float]]:
+    """(k, q, q^(1/k)) triples — the quantile of max-of-k i.i.d. draws
+    is the base distribution's quantile at level q^(1/k)."""
+    return [(k, q, q ** (1.0 / k)) for k in _FANOUT_KS for q in _FANOUT_QS]
+
+
+def _fanout_oracle() -> str:
+    rows = ",\n    ".join(
+        f"({k}, CAST({q!r} AS DOUBLE), CAST({lv!r} AS DOUBLE))"
+        for k, q, lv in _fanout_levels()
+    )
+    return f"""
+WITH lat AS (
+  SELECT round(value, 6) AS v,
+         row_number() OVER (ORDER BY round(value, 6) ASC, event_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+levels(k, q, lv) AS (VALUES
+    {rows})
+SELECT l.k AS fanout, l.q AS quantile,
+       round(l.lv, 6) AS effective_level,
+       (SELECT v FROM lat
+        WHERE rn = CAST(ceil(l.lv * lat2.n) AS BIGINT)) AS latency_value
+FROM levels l CROSS JOIN (SELECT max(n) AS n FROM lat) lat2
+"""
+
+
+@register("fanout_tail_amplification", oracle=_fanout_oracle)
+def fanout_tail_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency amplification under fan-out (Dean & Barroso, "The
+    Tail at Scale"): when a request fans out to k parallel workers and
+    waits for ALL, its q-quantile latency is the worker distribution's
+    quantile at level q^(1/k) — this table reads the median and p99 of
+    max-of-k straight off the EXACT order statistics of the measured
+    latency column for k = 1/10/100, which is why a 1000-executor
+    stage runs at its stragglers' pace and why the two-phase top-k's
+    bounded per-partition work matters. Levels are shared
+    Python-double literals; the lookup is an exact rank into the
+    6-decimal-rounded sorted values (counting-quantile machinery, no
+    interpolation ambiguity)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.round("value", 6).asc(), F.col("event_id").asc())
+    lat = ev.select(
+        F.round("value", 6).alias("v"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    n = ev.count()
+    targets = [
+        (k, q, lv, int(_math.ceil(lv * n))) for k, q, lv in _fanout_levels()
+    ]
+    ranks = {r for _, _, _, r in targets}
+    picked = {
+        row["rn"]: row["v"]
+        for row in lat.where(F.col("rn").isin(list(ranks))).collect()
+    }
+    out = [
+        (k, q, round(lv, 6), picked[r]) for k, q, lv, r in targets
+    ]
+    return spark.createDataFrame(
+        out, "fanout int, quantile double, effective_level double, latency_value double"
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
