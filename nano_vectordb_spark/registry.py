@@ -13022,6 +13022,145 @@ def fanout_tail_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_ZIPF = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (SELECT unnest(toks) AS term FROM t),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY term),
+ranked AS (
+  SELECT term, c,
+         CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS r
+  FROM tc
+),
+xy AS (
+  SELECT round(log2(CAST(r AS DOUBLE)), 6) AS x,
+         round(log2(CAST(c AS DOUBLE)), 6) AS y
+  FROM ranked
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(list_aggregate(list(x ORDER BY x), 'sum'), 6) AS sx,
+         round(list_aggregate(list(y ORDER BY y), 'sum'), 6) AS sy,
+         round(list_aggregate(list(x * x ORDER BY x * x), 'sum'), 6) AS sxx,
+         round(list_aggregate(list(x * y ORDER BY x * y), 'sum'), 6) AS sxy
+  FROM xy
+)
+SELECT n AS vocab_size,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM m
+"""
+
+
+@register("zipf_slope", oracle=_SQL_ZIPF)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: the log-log OLS slope of term frequency against
+    frequency rank — natural language sits near -1; this fixture's
+    closed near-uniform vocabulary honestly reads near 0, which
+    (with vocab_growth_heaps' beta ~ 0) is the two-line fingerprint
+    that text is templated/synthetic rather than natural. log2 terms
+    round to 6 BEFORE the moment sums, each sum folds in value order
+    and re-rounds, so the normal equations see identical doubles in
+    both engines; one vocabulary aggregate + one rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tx.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    xy = tc.select(
+        F.round(F.log2(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log2(F.col("c").cast("double")), 6).alias("y"),
+    )
+
+    def fold(col):
+        return F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(col)), F.lit(0.0), lambda a, b: a + b
+            ),
+            6,
+        )
+
+    m = xy.agg(
+        F.count("*").alias("n"),
+        fold(F.col("x")).alias("sx"),
+        fold(F.col("y")).alias("sy"),
+        fold(F.col("x") * F.col("x")).alias("sxx"),
+        fold(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").alias("vocab_size"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+_SQL_SKYLINE = f"""
+WITH qual AS ({_SQL_QUALITY}),
+pts AS (
+  SELECT d.doc_id,
+         CAST(round(round(q.quality, 6) * 1000000.0, 0) AS BIGINT) AS q6,
+         round(q.quality, 6) AS quality,
+         d.n_chars
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+),
+groups AS (SELECT q6, CAST(max(n_chars) AS BIGINT) AS gmax FROM pts GROUP BY q6),
+gprior AS (
+  SELECT q6, gmax,
+         max(gmax) OVER (ORDER BY q6 DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prior_max
+  FROM groups
+)
+SELECT p.doc_id, p.quality, p.n_chars
+FROM pts p JOIN gprior g ON g.q6 = p.q6
+WHERE (g.prior_max IS NULL OR g.prior_max < p.n_chars)
+  AND p.n_chars = g.gmax
+"""
+
+
+@register("doc_skyline", oracle=_SQL_SKYLINE)
+def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKYLINE operator (Borzsony et al., ICDE'01): documents not
+    Pareto-dominated in (quality, length) — no other doc is at least
+    as good on both axes and strictly better on one. The multi-
+    criteria shortlist no single score can produce (diverse_topk
+    caps per source; this keeps every undominated tradeoff point).
+    Algorithm: group by the quantized quality level, keep each
+    level's max-length rows, then one DESCENDING running-max window
+    over the ~|levels| group rows — the classic sort-based skyline,
+    never a pairwise dominance join. Quality quantizes to an exact
+    integer key (round*1e6), lengths are exact integers; equal
+    (quality, length) ties all survive (no strict domination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = _toks_df(spark, sf_dir)
+    pts = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(tx.quality_expr(F.col("toks"), "text"), 6).alias("quality"),
+    ).withColumn(
+        "q6", F.round(F.col("quality") * 1000000.0, 0).cast("long")
+    )
+    groups = pts.groupBy("q6").agg(F.max("n_chars").alias("gmax"))
+    w = Window.orderBy(F.col("q6").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    gprior = groups.withColumn("prior_max", F.max("gmax").over(w))
+    return (
+        pts.join(F.broadcast(gprior), "q6")
+        .where(
+            (F.col("prior_max").isNull() | (F.col("prior_max") < F.col("n_chars")))
+            & (F.col("n_chars") == F.col("gmax"))
+        )
+        .select("doc_id", "quality", "n_chars")
+    )
+
+
 # ==========================================================================
 # Driver-gate basket ordering (round 3)
 #
