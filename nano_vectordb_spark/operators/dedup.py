@@ -36,6 +36,34 @@ from nano_vectordb_spark.functions.vector import dot_expr
 MINHASH_P = 2_147_483_647
 
 
+# Every persist this module takes is tracked here so long-lived
+# sessions (bench loops, the driver gate, notebooks) can free the
+# cached blocks deterministically — a bare .persist() with no release
+# path leaks executor storage for the session's lifetime.  Entry-level
+# memoization (registry._INDEX_CACHE) keeps re-invocations from
+# re-persisting; release_caches() is the explicit drain.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every DataFrame this module has cached; returns how
+    many were released."""
+    n = len(_PERSISTED)
+    for df in _PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    _PERSISTED.clear()
+    return n
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster parallelism before a
     UDF-heavy stage — a single input file otherwise yields one
@@ -287,7 +315,7 @@ def minhash_lsh_pairs(
     # One fused shingle+signature pass feeds three plan branches (the
     # band join's two sides + verification): persist it once, spread
     # over the cluster parallelism.
-    base = _shingles_and_sig(_spread(df), k, n, text_col, id_col).persist()
+    base = _persist(_shingles_and_sig(_spread(df), k, n, text_col, id_col))
     sh_cached = base.select("doc_id", "shingles")
     sig = base.select("doc_id", "sig")
     band_arr = F.transform(
@@ -377,7 +405,7 @@ def minhash_estimator_error(
     pass, band join, candidate-keyed verification) plus a single-row
     final aggregate."""
     rows = k // bands
-    base = _shingles_and_sig(_spread(df), k, n, text_col, id_col).persist()
+    base = _persist(_shingles_and_sig(_spread(df), k, n, text_col, id_col))
     banded = _banded_sigs(base.select("doc_id", "sig"), bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -471,8 +499,8 @@ def minhash_lsh_incremental(
     # batch, and in production the corpus band table is precomputed and
     # persisted alongside the corpus (already wide at scale) — adding a
     # corpus repartition per ingest would contradict that cost model.
-    c_base = _shingles_and_sig(corpus, k, n, text_col, id_col).persist()
-    b_base = _shingles_and_sig(_spread(batch), k, n, text_col, id_col).persist()
+    c_base = _persist(_shingles_and_sig(corpus, k, n, text_col, id_col))
+    b_base = _persist(_shingles_and_sig(_spread(batch), k, n, text_col, id_col))
     c_bands = _banded_sigs(c_base.select("doc_id", "sig"), bands, rows)
     b_bands = _banded_sigs(b_base.select("doc_id", "sig"), bands, rows)
     cand = (
@@ -825,7 +853,7 @@ def simhash64_pairs(
     mask = (1 << width) - 1
     # the signature table feeds both sides of the self-join: persist so
     # the pandas-UDF signature pass runs once, not twice
-    sh = simhash64(df, text_col, id_col).persist()
+    sh = _persist(simhash64(df, text_col, id_col))
     bands = F.array(
         *[
             F.struct(

@@ -30,6 +30,7 @@ from nano_vectordb_spark.functions import text as tx
 from nano_vectordb_spark.functions.vector import has_nan_expr, norm_expr
 from nano_vectordb_spark.operators import components as comp_ops
 from nano_vectordb_spark.operators import dedup as dedup_ops
+from nano_vectordb_spark.operators import globalrank as grank
 from nano_vectordb_spark.operators import gt as gt_ops
 from nano_vectordb_spark.operators import metrics as metrics_ops
 from nano_vectordb_spark.operators import ivf as ivf_ops
@@ -7672,7 +7673,11 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-most-files (linear layout prunes only the leading sort key)
     into a bounded neighborhood. At 100 TB the layout job is a
     repartitionByRange-on-zval rewrite (same cost class as any
-    compaction); the skip measurement itself is one tiny stats
+    compaction) — and the file assignment here IS that shape: a
+    two-phase global rank (range partition + per-partition row_number
+    + broadcast offsets, operators/globalrank.py) feeding the
+    closed-form ntile bucket formula, never a one-task ntile window
+    over the fact table. The skip measurement itself is one tiny stats
     aggregate. Integer-exact throughout; the two scan fractions are
     exact IEEE divisions of small ints."""
     ev = load_table(spark, sf_dir, "events").select(
@@ -7688,15 +7693,21 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.shiftright("db", i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
         )
     z = ev.withColumn("zval", zval)
+    n_rows = z.count()
     pred = (
         F.col("ub").between(_Z_UB_LO, _Z_UB_HI)
         & F.col("db").between(_Z_DB_LO, _Z_DB_HI)
     )
 
     def file_stats(order_cols: list, tag: str) -> DataFrame:
-        w = Window.orderBy(*order_cols)
+        rk = grank.two_phase_rank(
+            z, [F.col(c).asc() for c in order_cols], rn_name="_rn"
+        )
         return (
-            z.withColumn("file_id", F.ntile(_Z_FILES).over(w))
+            rk.withColumn(
+                "file_id",
+                grank.ntile_from_rank(F.col("_rn"), F.lit(n_rows), _Z_FILES),
+            )
             .groupBy("file_id")
             .agg(
                 F.min("ub").alias("min_ub"),
@@ -8623,11 +8634,16 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node",
             (F.lit(base) + F.lit(_PR_D) * F.coalesce("s", F.lit(0.0))).alias("r"),
         )
-    w = Window.orderBy(F.round("r", 6).desc(), F.col("node").asc())
-    return ranks.select(
-        "node",
-        F.round("r", 6).alias("pagerank"),
-        F.row_number().over(w).cast("int").alias("pr_rank"),
+    # two-phase global rank (operators/globalrank.py): the rank vector
+    # is |vectors| rows — an unpartitioned row_number window here would
+    # funnel the whole table through one task at scale
+    ranked = grank.two_phase_rank(
+        ranks.select("node", F.round("r", 6).alias("pagerank")),
+        [F.col("pagerank").desc(), F.col("node").asc()],
+        rn_name="pr_rank",
+    )
+    return ranked.select(
+        "node", "pagerank", F.col("pr_rank").cast("int").alias("pr_rank")
     )
 
 
@@ -9223,23 +9239,27 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's share — the 80/20 report behind sales prioritization
     and, in the corpus world, the "does one vendor dominate the
     mixture" check. Scale shape: one keyed exact-DECIMAL aggregate,
-    then windows over the |customers|-row result ranked by the EXACT
-    decimal revenue (no float enters the ordering); only the final
-    shares divide through doubles with round-6."""
+    then a TWO-PHASE global rank + running decimal sum (range
+    partition, per-partition window, broadcast offsets —
+    operators/globalrank.py; decimal addition is associative so the
+    offset-split running sum is exactly the window's) instead of the
+    one-task unpartitioned window; totals come from a plain aggregate
+    cross-joined as one broadcast row. Only the final shares divide
+    through doubles with round-6."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    w_rank = Window.orderBy(F.col("r").desc(), F.col("o_custkey").asc())
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    c = grank.two_phase_rank(
+        rev,
+        [F.col("r").desc(), F.col("o_custkey").asc()],
+        cum_sums=[(F.col("r"), "cum_r")],
+        rn_name="rn",
     )
-    c = rev.select(
-        F.sum("r").over(w_rank).alias("cum_r"),
-        F.sum("r").over(w_all).alias("tot_r"),
-        F.row_number().over(w_rank).alias("rn"),
-        F.count("*").over(w_all).alias("n"),
+    tot = rev.agg(
+        F.sum("r").alias("tot_r"), F.count("*").cast("long").alias("n")
     )
+    c = c.crossJoin(F.broadcast(tot))
     frac = F.col("cum_r").cast("double") / F.col("tot_r").cast("double")
     return c.agg(
         F.count("*").alias("n_customers"),
@@ -10851,25 +10871,41 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is deterministic in both engines; the decimal monetary
     passes through a double once for the ntile ordering (exact — same
     value both engines) and stays exact decimal in the revenue sum.
-    Scale shape: one keyed aggregate then three global ntile windows
-    over the |customers|-row summary."""
+    Scale shape: one keyed aggregate, then each quartile code comes
+    from a TWO-PHASE global rank (operators/globalrank.py) plus the
+    closed-form ntile bucket formula — three range-partitioned ranks
+    joined back on the customer key instead of three one-task
+    unpartitioned ntile windows (|customers| is 10^8-10^9 at 100 TB)."""
     orders = load_table(spark, sf_dir, "orders")
     base = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count("*").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    w_m = Window.orderBy(
-        F.col("monetary").cast("double").desc(), F.col("o_custkey").asc()
-    )
+    cnt = base.agg(F.count("*").cast("long").alias("n_cust"))
+    orders_by = {
+        "rn_r": [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        "rn_f": [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        "rn_m": [
+            F.col("monetary").cast("double").desc(),
+            F.col("o_custkey").asc(),
+        ],
+    }
     scored = base.select(
+        "o_custkey", F.col("monetary").cast("double").alias("monetary")
+    )
+    for rn_name, ob in orders_by.items():
+        rk = grank.two_phase_rank(base, ob, rn_name=rn_name).select(
+            "o_custkey", rn_name
+        )
+        scored = scored.join(rk, "o_custkey")
+    n = F.col("n_cust")
+    scored = scored.crossJoin(F.broadcast(cnt)).select(
         "o_custkey",
-        F.col("monetary").cast("double").alias("monetary"),
-        F.ntile(4).over(w_r).alias("r"),
-        F.ntile(4).over(w_f).alias("f"),
-        F.ntile(4).over(w_m).alias("m"),
+        "monetary",
+        grank.ntile_from_rank(F.col("rn_r"), n, 4).alias("r"),
+        grank.ntile_from_rank(F.col("rn_f"), n, 4).alias("f"),
+        grank.ntile_from_rank(F.col("rn_m"), n, 4).alias("m"),
     )
     return (
         scored.groupBy("r", "f", "m")
@@ -11995,16 +12031,17 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     imbalance score of per-source token counts). Every sum is EXACT
     DECIMAL weighted by exact integer ranks over a total order; only
     the final closed form touches doubles, with round-6. Scale shape:
-    one keyed aggregate + one global rank window over the
-    |customers|-row summary — same cost class as any ntile."""
+    one keyed aggregate + a TWO-PHASE global rank (range partition +
+    per-partition row_number + broadcast offsets,
+    operators/globalrank.py) — at 100 TB |customers| is 10^8-10^9 and
+    an unpartitioned rank window would be a one-task straggler."""
     orders = load_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    w = Window.orderBy(F.col("r").asc(), F.col("o_custkey").asc())
-    ranked = rev.select(
-        "r", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = grank.two_phase_rank(
+        rev, [F.col("r").asc(), F.col("o_custkey").asc()], rn_name="i"
+    ).select("r", "i")
     s = ranked.agg(
         F.count("*").alias("n"),
         F.sum("r").alias("tot"),
@@ -12997,32 +13034,42 @@ def fanout_tail_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage runs at its stragglers' pace and why the two-phase top-k's
     bounded per-partition work matters. Levels are shared
     Python-double literals; the lookup is an exact rank into the
-    6-decimal-rounded sorted values (counting-quantile machinery, no
-    interpolation ambiguity)."""
+    6-decimal-rounded values via the MERGEABLE counting histogram
+    (latency_quantiles_counting's pattern): per-value counts partially
+    aggregate map-side, the cumulative window runs over |distinct
+    round-6 values| rows (value-domain bounded, never the fact table),
+    and the value at rank r is min(v : cum >= r) — identical to the
+    order-statistic lookup, with NO single-partition sort of events."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.orderBy(F.round("value", 6).asc(), F.col("event_id").asc())
-    lat = ev.select(
-        F.round("value", 6).alias("v"),
-        F.row_number().over(w).cast("long").alias("rn"),
+    counts = (
+        ev.groupBy(F.round("value", 6).alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
     )
-    n = ev.count()
+    n = counts.agg(F.sum("c")).collect()[0][0]
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("v", F.sum("c").over(wcum).cast("long").alias("cumc"))
     targets = [
         (k, q, lv, int(_math.ceil(lv * n))) for k, q, lv in _fanout_levels()
     ]
-    ranks = {r for _, _, _, r in targets}
-    picked = {
-        row["rn"]: row["v"]
-        for row in lat.where(F.col("rn").isin(list(ranks))).collect()
-    }
+    aggs = [
+        F.min(F.when(F.col("cumc") >= r, F.col("v"))).alias(f"t{i}")
+        for i, (_, _, _, r) in enumerate(targets)
+    ]
+    row = cum.agg(*aggs).collect()[0]
+    counts.unpersist()
     out = [
-        (k, q, round(lv, 6), picked[r]) for k, q, lv, r in targets
+        (k, q, round(lv, 6), row[f"t{i}"])
+        for i, (k, q, lv, _) in enumerate(targets)
     ]
     return spark.createDataFrame(
         out, "fanout int, quantile double, effective_level double, latency_value double"
     )
 
 
-_SQL_ZIPF = """
+_ZIPF_FIT_R = 10_000  # head size for the log-log fit, mirrored in the oracle
+
+_SQL_ZIPF = f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
@@ -13034,10 +13081,11 @@ ranked AS (
          CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS r
   FROM tc
 ),
+head AS (SELECT * FROM ranked WHERE r <= {_ZIPF_FIT_R}),
 xy AS (
   SELECT round(log2(CAST(r AS DOUBLE)), 6) AS x,
          round(log2(CAST(c AS DOUBLE)), 6) AS y
-  FROM ranked
+  FROM head
 ),
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
@@ -13046,10 +13094,12 @@ m AS (
          round(list_aggregate(list(x * x ORDER BY x * x), 'sum'), 6) AS sxx,
          round(list_aggregate(list(x * y ORDER BY x * y), 'sum'), 6) AS sxy
   FROM xy
-)
-SELECT n AS vocab_size,
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM tc)
+SELECT v.vocab_size,
+       m.n AS n_fit,
        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
-FROM m
+FROM m, v
 """
 
 
@@ -13062,15 +13112,22 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     that text is templated/synthetic rather than natural. log2 terms
     round to 6 BEFORE the moment sums, each sum folds in value order
     and re-rounds, so the normal equations see identical doubles in
-    both engines; one vocabulary aggregate + one rank window."""
+    both engines. The OLS fits the TOP-{_ZIPF_FIT_R} frequency ranks
+    only (Zipf is a head fit; the shared literal is mirrored in the
+    oracle): orderBy+limit plans as a parallel partial top-R per
+    partition (TakeOrderedAndProject), the rank window and the ordered
+    fold arrays are then bounded by R — never the open-ended
+    vocabulary, which is 10^7-10^8 terms at web scale."""
     docs = load_table(spark, sf_dir, "documents")
     tc = (
         docs.select(F.explode(tx.tokens_expr("text")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
+    vocab = tc.agg(F.count("*").cast("long").alias("vocab_size"))
+    head = tc.orderBy(F.col("c").desc(), F.col("term").asc()).limit(_ZIPF_FIT_R)
     w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
-    xy = tc.select(
+    xy = head.select(
         F.round(F.log2(F.row_number().over(w).cast("double")), 6).alias("x"),
         F.round(F.log2(F.col("c").cast("double")), 6).alias("y"),
     )
@@ -13090,8 +13147,9 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(F.col("x") * F.col("x")).alias("sxx"),
         fold(F.col("x") * F.col("y")).alias("sxy"),
     )
-    return m.select(
-        F.col("n").alias("vocab_size"),
+    return m.crossJoin(F.broadcast(vocab)).select(
+        "vocab_size",
+        F.col("n").cast("long").alias("n_fit"),
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
@@ -13252,3 +13310,103 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+
+
+# ==========================================================================
+# Driver-gate basket ordering (round 4) — rotation 1 of 3
+#
+# Every GATE_BASKET_R3 entry now holds an official driver-green
+# CORRECTNESS_r03 row (50/50 pass).  Per the rotation plan
+# (COVERAGE.md "Driver-gate window" table, r3 VERDICT item 1), round 4
+# swaps positions 51-100 of the r3 order into the gate window: the
+# r2-driver-green legacy tail (flat-topk variants, IVF/PQ siblings,
+# text/chunk singles, dedup/corpus family, relational tail).  The r3
+# basket — already officially verdicted — parks at the END of the
+# registry so the remaining never-gated entries (r3's mid-session and
+# continuation additions) sit contiguously at positions 51-116, ready
+# to become GATE_BASKET_R5/R6 without another shuffle.
+# ==========================================================================
+
+GATE_BASKET_R4: tuple[str, ...] = (
+    # -- flat-scan top-k variants (r2-green, never re-gated)
+    "topk_filtered",
+    "topk_cosine",
+    "topk_multi_window",
+    "embedding_clusters",
+    "events_trailing_window",
+    # -- IVF / PQ siblings
+    "ivf_search_after_add",
+    "ivf_search_persisted",
+    "ivf_recall_sweep",
+    "pq_refine_search",
+    "opq_refine_search",
+    # -- text analysis singles
+    "token_stats",
+    "bpe_token_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    # -- chunking / embed pipeline singles
+    "chunk_fixed",
+    "chunk_words",
+    "pipeline_chunks_embed",
+    "jsonl_roundtrip",
+    "csv_roundtrip",
+    # -- dedup / corpus family
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "corpus_release",
+    "data_split",
+    "bigram_commonness",
+    "corpus_upsert",
+    "vocab_top_terms",
+    "text_normalize",
+    "topk_mmr",
+    "heavy_hitters_cm",
+    "dedup_incremental",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+    "doc_length_percentiles",
+    # -- relational tail
+    "shipping_priority",
+    "semi_anti_join",
+    "distinct_users_sketch",
+    "local_supplier_volume",
+    "nation_trade_volume",
+    "nation_presence",
+    "customer_balance_quartiles",
+    "brand_margin",
+    "order_fulfillment_latency",
+    "lineitem_unpivot",
+    "returned_items_report",
+    "set_ops",
+    "events_pivot",
+    "events_props_json",
+    "doc_search_ivf",
+)
+
+
+def _reorder_registry_r4() -> None:
+    missing = [n for n in GATE_BASKET_R4 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R4 names unknown entries: {missing}")
+    overlap = set(GATE_BASKET_R4) & set(GATE_BASKET_R3)
+    if overlap:
+        raise RuntimeError(f"GATE_BASKET_R4 repeats r3-verdicted entries: {overlap}")
+    officially_gated = set(GATE_BASKET_R3)
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R4}
+    # rotation queue: never-gated entries keep relative order just after
+    # the window (GATE_BASKET_R5 = positions 51-100 next round)
+    ordered.update(
+        (n, e)
+        for n, e in REGISTRY.items()
+        if n not in ordered and n not in officially_gated
+    )
+    # entries with official driver rows park at the tail
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r4()

@@ -1,12 +1,22 @@
-"""Standing guard for the driver-gate basket (round-2 VERDICT items 1+6).
+"""Standing guard for the driver-gate basket (round-2 VERDICT items 1+6;
+round-3 VERDICT item 1 — the r4 rotation).
 
-The driver's correctness gate checks only the FIRST 50 registry entries,
-so the top-50 must stay a deliberate covering set:
-  * every SURVEY.md §2 operator has a representative inside the window,
-  * the 9 round-1 failures stay inside until officially re-verdicted,
+The driver's correctness gate checks only the FIRST 50 registry entries.
+Round 3 proved the curated covering set (GATE_BASKET_R3) 50/50 green, so
+round 4 rotates the next 50 never-officially-gated entries (r3-order
+positions 51-100) into the window, per the plan in COVERAGE.md.  The
+guards:
+  * the top-50 is exactly GATE_BASKET_R4 (rotation 1 of 3),
+  * r4 basket entries have NO prior official driver row (no wasted slots),
   * every top-50 entry ships a DuckDB oracle (rows-only entries may not
-    silently land in the gated window),
-  * registry-wide, any oracle-less entry must be explicitly declared.
+    silently land in the gated window) — except the one declared case,
+  * registry-wide, any oracle-less entry must be explicitly declared,
+  * the union of officially-gated baskets (r3 ∪ r4) still covers every
+    SURVEY §2 representative and all 9 round-1 failures (their official
+    rows are CORRECTNESS_r03; they must never silently drop from the
+    record),
+  * the rotation queue right after the window holds only never-gated
+    entries so GATE_BASKET_R5 is simply positions 51-100 next round.
 """
 
 from __future__ import annotations
@@ -34,7 +44,7 @@ R1_FAILURES = {
 # shared source layer every entry loads through, O13 is internal to the
 # two-phase merge, O15/O30 are justified skips, O25 native, O31 a
 # documented substitution evidenced in tests/test_ann_recall_parity.py,
-# O34 is bench.py itself)
+# O34 is bench.py itself).  All hold official CORRECTNESS_r03 rows.
 SURVEY_S2_REPS = {
     "slice_first_n": ("O2", "O20"),
     "quant_error_stats": ("O3",),
@@ -64,9 +74,13 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R3) == 50
-    assert len(set(registry.GATE_BASKET_R3)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R3)
+    assert len(registry.GATE_BASKET_R4) == 50
+    assert len(set(registry.GATE_BASKET_R4)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R4)
+
+
+def test_r4_basket_spends_no_slot_on_verdicted_entries():
+    assert not set(registry.GATE_BASKET_R4) & set(registry.GATE_BASKET_R3)
 
 
 def test_top50_all_oracle_backed():
@@ -91,12 +105,23 @@ def test_registry_wide_oracle_presence_declared():
     )
 
 
-def test_r1_failures_inside_gate_window():
-    top = set(_top50())
-    assert R1_FAILURES <= top, f"missing: {R1_FAILURES - top}"
+def test_officially_gated_union_covers_r1_failures():
+    gated = set(registry.GATE_BASKET_R3) | set(registry.GATE_BASKET_R4)
+    assert R1_FAILURES <= gated, f"missing: {R1_FAILURES - gated}"
 
 
-def test_survey_s2_coverage_inside_gate_window():
-    top = set(_top50())
-    missing = {n: ops for n, ops in SURVEY_S2_REPS.items() if n not in top}
-    assert not missing, f"§2 representatives outside the gate window: {missing}"
+def test_officially_gated_union_covers_survey_s2():
+    gated = set(registry.GATE_BASKET_R3) | set(registry.GATE_BASKET_R4)
+    missing = {n: ops for n, ops in SURVEY_S2_REPS.items() if n not in gated}
+    assert not missing, f"§2 representatives outside the official record: {missing}"
+
+
+def test_rotation_queue_holds_only_never_gated_entries():
+    """Positions 51..N-50 must be the never-gated continuation entries in
+    stable order; the r3-verdicted basket parks at the tail."""
+    names = list(registry.REGISTRY)
+    gated = set(registry.GATE_BASKET_R3) | set(registry.GATE_BASKET_R4)
+    queue = names[50 : len(names) - len(registry.GATE_BASKET_R3)]
+    tail = names[len(names) - len(registry.GATE_BASKET_R3) :]
+    assert not set(queue) & gated, "rotation queue polluted by gated entries"
+    assert set(tail) == set(registry.GATE_BASKET_R3), "tail must be the r3 basket"

@@ -42,9 +42,74 @@ _BNLJ_OK = {
     "search_quality_i8",      # embeds topk_i8's broadcast query batch x scan
     "mixture_weights_temperature",  # broadcast 1-row fold denominator
     "label_centroid_quality",  # broadcast L-row centroid relation x base scan
+    "customer_rfm_segments",  # broadcast 1-row customer count (ntile closed form)
+    "revenue_pareto",         # broadcast 1-row totals (two-phase rank rewrite)
+    "zipf_slope",             # broadcast 1-row vocab size next to the top-R fit
+}
+
+# Entries whose optimized plan legitimately contains an UNPARTITIONED
+# Window fed by a non-aggregated, non-limited scan.  The r3 verdict's
+# failure mode: a global Window.orderBy over a fact-scale input runs in
+# ONE task — fine at sf0.1, the canonical straggler at 100 TB.  Bounded
+# inputs (an Aggregate's group rows, a Limit head, a literal relation)
+# are detected structurally and never flagged; anything else must be
+# fixed (two-phase rank / counting histogram, operators/globalrank.py)
+# or allowlisted here with a justification.
+_GLOBAL_WINDOW_OK = {
+    # semantic definition of the reference's windowed multi-query scan;
+    # documented weak-by-design vs the two-phase plan (topk_multi_twophase
+    # is the scale path; measured 171 s vs 2.6 s at 200K x 100)
+    "topk_multi_window",
 }
 
 NAMES = sorted(registry.REGISTRY)
+
+
+def _children(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _cls(node):
+    return node.getClass().getSimpleName()
+
+
+# nodes that bound (or re-key) downstream cardinality: an aggregate's
+# output is |groups| rows, a limit is literal-bounded, a local/one-row
+# relation is a literal.  Joins/filters/projects pass fact cardinality
+# through and keep the walk going.
+_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+_UNBOUNDED_LEAVES = {
+    "LogicalRelation",
+    "DataSourceV2ScanRelation",
+    "DataSourceV2Relation",
+    "HiveTableRelation",
+    "UnresolvedRelation",
+    # persisted intermediates: conservatively fact-scale (the cache may
+    # hold a full base-table derivative)
+    "InMemoryRelation",
+}
+
+
+def _unbounded_scan_below(node) -> bool:
+    name = _cls(node)
+    if name in _BOUNDING:
+        return False
+    if name in _UNBOUNDED_LEAVES:
+        return True
+    return any(_unbounded_scan_below(c) for c in _children(node))
+
+
+def _unpartitioned_windows_over_scans(plan) -> list[str]:
+    hits = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if _cls(node) == "Window" and node.partitionSpec().isEmpty():
+            if any(_unbounded_scan_below(c) for c in _children(node)):
+                hits.append(node.simpleString(120))
+        stack.extend(_children(node))
+    return hits
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -56,6 +121,15 @@ def test_no_unsanctioned_cartesian(spark, name):
         assert name in _BNLJ_OK, (
             f"{name}: BroadcastNestedLoopJoin in plan but not whitelisted as a "
             f"broadcast-small-side pattern"
+        )
+    hits = _unpartitioned_windows_over_scans(
+        df._jdf.queryExecution().optimizedPlan()
+    )
+    if hits and name not in _GLOBAL_WINDOW_OK:
+        raise AssertionError(
+            f"{name}: unpartitioned Window over a fact-scale input — "
+            f"single-task straggler at scale; use two-phase rank or a "
+            f"counting histogram (operators/globalrank.py). Nodes: {hits}"
         )
 
 
