@@ -3,12 +3,21 @@
 Pipeline-extension surface (per BASELINE.json north star): image/audio/
 video payloads ride as `binary` columns with metadata; decode /
 feature-extract / frame-sample run as Arrow-batched Pandas functions
-over mapInPandas. The container has no image/audio libraries, so the
-actual decoders are STUBBED behind `decoder="real"` (raises
-NotImplementedError, clearly marked); `decoder="fake"` is a
-deterministic stand-in (md5-seeded features) that keeps the Spark-side
-plumbing — schema, batching, partitioning, UDF signatures — fully real
-and testable.
+over mapInPandas.
+
+Decoders:
+  * ``decoder="wav"`` — REAL RIFF/WAVE PCM parse (stdlib struct +
+    NumPy): walks the chunk list, reads fmt/data, decodes 8/16-bit PCM
+    to [-1, 1] doubles; features are per-time-bucket RMS energies.
+  * ``decoder="ppm"`` — REAL binary PPM (P6) parse: header + raw RGB
+    pixels; features are luminance-histogram buckets.
+  * ``decoder="fake"`` — deterministic md5 stand-in that keeps the
+    Spark-side plumbing (schema, batching, UDF signatures) testable
+    independent of any byte format.
+  * ``decoder="real"`` — still raises NotImplementedError: COMPRESSED
+    codecs (JPEG/PNG/MP3/H.264) need PIL/libvips/ffmpeg, absent in this
+    container. The uncompressed wav/ppm paths above are the real-codec
+    slot, fully implemented.
 
 Scale notes: blobs stay opaque bytes end-to-end (no driver collect);
 feature extraction is a narrow per-partition map with Arrow transfer;
@@ -68,6 +77,142 @@ def _fake_decode(blob: bytes, dim: int) -> tuple[int, int, list[float]]:
     return width, height, ([x / n for x in feat] if n > 0 else feat)
 
 
+def wav_encode(
+    samples: "list[int] | bytes", sample_rate: int = 8000, bits: int = 8
+) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder (mono). ``bits=8``: samples are
+    unsigned bytes; ``bits=16``: samples are signed ints packed LE.
+    The sink-side sibling of _wav_decode (and the fixture generator for
+    its tests/oracle entry)."""
+    import struct
+
+    if bits == 8:
+        data = bytes(samples)
+    elif bits == 16:
+        data = struct.pack("<%dh" % len(samples), *samples)
+    else:
+        raise ValueError(f"bits must be 8 or 16, got {bits}")
+    block_align = bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def _wav_decode(blob: bytes):
+    """REAL RIFF/WAVE parse: validate RIFF/WAVE magic, walk the chunk
+    list (tolerating extra chunks like LIST/fact), read fmt (PCM only)
+    and data, decode 8-bit unsigned / 16-bit signed LE PCM to numpy
+    float64 in [-1, 1). Returns (n_samples, sample_rate, n_channels,
+    bits, samples) with samples channel-interleaved."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM supported, got format {audio_fmt}")
+    if bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif bits == 16:
+        usable = len(data) - (len(data) % 2)
+        samples = (
+            np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+            / 32768.0
+        )
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    return len(samples) // max(n_channels, 1), sample_rate, n_channels, bits, samples
+
+
+def _wav_features(samples, dim: int) -> list[float]:
+    """Per-time-bucket RMS energies over ``dim`` equal slices — the
+    codec-level analog of a mel-energy vector, deterministic doubles."""
+    import numpy as np
+
+    n = len(samples)
+    feat = []
+    for i in range(dim):
+        lo, hi = (i * n) // dim, ((i + 1) * n) // dim
+        if hi <= lo:
+            feat.append(0.0)
+        else:
+            seg = samples[lo:hi]
+            feat.append(float(np.sqrt(np.dot(seg, seg) / (hi - lo))))
+    return feat
+
+
+def _ppm_decode(blob: bytes):
+    """REAL binary-PPM (P6) parse: magic, whitespace/comment-tolerant
+    header (width, height, maxval), then raw RGB triples. Returns
+    (width, height, maxval, pixels) with pixels an (N, 3) uint8/uint16
+    numpy array."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"bad maxval {maxval}")
+    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+    raw = np.frombuffer(blob, dtype=dt, offset=pos, count=width * height * 3)
+    return width, height, maxval, raw.reshape(-1, 3)
+
+
+def _ppm_features(pixels, maxval: int, dim: int) -> list[float]:
+    """Normalized luminance histogram over ``dim`` buckets (Rec.601
+    weights) — integer-binned, so bit-reproducible across engines."""
+    import numpy as np
+
+    lum = (
+        0.299 * pixels[:, 0] + 0.587 * pixels[:, 1] + 0.114 * pixels[:, 2]
+    ) / maxval
+    idx = np.minimum((lum * dim).astype(np.int64), dim - 1)
+    h = np.bincount(idx, minlength=dim).astype(np.float64)
+    return [float(x) for x in h / max(len(pixels), 1)]
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,
@@ -77,14 +222,20 @@ def extract_features(
 ) -> DataFrame:
     """Decode blobs and emit (id, width, height, byte_len, features)
     via mapInPandas — the real 100 TB shape: Arrow batches in, narrow
-    map, no shuffle."""
+    map, no shuffle. ``decoder``: "wav" / "ppm" run the REAL
+    uncompressed-codec parsers above (width/height carry
+    n_samples/sample_rate for audio); "fake" is the md5 stand-in;
+    "real" marks the compressed-codec slot (needs external libs)."""
     if decoder == "real":
         raise NotImplementedError(
-            "real image decoding requires PIL/libvips, not present in this "
-            "container — plug a decoder into _fake_decode's slot"
+            "compressed-codec decoding (JPEG/PNG/MP3) requires PIL/libvips/"
+            "ffmpeg, not present in this container — uncompressed payloads "
+            "are fully supported via decoder='wav' / decoder='ppm'"
         )
-    if decoder != "fake":
-        raise ValueError(f"decoder must be 'real' or 'fake', got {decoder!r}")
+    if decoder not in ("fake", "wav", "ppm"):
+        raise ValueError(
+            f"decoder must be 'real', 'fake', 'wav' or 'ppm', got {decoder!r}"
+        )
 
     schema = (
         f"{id_col} long, width int, height int, byte_len int, "
@@ -102,7 +253,14 @@ def extract_features(
             }
             for blob in pdf[blob_col]:
                 raw = bytes(blob)
-                w, h, feat = _fake_decode(raw, dim)
+                if decoder == "wav":
+                    n_samp, rate, _, _, samples = _wav_decode(raw)
+                    w, h, feat = n_samp, rate, _wav_features(samples, dim)
+                elif decoder == "ppm":
+                    w, h, maxval, pixels = _ppm_decode(raw)
+                    feat = _ppm_features(pixels, maxval, dim)
+                else:
+                    w, h, feat = _fake_decode(raw, dim)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["byte_len"].append(len(raw))

@@ -4233,6 +4233,94 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REAL codec roundtrip: the doc's ASCII bytes become 8-bit PCM mono WAV
+# payloads (multimodal.wav_encode), the REAL RIFF parser decodes them
+# back (multimodal._wav_decode), and the audio stats are exact dyadic
+# rationals — every sample is (byte-128)/128, so sums are exact in
+# double no matter the order and DuckDB's ord()-based replay matches
+# bit-for-bit with no fold-ordering contract needed.
+_SQL_MM_WAV = """
+WITH a AS (
+  SELECT doc_id, text FROM documents
+  WHERE regexp_matches(text, '^[ -~]+$')
+),
+s AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         list_transform(range(1, len(text) + 1),
+           i -> (ord(substr(text, CAST(i AS INT), 1)) - 128) / 128.0) AS smp
+  FROM a
+)
+SELECT doc_id,
+       n AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(8 AS INT) AS bits,
+       n + 44 AS wav_bytes,
+       round(list_aggregate(smp, 'sum') / n, 6) AS mean_amp,
+       round(sqrt(list_aggregate(list_transform(smp, x -> x * x), 'sum') / n),
+             6) AS rms
+FROM s
+"""
+
+
+@register("multimodal_wav_stats", oracle=_SQL_MM_WAV)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path (retires the round-3 stub finding): each
+    ASCII document's bytes are encoded as an 8-bit PCM mono RIFF/WAVE
+    payload and decoded back by the real chunk-walking WAV parser
+    (operators/multimodal._wav_decode — the same parser behind
+    extract_features(decoder="wav")), emitting per-doc audio stats:
+    sample count, rate, channels, bit depth, container size, mean
+    amplitude and RMS. Scale shape: one narrow Arrow-batched
+    mapInPandas, no shuffle, blobs never leave the executors. The
+    oracle recomputes the stats from the characters directly — 8-bit
+    PCM samples are (byte-128)/128, dyadic rationals whose sums are
+    exact in IEEE double, so the decode roundtrip must match
+    bit-for-bit."""
+    from nano_vectordb_spark.operators.multimodal import (
+        _wav_decode,
+        wav_encode,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("^[\\x20-\\x7e]+$"))
+        .select("doc_id", "text")
+    )
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_samples": [], "sample_rate": [],
+                "n_channels": [], "bits": [], "wav_bytes": [],
+                "mean_amp": [], "rms": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = wav_encode(text.encode("ascii"), sample_rate=8000, bits=8)
+                n_samp, rate, ch, bits, smp = _wav_decode(wav)
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(n_samp)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["bits"].append(bits)
+                rows["wav_bytes"].append(len(wav))
+                rows["mean_amp"].append(round(float(np.sum(smp)) / n_samp, 6))
+                rows["rms"].append(
+                    round(float(np.sqrt(np.dot(smp, smp) / n_samp)), 6)
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, n_samples long, sample_rate int, n_channels int, "
+        "bits int, wav_bytes long, mean_amp double, rms double"
+    )
+    return docs.mapInPandas(run, schema)
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: stratified sampling, mixture weighting,
 # sequence packing, BM25 lexical search (operators/pipeline.py,

@@ -98,3 +98,89 @@ def test_multimodal_neardup_finds_bucket_boundary_pair(spark, tmp_path):
         .collect()
     ]
     assert out == [(0, 1, 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed codecs (round-3 verdict item 8): RIFF/WAVE and PPM
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_8bit_exact():
+    data = bytes(range(256))
+    wav = mm.wav_encode(data, sample_rate=8000, bits=8)
+    n, rate, ch, bits, smp = mm._wav_decode(wav)
+    assert (n, rate, ch, bits) == (256, 8000, 1, 8)
+    assert len(wav) == 44 + 256
+    for i, s in enumerate(smp):
+        assert s == (i - 128) / 128.0  # exact dyadic rationals
+
+
+def test_wav_roundtrip_16bit_exact():
+    vals = [-32768, -1, 0, 1, 32767, 12345]
+    wav = mm.wav_encode(vals, sample_rate=44100, bits=16)
+    n, rate, ch, bits, smp = mm._wav_decode(wav)
+    assert (n, rate, ch, bits) == (len(vals), 44100, 1, 16)
+    assert [s * 32768.0 for s in smp] == [float(v) for v in vals]
+
+
+def test_wav_decoder_walks_extra_chunks():
+    """Real WAV files carry LIST/fact/odd-sized chunks between fmt and
+    data — the parser must walk past them (word-aligned)."""
+    import struct
+
+    base = mm.wav_encode(b"abc", bits=8)
+    fmt_chunk = base[12:36]
+    data_chunk = base[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    body = fmt_chunk + extra + data_chunk
+    wav = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    n, rate, ch, bits, smp = mm._wav_decode(wav)
+    assert n == 3 and bits == 8
+
+
+@pytest.mark.parametrize(
+    "blob, err",
+    [
+        (b"RIFX" + b"\x00" * 40, "RIFF"),
+        (b"RIFF\x24\x00\x00\x00WAVE", "fmt"),  # no chunks at all
+    ],
+)
+def test_wav_decoder_rejects_garbage(blob, err):
+    with pytest.raises(ValueError, match=err):
+        mm._wav_decode(blob)
+
+
+def test_ppm_roundtrip_with_comment():
+    hdr = b"P6\n# a comment line\n3 2\n255\n"
+    pixels = bytes(range(18))  # 3x2 RGB
+    w, h, maxval, arr = mm._ppm_decode(hdr + pixels)
+    assert (w, h, maxval) == (3, 2, 255)
+    assert arr.shape == (6, 3)
+    assert list(arr[0]) == [0, 1, 2] and list(arr[5]) == [15, 16, 17]
+
+
+def test_ppm_rejects_non_p6():
+    with pytest.raises(ValueError, match="P6"):
+        mm._ppm_decode(b"P3\n1 1\n255\n\x00\x00\x00")
+
+
+def test_extract_features_wav_decoder(spark):
+    """decoder='wav' over real WAV payloads: width=n_samples,
+    height=sample_rate, features = per-bucket RMS energies."""
+    rows = [(i, mm.wav_encode(bytes([128 + (i * 7 + j) % 64 for j in range(100)]), 8000, 8)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = mm.extract_features(df, dim=4, decoder="wav").orderBy("doc_id").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.width == 100 and r.height == 8000
+        assert r.byte_len == 144
+        assert len(r.features) == 4 and all(f >= 0 for f in r.features)
+
+
+def test_extract_features_ppm_decoder(spark):
+    blob = b"P6\n2 2\n255\n" + bytes([255] * 6 + [0] * 6)
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    r = mm.extract_features(df, dim=2, decoder="ppm").collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    # two white pixels in the top bucket... (lum=1 clamps to last bucket)
+    assert r.features == [0.5, 0.5]
