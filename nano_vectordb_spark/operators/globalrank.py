@@ -63,6 +63,16 @@ def two_phase_rank(
     local = ranged.withColumn(_LRN, F.row_number().over(w_loc).cast("long"))
     for col, name in cum_sums:
         local = local.withColumn(f"__gr_lc_{name}", F.sum(col).over(w_cum))
+    # PIN a single materialization: the offsets aggregate and the final
+    # join both consume `local`, and if Catalyst compiles the range
+    # exchange twice (exchange reuse is not guaranteed — union/broadcast
+    # shapes break it), each instance SAMPLES ITS OWN range boundaries
+    # (RangePartitioner seeds by rdd.id), so the offsets would describe a
+    # different partitioning than the one the ranks were computed in.
+    # A lazy localCheckpoint wraps one concrete RDD — every branch reads
+    # the same blocks, computed once. (Same pinning idiom as
+    # operators/components.py's iteration state.)
+    local = local.localCheckpoint(eager=False)
 
     aggs = [F.count("*").cast("long").alias("__gr_cnt")]
     aggs += [F.sum(col).alias(f"__gr_s_{name}") for col, name in cum_sums]

@@ -4321,6 +4321,101 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+# REAL image codec roundtrip, the P6 sibling of multimodal_wav_stats:
+# each doc gets a 4x4 RGB image whose pixel bytes come from an md5 chain
+# (engine-reproducible), encoded as binary PPM and decoded back by the
+# real parser. Channel sums are exact integers, so the per-channel means
+# and the luminance dark-pixel fraction are identical IEEE doubles in
+# both engines.
+_MM_PPM_W = 4
+_MM_PPM_H = 4
+
+_SQL_MM_PPM = f"""
+WITH px AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text || ':px' || i), 1, 2))::INT AS r,
+         ('0x' || substr(md5(text || ':px' || i), 3, 2))::INT AS g,
+         ('0x' || substr(md5(text || ':px' || i), 5, 2))::INT AS b
+  FROM (SELECT doc_id, text, unnest(range(0, {_MM_PPM_W * _MM_PPM_H})) AS i
+        FROM documents)
+)
+SELECT doc_id,
+       CAST({_MM_PPM_W} AS INT) AS width,
+       CAST({_MM_PPM_H} AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       round(CAST(sum(r) AS DOUBLE) / (255.0 * count(*)), 6) AS mean_r,
+       round(CAST(sum(g) AS DOUBLE) / (255.0 * count(*)), 6) AS mean_g,
+       round(CAST(sum(b) AS DOUBLE) / (255.0 * count(*)), 6) AS mean_b,
+       round(CAST(sum(CASE WHEN (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+                                < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dark_frac
+FROM px GROUP BY doc_id
+"""
+
+
+@register("multimodal_ppm_stats", oracle=_SQL_MM_PPM)
+def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: md5-chained RGB pixels per document are
+    packed as a binary PPM (P6) payload and decoded back by the real
+    comment-tolerant parser (operators/multimodal._ppm_decode — the
+    parser behind extract_features(decoder="ppm")), emitting per-image
+    stats: dimensions, maxval, pixel count, per-channel mean intensity
+    and the Rec.601 dark-pixel fraction (the cheap exposure/quality
+    screen an image-filtering pipeline runs before any model). Narrow
+    Arrow-batched mapInPandas, no shuffle. The oracle regenerates the
+    same md5 pixels and aggregates — integer channel sums make every
+    emitted double bit-identical."""
+    from nano_vectordb_spark.operators.multimodal import _ppm_decode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_px = _MM_PPM_W * _MM_PPM_H
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        hdr = b"P6\n%d %d\n255\n" % (_MM_PPM_W, _MM_PPM_H)
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "maxval": [],
+                "n_pixels": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "dark_frac": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = b"".join(
+                    bytes.fromhex(
+                        hashlib.md5(f"{text}:px{i}".encode()).hexdigest()[:6]
+                    )
+                    for i in range(n_px)
+                )
+                w, h, maxval, arr = _ppm_decode(hdr + body)
+                px = arr.astype(np.float64)
+                lum = (
+                    0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]
+                ) / 255.0
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["maxval"].append(maxval)
+                rows["n_pixels"].append(len(arr))
+                for ch, name in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+                    s = int(arr[:, ch].astype(np.int64).sum())
+                    rows[name].append(round(s / (255.0 * len(arr)), 6))
+                rows["dark_frac"].append(
+                    round(float(np.count_nonzero(lum < 0.5)) / len(arr), 6)
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, width int, height int, maxval int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double, dark_frac double"
+    )
+    return docs.mapInPandas(run, schema)
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: stratified sampling, mixture weighting,
 # sequence packing, BM25 lexical search (operators/pipeline.py,

@@ -89,3 +89,39 @@ def test_rank_stage_is_partitioned(spark):
     for n in unpartitioned:
         s = n.simpleString(200)
         assert "__gr_pid" in s, f"unpartitioned data-sized window: {s}"
+
+
+def test_rank_consistent_without_exchange_reuse(spark):
+    """Regression (round 4): when Catalyst compiles the range exchange
+    twice — union / broadcast shapes break exchange reuse — each
+    instance samples its own range boundaries (RangePartitioner seeds by
+    rdd.id), so the broadcast offsets could describe a different
+    partitioning than the ranks were computed in. The localCheckpoint
+    pin makes every branch read one materialization; without it this
+    union-of-two-ranks shape flaked ~2/3 of runs on the skewed key."""
+    df = _fixture(spark, n=5000, parts=5)
+    # skewed key: clustered values make boundary jitter visible
+    df = df.select("id", (F.col("v") * F.col("v")).alias("v"))
+    order_a = [F.col("v").asc(), F.col("id").asc()]
+    order_b = [F.col("v").desc(), F.col("id").asc()]
+    w_a, w_b = Window.orderBy(*order_a), Window.orderBy(*order_b)
+    want = df.select(
+        "id",
+        F.row_number().over(w_a).cast("long").alias("rn"),
+        F.lit("a").alias("side"),
+    ).unionByName(
+        df.select(
+            "id",
+            F.row_number().over(w_b).cast("long").alias("rn"),
+            F.lit("b").alias("side"),
+        )
+    )
+    for _ in range(3):
+        got = grank.two_phase_rank(df, order_a, rn_name="rn").select(
+            "id", "rn", F.lit("a").alias("side")
+        ).unionByName(
+            grank.two_phase_rank(df, order_b, rn_name="rn").select(
+                "id", "rn", F.lit("b").alias("side")
+            )
+        )
+        assert got.exceptAll(want).count() == 0
