@@ -1,0 +1,1811 @@
+"""Graph/sequence analytics: PageRank, patterns, entropy, LSH operating points, SCD2, trends.
+
+Sequential part of the registry — see registry.py (facade).
+"""
+from __future__ import annotations
+from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
+    DataFrame,
+    F,
+    K,
+    SEED,
+    SparkSession,
+    Window,
+    _SQL_QUERIES,
+    _queries_df,
+    dedup_ops,
+    grank,
+    load_table,
+    register,
+    text_ops,
+    tx,
+)
+from nano_vectordb_spark.registry_parts.p03_ivf import (  # noqa: F401
+    _INDEX_CACHE,
+    _ORACLE_SF,
+    _fit_cached,
+    _materialize_once,
+    _sql_l2,
+)
+from nano_vectordb_spark.registry_parts.p00_base import _dlist  # noqa: F401
+from nano_vectordb_spark.registry_parts.p05_text import (  # noqa: F401
+    _CHUNK_CHARS,
+    _EMBED_DIM,
+    _SQL_CHUNK_WORDS,
+    _SQL_QUALITY,
+    _csv_docs,
+    _jsonl_docs_path,
+    _sql_embed_ctes,
+    _toks_df,
+)
+from nano_vectordb_spark.registry_parts.p06_dedup import (  # noqa: F401
+    _JACCARD_T,
+    _SQL_SHINGLES,
+    _sql_minhash_base,
+)
+from nano_vectordb_spark.registry_parts.p10_quant_variants import knn_self_join  # noqa: F401
+from nano_vectordb_spark.registry_parts.p12_observability import (  # noqa: F401
+    _PR_D,
+    _PR_ITERS,
+    _pagerank_oracle,
+)
+
+@register("knn_pagerank", oracle=_pagerank_oracle)
+def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the exact kNN graph ({_PR_ITERS}
+    power-method rounds, damping {_PR_D}) — density-peak scoring in
+    embedding space: vectors many neighbors point AT are corpus
+    "representatives" (coreset selection, diversity sampling, the
+    centrality sibling of topk_mmr's redundancy penalty). Completes
+    the iterative-algorithm family beyond dedup_components' label
+    propagation with a numeric fixed point.
+
+    Scale shape: per round, one join of the edge list against the
+    rank vector plus one dst-keyed aggregate — the canonical
+    distributed PageRank; at depth the rank table would checkpoint per
+    round exactly like components' pointer jumping (here the
+    {_PR_ITERS}-round plan is bounded and stays lazy). The kNN graph
+    guarantees outdegree k, so there are no dangling-mass corrections.
+    Determinism: per-node in-sums run as value-ordered sequential
+    folds, damping constants are shared Python-double literals, and
+    the published ranking orders on the 6-decimal-rounded score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_self_join(spark, sf_dir)
+    e = knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
+    od = e.groupBy("src").agg(F.count("*").alias("odeg"))
+    e2 = e.join(od, "src")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    n = emb.count()
+    base = (1.0 - _PR_D) / n
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = e2.join(ranks, e2["src"] == ranks["node"]).select(
+            "dst", (F.col("r") / F.col("odeg")).alias("c")
+        )
+        agg = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("c")), F.lit(0.0), lambda s, x: s + x
+            ).alias("s")
+        )
+        ranks = nodes.join(agg, nodes["node"] == agg["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.lit(_PR_D) * F.coalesce("s", F.lit(0.0))).alias("r"),
+        )
+    # two-phase global rank (operators/globalrank.py): the rank vector
+    # is |vectors| rows — an unpartitioned row_number window here would
+    # funnel the whole table through one task at scale
+    ranked = grank.two_phase_rank(
+        ranks.select("node", F.round("r", 6).alias("pagerank")),
+        [F.col("pagerank").desc(), F.col("node").asc()],
+        rn_name="pr_rank",
+    )
+    return ranked.select(
+        "node", "pagerank", F.col("pr_rank").cast("int").alias("pr_rank")
+    )
+
+
+_SQL_EVENT_PATTERN = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, md5(seq) AS seq_md5,
+       CAST(len(string_split(seq, 'vcp')) - 1 AS BIGINT) AS n_view_click_buy,
+       CAST(len(string_split(seq, 'ce')) - 1 AS BIGINT) AS n_click_error
+FROM s
+"""
+
+
+@register("event_pattern_match", oracle=_SQL_EVENT_PATTERN)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching over event streams (the
+    MATCH_RECOGNIZE-lite shape): each user's history compresses to an
+    event-initial string in strict (ts, event_id) order — initials are
+    unique per type here — and patterns become plain substring counts:
+    view->click->purchase conversions and click->error rage signals,
+    counted non-overlapping by the split(seq, pat) trick in both
+    engines. The full sequence is also md5-hashed, so ONE mis-ordered
+    event for any user fails the gate — this doubles as the ordering
+    oracle for every window/sessionize operator. Scale shape: one
+    user-keyed aggregate whose state is bounded by events-per-user
+    (the sessionize contract); the pattern scan afterwards is
+    map-only string work, no second shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("ini"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                    lambda s: s["ini"],
+                ),
+                "",
+            ).alias("seq"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.md5("seq").alias("seq_md5"),
+        (F.size(F.split("seq", "vcp", -1)) - 1)
+        .cast("long")
+        .alias("n_view_click_buy"),
+        (F.size(F.split("seq", "ce", -1)) - 1)
+        .cast("long")
+        .alias("n_click_error"),
+    )
+
+
+_SQL_DIVERSITY = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY source),
+terms AS (
+  SELECT c.source, tot.nt,
+         -(CAST(c.n AS DOUBLE) / tot.nt) * log2(CAST(c.n AS DOUBLE) / tot.nt) AS h
+  FROM c JOIN tot USING (source)
+),
+e AS (
+  SELECT source, max(nt) AS n_docs, CAST(count(*) AS BIGINT) AS n_langs,
+         round(list_aggregate(list(h ORDER BY h), 'sum'), 6) AS entropy_bits
+  FROM terms GROUP BY source
+)
+SELECT source, n_docs, n_langs, entropy_bits,
+       round(pow(2.0, entropy_bits), 6) AS effective_langs
+FROM e
+"""
+
+
+@register("corpus_diversity_entropy", oracle=_SQL_DIVERSITY)
+def corpus_diversity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity index: Shannon entropy (bits) of each source's
+    language mix and its exponential, the "effective number of
+    languages" — the mixture-design number read next to
+    mixture_weights (a source with effective_langs ~1 contributes no
+    multilingual signal no matter its row count). Scale shape: one
+    (source, lang)-keyed count (map-side combined), a |sources|-row
+    total join, and a per-source fold over at most |langs| entropy
+    terms. Determinism: p = n/nt is an exact IEEE division of exact
+    integers, the <=|langs|-term entropy sum folds in value order,
+    and log2/pow carry the 6-decimal libm contract (pow applied to
+    the already-rounded entropy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    tot = c.groupBy("source").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt")
+    terms = c.join(tot, "source").select(
+        "source", "nt", (-p * F.log2(p)).alias("h")
+    )
+    e = terms.groupBy("source").agg(
+        F.max("nt").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("h")), F.lit(0.0), lambda s, x: s + x
+            ),
+            6,
+        ).alias("entropy_bits"),
+    )
+    return e.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "entropy_bits",
+        F.round(F.pow(F.lit(2.0), F.col("entropy_bits")), 6).alias(
+            "effective_langs"
+        ),
+    )
+
+
+def _sql_lsh_operating_point() -> str:
+    return f"""
+WITH {_sql_minhash_base()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        >= {_JACCARD_T}
+),
+j AS (
+  SELECT coalesce(c.a_id, t.a_id) AS a_id,
+         CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS in_cand,
+         CASE WHEN t.a_id IS NULL THEN 0 ELSE 1 END AS in_true
+  FROM cand c FULL OUTER JOIN truth t
+    ON t.a_id = c.a_id AND t.b_id = c.b_id
+),
+m AS (
+  SELECT CAST(sum(in_true) AS BIGINT) AS n_true,
+         CAST(sum(in_cand) AS BIGINT) AS n_candidates,
+         CAST(sum(in_cand * in_true) AS BIGINT) AS n_cand_true
+  FROM j
+)
+SELECT n_true, n_candidates, n_cand_true,
+       round(CAST(n_cand_true AS DOUBLE) / n_true, 6) AS candidate_recall,
+       round(CAST(n_cand_true AS DOUBLE) / n_candidates, 6) AS candidate_precision
+FROM m
+"""
+
+
+@register("lsh_operating_point", oracle=_sql_lsh_operating_point)
+def lsh_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding operating characteristic, MEASURED: candidate
+    recall and precision of the 16-slot / 4-band MinHash scheme
+    against the exact shingle-Jaccard truth set at threshold
+    {_JACCARD_T} — the empirical point on the S-curve
+    1-(1-s^r)^b that minhash_estimator_error bounds analytically and
+    every banding choice (r, b) is picked from. A recall shortfall
+    here means missed dups ship to training; a precision collapse
+    means the verify stage pays for junk candidates. Scale shape: the
+    candidate side is the production banded inverted-index join; the
+    truth side is the shingle-posting exact join (posting-list bound,
+    not N^2); the comparison is one full-outer join of two small pair
+    sets + a conditional aggregate. Integer-exact but for the two
+    round-6 ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = (
+        dedup_ops.minhash_lsh_pairs(docs, 0.0)
+        .select("a_id", "b_id")
+        .withColumn("in_cand", F.lit(1))
+    )
+    truth = (
+        dedup_ops.ngram_jaccard_pairs(docs, _JACCARD_T)
+        .select("a_id", "b_id")
+        .withColumn("in_true", F.lit(1))
+    )
+    j = cand.join(truth, ["a_id", "b_id"], "full_outer").select(
+        F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
+        F.coalesce("in_true", F.lit(0)).alias("in_true"),
+    )
+    m = j.agg(
+        F.sum("in_true").cast("long").alias("n_true"),
+        F.sum("in_cand").cast("long").alias("n_candidates"),
+        F.sum(F.col("in_cand") * F.col("in_true")).cast("long").alias(
+            "n_cand_true"
+        ),
+    )
+    return m.select(
+        "n_true",
+        "n_candidates",
+        "n_cand_true",
+        F.round(
+            F.col("n_cand_true").cast("double") / F.col("n_true"), 6
+        ).alias("candidate_recall"),
+        F.round(
+            F.col("n_cand_true").cast("double") / F.col("n_candidates"), 6
+        ).alias("candidate_precision"),
+    )
+
+
+_SQL_TWA = """
+WITH b AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT user_id, value,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS dt
+  FROM b
+),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(dt) AS BIGINT) AS span_us,
+         list_aggregate(list(value * dt ORDER BY value * dt)
+                        FILTER (WHERE dt IS NOT NULL), 'sum') AS num
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events, span_us,
+       CASE WHEN span_us IS NULL OR span_us = 0 THEN NULL
+            ELSE round(num / span_us, 6) END AS twa_value
+FROM a
+"""
+
+
+@register("user_value_twa", oracle=_SQL_TWA)
+def user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted aggregation (the telemetry/finance TWAP
+    shape): per user, the time-weighted average of `value`, each
+    reading weighted by how long it was current (gap to the next
+    event, exact integer microseconds) — the correct summary when
+    readings arrive irregularly and a plain AVG over-weights bursts;
+    complements user_value_ewma's recency weighting with elapsed-time
+    weighting. NTZ-safe: the window orders by timezone-free epoch
+    micros (the trailing-window idiom — never unix_micros on NTZ).
+    Scale shape: one user-partitioned lead() window + one keyed
+    aggregate, state bounded per user. Determinism: gaps are exact
+    longs, the weighted numerator folds in value order, and the single
+    division carries round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    b = ev.select("user_id", "event_id", "value", ts_us.alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = b.select(
+        "user_id", "value", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt")
+    )
+    a = g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("dt").alias("span_us"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("value") * F.col("dt"))),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("num"),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.when(
+            F.col("span_us").isNull() | (F.col("span_us") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.round(F.col("num") / F.col("span_us"), 6))
+        .alias("twa_value"),
+    )
+
+
+_MP_PLANES = 6
+_MP_SEED = 43
+
+
+def _mp_planes_np() -> "object":
+    def fit():
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        tbl = papq.read_table(
+            f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"]
+        )
+        dim = len(tbl.column("embedding")[0])
+        return np.random.default_rng(_MP_SEED).normal(size=(_MP_PLANES, dim))
+
+    return _fit_cached("mp_planes", fit)
+
+
+def _mp_oracle() -> str:
+    planes = _mp_planes_np()
+    values = ",\n    ".join(
+        f"({i}, {1 << i}, {_dlist(p)})" for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(plane_id, w, v) AS (VALUES
+    {values}),
+q AS ({_SQL_QUERIES}),
+qb AS (
+  SELECT q.query_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(q.embedding AS DOUBLE[]), p.v) > 0
+                  THEN p.w ELSE 0 END) AS INT) AS qbucket
+  FROM q CROSS JOIN planes p GROUP BY q.query_id
+),
+bb AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.v) > 0
+                  THEN p.w ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+),
+probes AS (
+  SELECT query_id, qbucket AS pb FROM qb
+  UNION ALL
+  SELECT qb.query_id, xor(qb.qbucket, p.w) AS pb FROM qb CROSS JOIN planes p
+),
+cand AS (
+  SELECT p.query_id, b.vec_id FROM probes p JOIN bb b ON b.bucket = p.pb
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) AS score
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, vec_id, score, rank FROM (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+WHERE rank <= {K}
+"""
+
+
+@register("lsh_multiprobe_search", oracle=_mp_oracle)
+def lsh_multiprobe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN search (Lv et al., VLDB'07): one
+    {_MP_PLANES}-bit sign signature buckets the base; each query
+    probes its own bucket PLUS the {_MP_PLANES} single-bit-flip
+    perturbations — the buckets its nearest neighbors most likely fell
+    into when a sign was marginal — then exact-rescores only those
+    candidates. This trades the IVF ladder's centroid fit for a
+    fit-free bucketing: no training pass at all, ~(B+1)/2^B of the
+    corpus scanned (7/64 here), and recall recovered by probing the
+    marginal-sign buckets rather than by more tables.  Scale
+    shape: bucket assignment is a map-only native fold; the Qx(B+1)
+    probe list broadcasts into an equi-join against the bucket-keyed
+    base (bucket-partitioned at rest in production, so probing prunes
+    partitions exactly like nprobe); the rescore touches only
+    candidates. Scores are exact sequential-fold dots; the seeded
+    planes are shared literals with the oracle. Honest operating note:
+    on this near-uniform synthetic corpus measured recall@10 is ~0.36
+    at ~11% scan (sign-LSH needs CLUSTERED data to shine) — the
+    oracle-checked contract here is the multiprobe mechanics; the
+    high-recall operating points in this repo belong to the trained
+    IVF ladder."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    planes = np.random.default_rng(_MP_SEED).normal(size=(_MP_PLANES, dim))
+
+    def bucket_expr(vec_col: str):
+        b = F.lit(0)
+        for i in range(_MP_PLANES):
+            bit = (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.lit(planes[i].tolist()).cast("array<double>"),
+                        lambda x, h: x * h,
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                > 0
+            ).cast("int")
+            b = b + bit * (1 << i)
+        return b
+
+    base_b = emb.select("vec_id", "embedding", bucket_expr("embedding").alias("bucket"))
+    q_b = q.select(
+        "query_id",
+        F.col("embedding").alias("__q"),
+        bucket_expr("embedding").alias("qbucket"),
+    )
+    probe_arr = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(_MP_PLANES)],
+    )
+    probes = q_b.select(
+        "query_id", "__q", F.explode(probe_arr).alias("pb")
+    )
+    cand = F.broadcast(probes).join(base_b, probes["pb"] == base_b["bucket"])
+    from nano_vectordb_spark.functions.vector import dot_expr
+
+    scored = cand.select(
+        "query_id", "vec_id", dot_expr("embedding", "__q").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+_KS_BINS = 20
+_KS_SPLIT_DAY = 15
+
+_SQL_VALUE_DRIFT = f"""
+WITH s AS (SELECT value, CAST(EXTRACT(day FROM ts) AS INT) AS d FROM events),
+mm AS (SELECT min(value) AS mn, max(value) AS mx FROM s),
+b AS (
+  SELECT least({_KS_BINS - 1}, greatest(0,
+           CAST(floor((value - mn) / ((mx - mn) / {_KS_BINS}.0)) AS INT))) AS bin,
+         CASE WHEN d <= {_KS_SPLIT_DAY} THEN 1 ELSE 0 END AS ia
+  FROM s, mm
+),
+h AS (
+  SELECT bin, CAST(sum(ia) AS BIGINT) AS cnt_a,
+         CAST(count(*) - sum(ia) AS BIGINT) AS cnt_b
+  FROM b GROUP BY bin
+),
+c AS (
+  SELECT bin, cnt_a, cnt_b,
+         sum(cnt_a) OVER (ORDER BY bin) AS cum_a,
+         sum(cnt_b) OVER (ORDER BY bin) AS cum_b,
+         sum(cnt_a) OVER () AS na, sum(cnt_b) OVER () AS nb
+  FROM h
+)
+SELECT CAST(bin AS INT) AS bin, cnt_a, cnt_b,
+       round(CAST(cum_a AS DOUBLE) / na, 6) AS cdf_a,
+       round(CAST(cum_b AS DOUBLE) / nb, 6) AS cdf_b,
+       round(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb), 6)
+         AS cdf_gap
+FROM c
+"""
+
+
+@register("value_drift_ks", oracle=_SQL_VALUE_DRIFT)
+def value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (the binned Kolmogorov-Smirnov
+    shape): the event `value` distribution of the first
+    {_KS_SPLIT_DAY} days vs the rest, as a {_KS_BINS}-bin equi-width
+    histogram with both empirical CDFs and their per-bin gap — the max
+    of cdf_gap IS the binned KS statistic a drift alarm thresholds on
+    before a model retrain or a source renegotiation. Scale shape: the
+    global [min,max] is one exact 2-double aggregate (the bounded
+    driver-state contract); binning + both histograms then fold into
+    ONE conditional map-side-combined pass over the scan, and the CDF
+    window runs over {_KS_BINS} rows. Determinism: min/max of doubles
+    are exact, bin edges derive from them by identical IEEE
+    arithmetic in both engines, counts are integers, and the CDF
+    ratios carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "value", F.dayofmonth("ts").cast("int").alias("d")
+    )
+    mm = s.agg(F.min("value").alias("mn"), F.max("value").alias("mx")).collect()[0]
+    mn, mx = mm["mn"], mm["mx"]
+    width = (mx - mn) / float(_KS_BINS)
+    bin_col = F.least(
+        F.lit(_KS_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.lit(mn)) / F.lit(width)).cast("int"),
+        ),
+    )
+    b = s.select(
+        bin_col.alias("bin"),
+        (F.col("d") <= _KS_SPLIT_DAY).cast("int").alias("ia"),
+    )
+    h = b.groupBy("bin").agg(
+        F.sum("ia").alias("cnt_a"),
+        (F.count("*") - F.sum("ia")).alias("cnt_b"),
+    )
+    w_cum = Window.orderBy("bin")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = h.select(
+        "bin",
+        "cnt_a",
+        "cnt_b",
+        F.sum("cnt_a").over(w_cum).alias("cum_a"),
+        F.sum("cnt_b").over(w_cum).alias("cum_b"),
+        F.sum("cnt_a").over(w_all).alias("na"),
+        F.sum("cnt_b").over(w_all).alias("nb"),
+    )
+    cdf_a = F.col("cum_a").cast("double") / F.col("na")
+    cdf_b = F.col("cum_b").cast("double") / F.col("nb")
+    return c.select(
+        F.col("bin").cast("int").alias("bin"),
+        "cnt_a",
+        "cnt_b",
+        F.round(cdf_a, 6).alias("cdf_a"),
+        F.round(cdf_b, 6).alias("cdf_b"),
+        F.round(F.abs(cdf_a - cdf_b), 6).alias("cdf_gap"),
+    )
+
+
+@register("chunk_words_udtf", oracle=_SQL_CHUNK_WORDS)
+def chunk_words_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF escape hatch, demonstrated and pinned: the greedy
+    word-boundary chunker as an Arrow-optimized Python table function
+    lateral-joined per document — the API a user reaches for when an
+    operator truly cannot be expressed natively (SURVEY §2.2's
+    UDF/UDAF/UDTF row; mapInPandas/pandas_udf cover the other two).
+    It shares chunk_words' oracle, so the UDTF is PROVEN
+    output-identical to the native higher-order fold — and the native
+    form remains the default because it stays in whole-stage codegen
+    while this one pays a Python round trip per batch. Scale shape:
+    map-only lateral explode, no shuffle; Arrow batches amortize the
+    serialization."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk string, chunk_chars int", useArrow=True)
+    class ChunkWordsUdtf:
+        def eval(self, text: str, max_chars: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            done: list[str] = []
+            cur = ""
+            for t in toks:
+                joined = t if not cur else f"{cur} {t}"
+                if len(joined) <= max_chars:
+                    cur = joined
+                else:
+                    if cur:
+                        done.append(cur)
+                    cur = t
+            if cur:
+                done.append(cur)
+            for i, c in enumerate(done):
+                yield i, c, len(c)
+
+    from nano_vectordb_spark.sources.tables import register_views
+
+    spark.udtf.register("nvdb_chunk_words", ChunkWordsUdtf)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"SELECT d.doc_id, c.chunk_id, c.chunk, c.chunk_chars "
+        f"FROM documents d, LATERAL nvdb_chunk_words(d.text, {_CHUNK_CHARS}) c"
+    )
+
+
+_SQL_PARETO = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY o_custkey
+),
+c AS (
+  SELECT o_custkey, r,
+         sum(r) OVER (ORDER BY r DESC, o_custkey ASC) AS cum_r,
+         sum(r) OVER () AS tot_r,
+         row_number() OVER (ORDER BY r DESC, o_custkey ASC) AS rn,
+         count(*) OVER () AS n
+  FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE) >= 0.8
+                THEN rn END) AS BIGINT) AS n_for_80pct,
+       round(CAST(min(CASE WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE) >= 0.8
+                      THEN rn END) AS DOUBLE) / max(n), 6) AS share_for_80pct,
+       round(CAST(max(CASE WHEN rn = 1 THEN cum_r END) AS DOUBLE)
+             / CAST(max(tot_r) AS DOUBLE), 6) AS top1_share
+FROM c
+"""
+
+
+@register("revenue_pareto", oracle=_SQL_PARETO)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration / Pareto analysis: how many customers (and what
+    fraction of the base) produce 80% of order revenue, plus the top
+    customer's share — the 80/20 report behind sales prioritization
+    and, in the corpus world, the "does one vendor dominate the
+    mixture" check. Scale shape: one keyed exact-DECIMAL aggregate,
+    then a TWO-PHASE global rank + running decimal sum (range
+    partition, per-partition window, broadcast offsets —
+    operators/globalrank.py; decimal addition is associative so the
+    offset-split running sum is exactly the window's) instead of the
+    one-task unpartitioned window; totals come from a plain aggregate
+    cross-joined as one broadcast row. Only the final shares divide
+    through doubles with round-6."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    c = grank.two_phase_rank(
+        rev,
+        [F.col("r").desc(), F.col("o_custkey").asc()],
+        cum_sums=[(F.col("r"), "cum_r")],
+        rn_name="rn",
+    )
+    tot = rev.agg(
+        F.sum("r").alias("tot_r"), F.count("*").cast("long").alias("n")
+    )
+    c = c.crossJoin(F.broadcast(tot))
+    frac = F.col("cum_r").cast("double") / F.col("tot_r").cast("double")
+    return c.agg(
+        F.count("*").alias("n_customers"),
+        F.min(F.when(frac >= 0.8, F.col("rn"))).cast("long").alias("n_for_80pct"),
+        F.round(
+            F.min(F.when(frac >= 0.8, F.col("rn"))).cast("double") / F.max("n"),
+            6,
+        ).alias("share_for_80pct"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("cum_r"))).cast("double")
+            / F.max("tot_r").cast("double"),
+            6,
+        ).alias("top1_share"),
+    )
+
+
+_TOPIC_K = 8
+_TOPIC_TOP = 5
+
+
+def _py_hash_embed(text: str, dim: int) -> list[float]:
+    """Pure-Python replica of operators/textops.hash_embed — same md5
+    buckets, same 1/(pos+1) weights, same sequential folds, same L2
+    normalize — bit-identical doubles (used only to fit the oracle's
+    centroid literals)."""
+    import hashlib
+    import math
+
+    toks = [t for t in (text or "").split(" ") if t]
+    raw = [0.0] * dim
+    for i, t in enumerate(toks):
+        b = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:7], 16) % dim
+        raw[b] += 1.0 / (i + 1)
+    s = 0.0
+    for v in raw:
+        s += v * v
+    if s == 0.0:
+        return raw
+    n = math.sqrt(s)
+    return [v / n for v in raw]
+
+
+def _topic_centroids_np() -> "object":
+    def fit():
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        from nano_vectordb_spark.functions import kmeans as km
+
+        tbl = papq.read_table(
+            f"{_ORACLE_SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        rows = sorted(
+            zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+        )
+        n_train = km.train_rows_for(_TOPIC_K)
+        mat = np.asarray(
+            [_py_hash_embed(t, _EMBED_DIM) for _, t in rows[:n_train]],
+            dtype=np.float64,
+        )
+        return km.lloyd_fit(mat, _TOPIC_K, seed=SEED)
+
+    return _fit_cached("topic_centroids", fit)
+
+
+def _topic_oracle() -> str:
+    cent = _topic_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2 = _sql_l2("e.emb", "c.centroid")
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, 0 AS chunk_id, text AS chunk, length(text) AS chunk_chars
+  FROM documents
+),
+{_sql_embed_ctes("chunks")},
+embx AS MATERIALIZED (SELECT doc_id, emb FROM embedded),
+centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+assigned AS (
+  SELECT doc_id, cluster_id FROM (
+    SELECT e.doc_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.doc_id
+             ORDER BY {l2} ASC, c.cluster_id ASC) AS rn
+    FROM embx e CROSS JOIN centroids c)
+  WHERE rn = 1
+),
+toksx AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tc AS (
+  SELECT a.cluster_id, t.term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toksx t JOIN assigned a USING (doc_id) GROUP BY 1, 2
+),
+dfc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS dfc
+  FROM (SELECT DISTINCT cluster_id, term FROM tc) t GROUP BY term
+),
+sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY cluster_id
+),
+scored AS (
+  SELECT tc.cluster_id, tc.term, tc.cnt, dfc.dfc,
+         round(tc.cnt * log2(CAST({_TOPIC_K} AS DOUBLE) / dfc.dfc), 6) AS score
+  FROM tc JOIN dfc USING (term)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster_id
+              ORDER BY score DESC, term ASC) AS tr
+  FROM scored
+)
+SELECT CAST(r.cluster_id AS INT) AS cluster_id, sz.n_docs, r.term, r.cnt,
+       r.dfc AS df_clusters, r.score, CAST(r.tr AS INT) AS term_rank
+FROM ranked r JOIN sz USING (cluster_id)
+WHERE r.tr <= {_TOPIC_TOP}
+"""
+
+
+@register("cluster_topics", oracle=_topic_oracle)
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic discovery, end to end (the BERTopic shape on
+    deterministic parts): hash-projection doc embeddings -> seeded
+    k-means into {_TOPIC_K} clusters -> top-{_TOPIC_TOP} c-TF-IDF
+    terms per cluster (count-in-cluster x log2(K / clusters-containing-
+    term)) with cluster sizes — the unsupervised "what is in this
+    corpus" report curation teams read before designing mixtures.
+    Composes three proven subsystems: the O33 embed pipeline, the IVF
+    ladder's driver-side Lloyd fit (bounded training prefix in doc_id
+    order, centroid literals in the oracle), and the TF-IDF posting
+    machinery. Scale shape: embed is map-only codegen; assignment is a
+    K-way broadcast-centroid fold (no UDF — identical to the oracle's
+    argmin); topic scoring is two map-side-combined counts + a
+    |vocab|-keyed join. Determinism: embeds are bit-identical IEEE in
+    Spark / DuckDB / the Python fit replica; assignment ties break on
+    cluster_id; the score ranks on its rounded value."""
+    import numpy as np
+
+    from nano_vectordb_spark.functions import kmeans as km
+
+    docs = load_table(spark, sf_dir, "documents")
+    # persist the embeds: the K-way assignment fold references the
+    # embedding column 8x32 times — without a materialization barrier
+    # Catalyst inlines the whole hash_embed expression at every
+    # reference and the md5 token hashes recompute K x dim times per row.
+    # Memoized per fixture (the dedup/IVF _INDEX_CACHE discipline) so
+    # repeated gate/bench invocations reuse one cached plan instead of
+    # re-persisting blocks every call.
+    key = ("topic_emb", sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = (
+            text_ops.hash_embed(
+                docs.select("doc_id", "text"), _EMBED_DIM, text_col="text"
+            )
+            .select("doc_id", "embedding")
+            .persist()
+        )
+    emb = _INDEX_CACHE[key]
+    n_train = km.train_rows_for(_TOPIC_K)
+    mat = np.asarray(
+        [
+            r["embedding"]
+            for r in emb.orderBy("doc_id").limit(n_train).collect()
+        ],
+        dtype=np.float64,
+    )
+    cent = km.lloyd_fit(mat, _TOPIC_K, seed=SEED)
+
+    def l2_to(c: list) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.lit(c).cast("array<double>"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    choices = F.array(
+        *[
+            F.struct(l2_to(cent[i].tolist()).alias("d2"), F.lit(i).alias("cid"))
+            for i in range(_TOPIC_K)
+        ]
+    )
+    assigned = emb.select(
+        "doc_id", F.array_min(choices)["cid"].alias("cluster_id")
+    )
+    toks = docs.select("doc_id", F.explode(tx.tokens_expr("text")).alias("term"))
+    tc = (
+        toks.join(assigned, "doc_id")
+        .groupBy("cluster_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfc = (
+        tc.select("cluster_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("dfc"))
+    )
+    sz = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    scored = tc.join(dfc, "term").select(
+        "cluster_id",
+        "term",
+        "cnt",
+        "dfc",
+        F.round(
+            F.col("cnt") * F.log2(F.lit(float(_TOPIC_K)) / F.col("dfc")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("tr", F.row_number().over(w))
+        .filter(F.col("tr") <= _TOPIC_TOP)
+        .join(F.broadcast(sz), "cluster_id")
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_docs",
+            "term",
+            "cnt",
+            F.col("dfc").alias("df_clusters"),
+            "score",
+            F.col("tr").cast("int").alias("term_rank"),
+        )
+    )
+
+
+_WRS_N = 20
+_WRS_DENOM = float((1 << 28) + 1)
+
+_SQL_WRS = f"""
+WITH qual AS ({_SQL_QUALITY}),
+k AS (
+  SELECT doc_id, round(quality, 6) AS w,
+         CAST(('0x' || substr(md5('wrs{SEED}:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+              + 1 AS DOUBLE) / {_WRS_DENOM!r} AS u
+  FROM qual
+),
+s AS (SELECT doc_id, w, round(pow(u, 1.0 / w), 6) AS sample_key FROM k),
+r AS (
+  SELECT doc_id, w, sample_key,
+         CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id ASC) AS INT)
+           AS sample_rank
+  FROM s
+)
+SELECT doc_id, w, sample_key, sample_rank FROM r WHERE sample_rank <= {_WRS_N}
+"""
+
+
+@register("weighted_sample_docs", oracle=_SQL_WRS)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed (Efraimidis-
+    Spirakis A-Res): every doc draws key = u^(1/w) from a seeded
+    md5-uniform u and its quality score w, and the global top-{_WRS_N}
+    keys ARE the weighted sample — quality-weighted corpus subsampling
+    with single-pass, coordination-free semantics (each partition can
+    keep a local top-n and merge: the same partial/final top-k
+    machinery as the vector scans, which is why this beats sequential
+    reservoir algorithms on a cluster). Complements mixture_sample's
+    with-replacement rate thinning with exact without-replacement
+    draws. Determinism: u is an md5-derived exact rational, w rounds
+    to 6, pow carries the libm round-6 contract, and the rank orders
+    on the rounded key."""
+    d = _toks_df(spark, sf_dir)
+    qual = d.select(
+        "doc_id", F.round(tx.quality_expr(F.col("toks"), "text"), 6).alias("w")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"wrs{SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ).cast("double") / F.lit(_WRS_DENOM)
+    s = qual.select(
+        "doc_id",
+        "w",
+        F.round(F.pow(u, F.lit(1.0) / F.col("w")), 6).alias("sample_key"),
+    )
+    w_rank = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return (
+        s.withColumn("sample_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("sample_rank") <= _WRS_N)
+        .select("doc_id", "w", "sample_key", "sample_rank")
+    )
+
+
+_DTK_PER_SOURCE = 10
+_DTK_GLOBAL = 50
+
+_SQL_DIVERSE_TOPK = f"""
+WITH qual AS ({_SQL_QUALITY}),
+j AS (
+  SELECT d.doc_id, d.source, round(q.quality, 6) AS quality
+  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+),
+per_src AS (
+  SELECT doc_id, source, quality,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY quality DESC, doc_id ASC) AS INT) AS source_rank
+  FROM j
+),
+capped AS (SELECT * FROM per_src WHERE source_rank <= {_DTK_PER_SOURCE})
+SELECT doc_id, source, quality, source_rank,
+       CAST(row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS INT)
+         AS global_rank
+FROM capped
+QUALIFY global_rank <= {_DTK_GLOBAL}
+"""
+
+
+@register("diverse_topk_docs", oracle=_SQL_DIVERSE_TOPK)
+def diverse_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained selection: global top-{_DTK_GLOBAL} docs
+    by quality, subject to a per-source cap of {_DTK_PER_SOURCE} — the
+    curation rule that stops one prolific vendor from monopolizing a
+    budgeted high-quality subset (the set-level cousin of topk_mmr's
+    per-query diversification). Scale shape: one source-partitioned
+    window (per-group top-k, map-side heap-friendly) then a global
+    top-n over only sources x cap survivors — the same partial/final
+    reduction as every top-k here. Ranks order on the 6-decimal-
+    rounded quality with doc_id tie-breaks, so both windows are total
+    orders in both engines."""
+    d = _toks_df(spark, sf_dir)
+    j = d.select(
+        "doc_id",
+        "source",
+        F.round(tx.quality_expr(F.col("toks"), "text"), 6).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    capped = (
+        j.withColumn("source_rank", F.row_number().over(w_src).cast("int"))
+        .filter(F.col("source_rank") <= _DTK_PER_SOURCE)
+    )
+    w_glob = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        capped.withColumn("global_rank", F.row_number().over(w_glob).cast("int"))
+        .filter(F.col("global_rank") <= _DTK_GLOBAL)
+        .select("doc_id", "source", "quality", "source_rank", "global_rank")
+    )
+
+
+_SCD2_MOD = 7  # doc_id % 7 == 0 receives a v2 update (corpus_upsert's batch)
+
+_SQL_SCD2 = f"""
+WITH hist AS (
+  SELECT doc_id, md5(text) AS text_md5, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, md5(text || ' [v2]') AS text_md5, 2 AS version
+  FROM documents WHERE doc_id % {_SCD2_MOD} = 0
+)
+SELECT doc_id, CAST(version AS INT) AS version, text_md5,
+       CAST(version AS INT) AS valid_from,
+       CAST(lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+            AS INT) AS valid_to,
+       CAST(CASE WHEN lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+                 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM hist
+"""
+
+
+@register("corpus_history_scd2", oracle=_SQL_SCD2)
+def corpus_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-history corpus versioning (SCD type 2): where
+    corpus_upsert keeps only the LATEST row per doc (type 1), this
+    derives the validity-interval history table — every version with
+    [valid_from, valid_to) bounds and an is_current flag — the layout
+    that lets a training run pin "the corpus as of release R" forever
+    (reproducibility) while ingests keep appending. Closing the
+    previous version is one doc-keyed lead() window over the unioned
+    history, no self-join. Integer-exact; text content enters only as
+    md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.lit(1).alias("version")
+    )
+    v2 = docs.where(F.col("doc_id") % _SCD2_MOD == 0).select(
+        "doc_id",
+        F.md5(F.concat("text", F.lit(" [v2]"))).alias("text_md5"),
+        F.lit(2).alias("version"),
+    )
+    hist = v1.unionByName(v2)
+    w = Window.partitionBy("doc_id").orderBy("version")
+    nxt = F.lead("version").over(w)
+    return hist.select(
+        "doc_id",
+        F.col("version").cast("int").alias("version"),
+        "text_md5",
+        F.col("version").cast("int").alias("valid_from"),
+        nxt.cast("int").alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+# Jaccard threshold over distinct 3-gram shingle sets — the SAME
+# semantics as ngram_jaccard_pairs/_JACCARD_T, so the two entries are
+# two candidate-generation algorithms for one contract.
+# ceil(0.2 * n) == (n + 4) // 5 in exact integer arithmetic.
+
+_SQL_PREFIX_JOIN = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+dt AS (SELECT doc_id, unnest(shingles) AS w FROM sh),
+freq AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY w),
+ordered AS (
+  SELECT d.doc_id, d.w,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY f.c ASC, d.w ASC) AS rn,
+         count(*) OVER (PARTITION BY d.doc_id) AS n
+  FROM dt d JOIN freq f USING (w)
+),
+prefix AS (SELECT doc_id, w FROM ordered WHERE rn <= n - (n + 4) // 5 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM prefix a JOIN prefix b ON a.w = b.w AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, shingles AS s, len(shingles) AS n FROM sh),
+verified AS (
+  SELECT c.a_id, c.b_id,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.a_id
+  JOIN sets sb ON sb.doc_id = c.b_id
+)
+SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_JACCARD_T}
+"""
+
+
+@register("prefix_filter_join", oracle=_SQL_PREFIX_JOIN)
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07): the deterministic alternative to
+    MinHash-LSH when missed pairs are unacceptable — same contract as
+    ngram_jaccard_pairs (3-gram shingle Jaccard >= threshold), third
+    algorithm beside the full inverted-index join and the banded LSH.
+    Shingles order globally by frequency (rarest first); a qualifying
+    pair MUST share a shingle among each side's first
+    n - ceil(t*n) + 1 rarest, so the candidate index is built over
+    PREFIXES only — rare shingles with short posting lists — and the
+    verify step recomputes exact Jaccard on survivors. Any recall bug
+    in the filter surfaces as a hash mismatch vs the exact semantics.
+    Scale shape: one frequency count, one per-doc window, a posting
+    join on prefix shingles, set-lookup verify. Prefix length is pure
+    integer arithmetic; the one division is the exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = dedup_ops.ngram_shingles(docs).select(
+        "doc_id", F.col("shingles").alias("s")
+    )
+    dt = t.select("doc_id", F.explode("s").alias("w"))
+    freq = dt.groupBy("w").agg(F.count("*").alias("c"))
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("c").asc(), F.col("w").asc())
+    w_n = Window.partitionBy("doc_id")
+    ordered = dt.join(freq, "w").select(
+        "doc_id",
+        "w",
+        F.row_number().over(w_doc).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    prefix = ordered.where(
+        F.col("rn") <= F.col("n") - F.expr("(n + 4) div 5") + 1
+    ).select("doc_id", "w")
+    a = prefix.select(F.col("doc_id").alias("a_id"), "w")
+    b = prefix.select(F.col("doc_id").alias("b_id"), "w")
+    cand = (
+        a.join(b, "w")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets = t.select("doc_id", "s", F.size("s").alias("n"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("s").alias("sa"),
+                F.col("n").alias("na"),
+            ),
+            "a_id",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("s").alias("sb"),
+                F.col("n").alias("nb"),
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                inter.cast("double")
+                / (F.col("na") + F.col("nb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= _JACCARD_T)
+
+
+_SQL_TREND = """
+WITH daily AS (
+  SELECT event_type, CAST(EXTRACT(day FROM ts) AS INT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+         CAST(sum(d * d) AS BIGINT) AS sxx, CAST(sum(d * c) AS BIGINT) AS sxy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n AS n_days, sy AS total_events,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+       round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+             / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept
+FROM s
+"""
+
+
+@register("event_type_trend", oracle=_SQL_TREND)
+def event_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend detection: per event type, the OLS slope and intercept of
+    its daily volume over the month — the "is this signal growing or
+    decaying" line a monitoring dashboard fits before alerting on
+    value_drift_ks's distribution shift. Every sufficient statistic
+    (n, Σx, Σy, Σx², Σxy) is an exact INTEGER (day indices x counts),
+    so the slope is an exact rational and both engines compute the
+    identical double before the shared round-6; the whole fit is one
+    map-side-combined aggregate over the day-grain rollup — the same
+    one-pass moment reduction as the Pearson entry, here with closed-
+    form normal equations."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type", F.dayofmonth("ts").cast("int").alias("d")
+    ).groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("c").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+        F.sum(F.col("d") * F.col("c")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("sy").alias("total_events"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx")).cast("double")
+            / (F.col("n") * den).cast("double"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+_SQL_MAX_CONCURRENT = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+),
+s AS (
+  SELECT user_id, session_id,
+         min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+  FROM sess GROUP BY user_id, session_id
+),
+pts AS (
+  SELECT st AS t, 1 AS d, user_id, session_id FROM s
+  UNION ALL
+  SELECT en AS t, -1 AS d, user_id, session_id FROM s
+),
+c AS (
+  SELECT t,
+         sum(d) OVER (ORDER BY t ASC, d DESC, user_id ASC, session_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+),
+m AS (SELECT CAST(max(conc) AS BIGINT) AS max_concurrent FROM c)
+SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sessions,
+       m.max_concurrent,
+       CAST((SELECT min(t) FROM c WHERE c.conc = m.max_concurrent) AS BIGINT)
+         AS peak_t_us
+FROM m
+"""
+
+
+@register("max_concurrent_sessions", oracle=_SQL_MAX_CONCURRENT)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line algorithm: sessions (the
+    30-minute-gap sessionize derivation) become +1/-1 boundary points,
+    a single ordered running sum IS the concurrency curve, and its max
+    and first-peak time are the capacity-planning numbers (how many
+    simultaneous sessions must the serving tier hold). Interval-
+    overlap counting without any interval self-join — the sweep
+    replaces an O(n^2) overlap join with one sort, exactly like the
+    hypertable rollup replaces point lookups. Inclusive semantics:
+    starts order before ends at equal timestamps (d DESC tie-break),
+    then user/session ids make the sweep a total order. Integer
+    microseconds end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            ts_us - F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+            )
+            > 1_800_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = gaps.select(
+        "user_id", "ts_us", F.sum("is_new").over(w_run).alias("session_id")
+    )
+    s = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("st"), F.max("ts_us").alias("en")
+    )
+    pts = s.select(
+        F.col("st").alias("t"), F.lit(1).alias("d"), "user_id", "session_id"
+    ).unionByName(
+        s.select(
+            F.col("en").alias("t"), F.lit(-1).alias("d"), "user_id", "session_id"
+        )
+    )
+    w_sweep = Window.orderBy(
+        F.col("t").asc(), F.col("d").desc(), F.col("user_id").asc(),
+        F.col("session_id").asc(),
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    c = pts.select("t", F.sum("d").over(w_sweep).alias("conc"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    peak = (
+        c.select(
+            "t", "conc", F.max("conc").over(w_all).alias("mx")
+        )
+        .where(F.col("conc") == F.col("mx"))
+        .agg(
+            F.max("mx").cast("long").alias("max_concurrent"),
+            F.min("t").cast("long").alias("peak_t_us"),
+        )
+    )
+    n_sess = s.agg(F.count("*").alias("n_sessions"))
+    a_side = n_sess.select(
+        "n_sessions",
+        F.lit(None).cast("long").alias("max_concurrent"),
+        F.lit(None).cast("long").alias("peak_t_us"),
+    )
+    b_side = peak.select(
+        F.lit(None).cast("long").alias("n_sessions"),
+        "max_concurrent",
+        "peak_t_us",
+    )
+    return (
+        a_side.unionByName(b_side)
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("max_concurrent").alias("max_concurrent"),
+            F.max("peak_t_us").alias("peak_t_us"),
+        )
+    )
+
+
+_SQL_ASSOC = """
+WITH b AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+),
+nb AS (SELECT CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n FROM b),
+items AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS ante, c.event_type AS cons,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM b a JOIN b c
+    ON a.user_id = c.user_id AND a.day = c.day
+   AND a.event_type < c.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ante, p.cons, p.c_ab,
+       ia.c AS c_ante, ic.c AS c_cons,
+       round(CAST(p.c_ab AS DOUBLE) / nb.n, 6) AS support,
+       round(CAST(p.c_ab AS DOUBLE) / ia.c, 6) AS confidence,
+       round((CAST(p.c_ab AS DOUBLE) * nb.n) / (CAST(ia.c AS DOUBLE) * ic.c), 6)
+         AS lift
+FROM pairs p
+JOIN items ia ON ia.event_type = p.ante
+JOIN items ic ON ic.event_type = p.cons
+CROSS JOIN nb
+"""
+
+
+@register("event_assoc_rules", oracle=_SQL_ASSOC)
+def event_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (the market-basket shape, Apriori's
+    first level): baskets are (user, day) distinct event-type sets;
+    for every type pair, support, confidence and lift — lift near 1
+    says the behaviors co-occur by volume alone, which is exactly what
+    a feature-engineering pass needs to know before crossing features.
+    Scale shape: basket dedup is one distinct (map-side combinable),
+    pair counts come from a basket-keyed self-join whose per-basket
+    fan-out is bounded by the item-type cardinality squared (never
+    rows^2), and the rule stats are a broadcast item-count join.
+    Counts exact; the three ratios carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    n_baskets = b.select("user_id", "day").distinct().count()
+    items = b.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = b.select("user_id", "day", F.col("event_type").alias("ante"))
+    c = b.select("user_id", "day", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(c, ["user_id", "day"])
+        .where(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ia = items.select(F.col("event_type").alias("ante"), F.col("c").alias("c_ante"))
+    ic = items.select(F.col("event_type").alias("cons"), F.col("c").alias("c_cons"))
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ante",
+            "cons",
+            "c_ab",
+            "c_ante",
+            "c_cons",
+            F.round(F.col("c_ab").cast("double") / F.lit(n_baskets), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c_ab").cast("double") / F.col("c_ante"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("c_ab").cast("double") * F.lit(n_baskets))
+                / (F.col("c_ante").cast("double") * F.col("c_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_PHH_TOP = 10
+_PHH_MIN_DAYS = 4
+
+_SQL_PERSISTENT_HH = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, user_id, c,
+         row_number() OVER (PARTITION BY day ORDER BY c DESC, user_id ASC) AS rn
+  FROM daily
+),
+hh AS (SELECT day, user_id, c FROM ranked WHERE rn <= {_PHH_TOP})
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS days_in_top{_PHH_TOP},
+       CAST(sum(c) AS BIGINT) AS events_while_top,
+       CAST(min(day) AS DATE) AS first_day,
+       CAST(max(day) AS DATE) AS last_day
+FROM hh
+GROUP BY user_id
+HAVING count(*) >= {_PHH_MIN_DAYS}
+"""
+
+
+@register("persistent_heavy_hitters", oracle=_SQL_PERSISTENT_HH)
+def persistent_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal stability of heavy hitters: users in the daily
+    top-{_PHH_TOP} by event volume on at least {_PHH_MIN_DAYS} of the
+    month's days — separating persistent power users (or abusers:
+    rate-limit candidates, dedup-source suspects) from one-day bursts
+    that a single global top-k cannot distinguish. Scale shape: the
+    day-grain rollup (the sliding-distinct entry's pre-agg) ranked
+    inside each day partition — top-k per window is map-side-heap
+    friendly — then one user-keyed aggregate over days x {_PHH_TOP}
+    survivor rows. Integer-exact throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("day").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    hh = daily.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _PHH_TOP
+    )
+    return (
+        hh.groupBy("user_id")
+        .agg(
+            F.count("*").alias(f"days_in_top{_PHH_TOP}"),
+            F.sum("c").alias("events_while_top"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+        .filter(F.col(f"days_in_top{_PHH_TOP}") >= _PHH_MIN_DAYS)
+    )
+
+
+_SQL_FEDERATED = """
+WITH chk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31) || lang
+               || chr(31) || source || chr(31) || CAST(n_chars AS VARCHAR)
+             ), 1, 12))::BIGINT) AS BIGINT) AS checksum
+  FROM documents
+)
+SELECT f.fmt AS format, chk.n_docs, chk.checksum
+FROM (VALUES ('csv'), ('jsonl'), ('parquet')) f(fmt) CROSS JOIN chk
+"""
+
+
+def _row_checksum_expr() -> Column:
+    """Order-independent corpus checksum: sum of 48-bit md5 row hashes
+    (bounded so a BIGINT sum cannot overflow at any plausible sf)."""
+    payload = F.concat_ws(
+        "",
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").cast("string"),
+    )
+    return F.conv(F.substring(F.md5(payload), 1, 12), 16, 10).cast("long")
+
+
+@register("federated_format_audit", oracle=_SQL_FEDERATED)
+def federated_format_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated-source consistency: the SAME corpus read back through
+    all three interchange formats (parquet at rest, RFC-4180 CSV,
+    JSON-lines) must agree on an order-independent content checksum —
+    the cheap invariant a pipeline checks after every format hop
+    (vendor deliveries arrive as CSV/JSONL; one mangled quote or
+    dropped row flips the sum). The checksum is a SUM of 48-bit md5
+    row digests: commutative (no ordering requirement between
+    engines/partitions), mergeable (per-partition partials add), and
+    BIGINT-safe by construction. The oracle derives every format's
+    expected row from the parquet truth, so a format reader that
+    diverges fails the hash even though each roundtrip entry is also
+    checked row-by-row elsewhere."""
+    import os as _os
+
+    from nano_vectordb_spark.sources import jsonl as jsonl_src
+
+    pq = load_table(spark, sf_dir, "documents")
+    csv = _csv_docs(spark, sf_dir)
+    path = _jsonl_docs_path(sf_dir)
+    _materialize_once(
+        path,
+        lambda p: jsonl_src.write_documents_jsonl(
+            load_table(spark, sf_dir, "documents"), p
+        ),
+    )
+    jl = jsonl_src.read_documents_jsonl(spark, path)
+
+    def audit(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_row_checksum_expr()).alias("checksum"),
+        ).select(F.lit(fmt).alias("format"), "n_docs", "checksum")
+
+    return (
+        audit(csv, "csv")
+        .unionByName(audit(jl, "jsonl"))
+        .unionByName(audit(pq, "parquet"))
+    )
+
+
+_SQL_DOW_SEASONALITY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+),
+d2 AS (SELECT CAST(EXTRACT(isodow FROM day) AS INT) AS dow, c FROM daily),
+g AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+         CAST(sum(c) AS BIGINT) AS s_g, CAST(sum(c * c) AS BIGINT) AS q_g
+  FROM d2 GROUP BY dow
+),
+tot AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(sum(q_g) AS BIGINT) AS q,
+         list_aggregate(
+           list(q_g - CAST(s_g AS DOUBLE) * s_g / n_g
+                ORDER BY q_g - CAST(s_g AS DOUBLE) * s_g / n_g), 'sum') AS sse
+  FROM g
+),
+prof AS (
+  SELECT dow, n_g, s_g, round(CAST(s_g AS DOUBLE) / n_g, 6) AS mean_daily
+  FROM g
+),
+pk AS (
+  SELECT max(mean_daily) AS peak_mean, min(mean_daily) AS trough_mean FROM prof
+)
+SELECT tot.n AS n_days,
+       round(1.0 - tot.sse / (tot.q - CAST(tot.s AS DOUBLE) * tot.s / tot.n), 6)
+         AS r2_dow,
+       pk.peak_mean, pk.trough_mean,
+       round(pk.peak_mean / pk.trough_mean, 6) AS peak_over_trough
+FROM tot CROSS JOIN pk
+"""
+
+
+@register("dow_seasonality", oracle=_SQL_DOW_SEASONALITY)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength: how much of daily event-volume variance
+    the day-of-week explains — R^2 of the seven dow means as a model
+    (the ANOVA between/within decomposition), plus the peak/trough
+    amplitude. R^2 near 0 says the traffic has no weekly rhythm and a
+    capacity plan can ignore weekday; near 1 says dow-aware
+    autoscaling pays. Everything reduces over the 30-row day-grain
+    rollup: group sums/squares are exact integers, each group's
+    within-term pays one exact IEEE division, the 7-term SSE folds in
+    value order, and the final ratios carry round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("c"))
+    )
+    d2 = daily.select((F.weekday("day") + 1).alias("dow"), "c")
+    g = d2.groupBy("dow").agg(
+        F.count("*").alias("n_g"),
+        F.sum("c").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).alias("q_g"),
+    )
+    term = F.col("q_g") - F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    tot = g.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)), F.lit(0.0), lambda a, x: a + x
+        ).alias("sse"),
+        F.max(F.round(F.col("s_g").cast("double") / F.col("n_g"), 6)).alias(
+            "peak_mean"
+        ),
+        F.min(F.round(F.col("s_g").cast("double") / F.col("n_g"), 6)).alias(
+            "trough_mean"
+        ),
+    )
+    sst = F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return tot.select(
+        F.col("n").alias("n_days"),
+        F.round(F.lit(1.0) - F.col("sse") / sst, 6).alias("r2_dow"),
+        "peak_mean",
+        "trough_mean",
+        F.round(F.col("peak_mean") / F.col("trough_mean"), 6).alias(
+            "peak_over_trough"
+        ),
+    )
+
+
+_SQL_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+),
+tr AS (
+  SELECT f, t, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE t IS NOT NULL GROUP BY f, t
+),
+fr AS (SELECT f, CAST(sum(c) AS BIGINT) AS c_f FROM tr GROUP BY f),
+tto AS (SELECT t, CAST(sum(c) AS BIGINT) AS c_t FROM tr GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tr)
+SELECT tr.f AS from_type, tr.t AS to_type, tr.c AS n_transitions,
+       round(CAST(tr.c AS DOUBLE) / fr.c_f, 6) AS prob,
+       round(CAST(tr.c AS DOUBLE) * tot.n / (CAST(fr.c_f AS DOUBLE) * tto.c_t), 6)
+         AS lift
+FROM tr
+JOIN fr ON fr.f = tr.f
+JOIN tto ON tto.t = tr.t
+CROSS JOIN tot
+"""
+
+
+@register("event_markov_transitions", oracle=_SQL_MARKOV)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user behavior: the event-type
+    transition matrix (row-normalized probabilities) plus each cell's
+    lift over the independence baseline — the sequential counterpart
+    of event_assoc_rules' co-occurrence view (P(next|current) vs
+    P(A,B) per basket) and the statistical layer under
+    event_pattern_match's literal patterns. Scale shape: one
+    user-partitioned lead() window (no self-join builds the bigrams),
+    then a 25-cell aggregate with two broadcast marginal joins.
+    Counts exact; prob and lift are exact-integer ratios through one
+    round-6 each."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    tr = seq.groupBy("f", "t").agg(F.count("*").alias("c"))
+    fr = tr.groupBy("f").agg(F.sum("c").alias("c_f"))
+    tto = tr.groupBy("t").agg(F.sum("c").alias("c_t"))
+    n = tr.agg(F.sum("c")).collect()[0][0]
+    return (
+        tr.join(F.broadcast(fr), "f")
+        .join(F.broadcast(tto), "t")
+        .select(
+            F.col("f").alias("from_type"),
+            F.col("t").alias("to_type"),
+            F.col("c").alias("n_transitions"),
+            F.round(F.col("c").cast("double") / F.col("c_f"), 6).alias("prob"),
+            F.round(
+                F.col("c").cast("double") * F.lit(int(n))
+                / (F.col("c_f").cast("double") * F.col("c_t")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_RPP_P = 16  # target partition count
+
+_SQL_RANGE_PARTITION = f"""
+WITH k AS (SELECT o_custkey AS key FROM orders),
+n_(n) AS (SELECT CAST(count(*) AS BIGINT) FROM k),
+dist AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY key
+),
+cum AS (
+  SELECT key, sum(c) OVER (ORDER BY key) AS cum FROM dist
+),
+bounds AS (
+  SELECT i,
+         (SELECT min(key) FROM cum, n_
+          WHERE cum.cum >= (i * n_.n + {_RPP_P} - 1) // {_RPP_P}) AS b
+  FROM (SELECT unnest(range(1, {_RPP_P})) AS i) t
+),
+blist AS (SELECT list(b ORDER BY b) AS bs FROM bounds),
+assigned AS (
+  SELECT k.key,
+         CAST(len(list_filter(blist.bs, x -> k.key > x)) AS INT) AS pid
+  FROM k CROSS JOIN blist
+),
+per AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(key) AS BIGINT) AS min_key,
+         CAST(max(key) AS BIGINT) AS max_key
+  FROM assigned GROUP BY pid
+)
+SELECT pid AS partition_id, n_rows, min_key, max_key,
+       round(CAST(n_rows AS DOUBLE)
+             / (CAST(sum(n_rows) OVER () AS DOUBLE) / {_RPP_P}), 6) AS load_factor
+FROM per
+"""
+
+
