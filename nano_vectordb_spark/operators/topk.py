@@ -95,13 +95,28 @@ def topk(
     Physical shape: scan -> codegen'd score -> TakeOrderedAndProject,
     which is exactly the reference's per-partition heap + global merge —
     Spark plans the partial top-k per partition automatically.
+
+    Validation is IN-PLAN (reference apps/nvdb_bench.cpp:288-292): a
+    per-row size guard that raise_error()s on the first mismatched
+    vector. Stronger than the old first-row probe (every row is
+    checked, matching the reference's per-row bounds checks) and free
+    of the extra driver job the probe cost on every plan build.
     """
-    if validate:
-        check_dim(base, len(query_vec), vec_col)
     q = F.lit([float(x) for x in query_vec]).cast("array<double>")
+    score = score_expr(metric, vec_col, q)
+    if validate:
+        dim = len(query_vec)
+        score = F.when(F.size(vec_col) == dim, score).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"query dim {dim} != base dim "),
+                    F.size(vec_col).cast("string"),
+                )
+            )
+        )
     scored = base.select(
         F.col(id_col).alias("vec_id"),
-        score_expr(metric, vec_col, q).alias("score"),
+        score.alias("score"),
     )
     return scored.orderBy(*_ordering(metric)).limit(k)
 

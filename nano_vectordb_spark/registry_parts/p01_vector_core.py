@@ -4,6 +4,8 @@ Sequential part of the registry — see registry.py (facade).
 """
 from __future__ import annotations
 from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
+    _emb_dim,
+    _qvec,
     DataFrame,
     F,
     K,
@@ -45,7 +47,7 @@ def topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: single-query exact top-k by dot score (reference O9,
     src/flat_index.cpp:16-48)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 0)
     return topk_ops.topk(emb, qvec, K, metric="dot")
 
 
@@ -69,7 +71,7 @@ def topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB only matching row groups are decoded and scored;
     post-filtering an ANN result would under-fill k instead."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 0)
     return topk_ops.topk(
         emb.filter(F.col("label") == 1), qvec, K, metric="dot"
     )
@@ -90,7 +92,7 @@ LIMIT {K}
 def topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-query exact top-k by L2^2 distance (reference O7)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 0)
     return topk_ops.topk(emb, qvec, K, metric="l2")
 
 
@@ -109,7 +111,7 @@ LIMIT {K}
 )
 def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 7)
     return topk_ops.topk(emb, qvec, K, metric="cosine")
 
 
@@ -199,7 +201,7 @@ def sanity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data sanity invariants (reference O24, apps/nvdb_sanity.cpp:7-47):
     NaN/Inf absence, dimension consistency, L2-norm spread."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    dim = _emb_dim(spark, sf_dir)
     return emb.agg(
         F.count("*").alias("n_rows"),
         F.sum((F.size("embedding") != F.lit(dim)).cast("long")).alias("n_bad_dim"),

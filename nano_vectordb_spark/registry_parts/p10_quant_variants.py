@@ -4,6 +4,8 @@ Sequential part of the registry — see registry.py (facade).
 """
 from __future__ import annotations
 from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
+    _emb_dim,
+    _qvec,
     DataFrame,
     F,
     K,
@@ -116,7 +118,7 @@ def topk_binary_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_once(path, _write)
     sig = spark.read.parquet(path)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 0)
     return binq.topk_binary_rescore(sig, emb, qvec, K, rescore_r=_BINQ_R)
 
 
@@ -192,7 +194,7 @@ def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook is global instead of per-row (no per-row scale column)."""
     vmin, vdiff = _sq8_fit(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 0)
     qlit = F.lit([float(x) for x in qvec]).cast("array<double>")
     from nano_vectordb_spark.functions.vector import dot_expr
 
@@ -568,7 +570,7 @@ def topk_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     _materialize_once(path, _write)
     head = spark.read.parquet(path)
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = _qvec(spark, sf_dir, 0)
     qhead = F.lit([float(x) for x in qvec[:_MRL_DIMS]]).cast("array<double>")
     qfull = F.lit([float(x) for x in qvec]).cast("array<double>")
     from nano_vectordb_spark.functions.vector import dot_expr

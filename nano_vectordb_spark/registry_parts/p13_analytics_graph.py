@@ -4,6 +4,8 @@ Sequential part of the registry — see registry.py (facade).
 """
 from __future__ import annotations
 from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
+    _emb_dim,
+    _qvec,
     DataFrame,
     F,
     K,

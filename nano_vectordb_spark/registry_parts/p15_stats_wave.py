@@ -4,6 +4,7 @@ Sequential part of the registry — see registry.py (facade).
 """
 from __future__ import annotations
 from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
+    _emb_dim,
     DataFrame,
     F,
     REGISTRY,
@@ -208,7 +209,7 @@ def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep = REGISTRY["ivf_recall_sweep"].fn(spark, sf_dir)
     cost = REGISTRY["ivf_probe_cost"].fn(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = emb.agg(F.max(F.size("embedding"))).collect()[0][0]
+    dim = _emb_dim(spark, sf_dir)
     j = sweep.select("nprobe", "recall_at_k").join(
         cost.select("nprobe", "scan_fraction", "total_rows_scanned"), "nprobe"
     )

@@ -29,8 +29,14 @@ def test_invalid_sample_mode_rejected(spark):
 
 
 def test_dim_mismatch_rejected(spark):
-    with pytest.raises(ValueError, match="dim"):
-        topk_ops.topk(_emb(spark), [0.0] * 7, 5)
+    # the guard is in-plan now (per-row raise_error at execution time —
+    # checks EVERY row, costs no plan-build job); see also
+    # tests/test_topk.py::test_topk_dim_mismatch_raises_in_plan
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="dim"):
+        topk_ops.topk(_emb(spark), [0.0] * 7, 5).collect()
 
 
 def test_refine_staged_equals_fused(spark):

@@ -213,3 +213,56 @@ def test_run_folds_match_counter(spark, arrs):
         c = Counter(r.arr)
         assert r.mx == (max(c.values()) if c else 0)
         assert r.dup == sum(v for v in c.values() if v > 1)
+
+
+# ---------------------------------------------------------------------------
+# globalrank: the ntile closed form is pure arithmetic — verify it against
+# the standard ntile definition exhaustively in NumPy (no Spark job), and
+# the two-phase rank against a Python sort on random multisets (Spark).
+# ---------------------------------------------------------------------------
+
+
+@given(n=st.integers(1, 400), k=st.integers(1, 12))
+@settings(max_examples=200, deadline=None)
+def test_ntile_closed_form_matches_definition(n, k):
+    base, rem = divmod(n, k)
+    expect = []
+    for tile in range(1, k + 1):
+        size = base + (1 if tile <= rem else 0)
+        expect += [tile] * size
+    # replicate ntile_from_rank's arithmetic in plain Python
+    cutoff = rem * (base + 1)
+    got = []
+    for rn in range(1, n + 1):
+        if rn <= cutoff:
+            got.append((rn - 1) // (base + 1) + 1)
+        else:
+            got.append(rem + (rn - cutoff - 1) // max(base, 1) + 1)
+    assert got == expect
+
+
+@given(
+    vals=st.lists(st.integers(-5, 5), min_size=1, max_size=30),
+    parts=st.integers(1, 5),
+)
+@_SPARK_SETTINGS
+def test_two_phase_rank_matches_python_sort(spark, vals, parts):
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark.operators import globalrank as grank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(parts)
+    got = {
+        r["id"]: r["rn"]
+        for r in grank.two_phase_rank(
+            df, [F.col("v").desc(), F.col("id").asc()], num_partitions=parts
+        ).collect()
+    }
+    expect = {
+        i: rank
+        for rank, (i, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0])), start=1
+        )
+    }
+    assert got == expect

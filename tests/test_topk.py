@@ -78,3 +78,20 @@ def test_two_phase_query_cap(base, queries):
     )
     with _pytest.raises(ValueError, match="at most"):
         topk_ops.topk_multi(base, big, 10, strategy="two_phase")
+
+
+def test_topk_dim_mismatch_raises_in_plan(spark):
+    """The dim guard is in-plan (per-row raise_error): a mismatched
+    query errors at execution, naming both dims — and costs no extra
+    driver job at plan-build time."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from nano_vectordb_spark.operators import topk as topk_ops
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bad = topk_ops.topk(emb, [1.0, 2.0, 3.0], 5)  # fixture dim != 3
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="query dim 3"):
+        bad.collect()
