@@ -531,3 +531,75 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+
+
+# --------------------------------------------------------------------------
+# Streaming index ingest: stream -> broadcast-centroid assign -> stats
+# --------------------------------------------------------------------------
+
+
+def _stream_ivf_oracle() -> str:
+    from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_centroids_np
+
+    cent = _oracle_centroids_np()
+    values = ",\n    ".join(f"({i}, {_dlist(c)})" for i, c in enumerate(cent))
+    l2_row = _sql_l2("CAST(e.embedding AS DOUBLE[])", "c.centroid")
+    return f"""
+WITH centroids(cluster_id, centroid) AS (VALUES
+    {values}),
+assigned AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2_row} ASC, c.cluster_id ASC) AS rn
+    FROM embeddings e CROSS JOIN centroids c)
+  WHERE rn = 1
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+FROM assigned GROUP BY cluster_id
+"""
+
+
+@register("stream_ivf_ingest", oracle=_stream_ivf_oracle)
+def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the IVF layout: an ACTUAL Structured
+    Streaming query reads the embeddings table as a file-source stream,
+    assigns every incoming vector to its nearest coarse centroid
+    (the SAME broadcast-matmul Arrow UDF the batch index build uses —
+    a stateless map, so the stream needs no watermark or keyed state
+    for the assignment itself) and maintains per-list ingest stats
+    (vector count + exact vec_id checksum) as a Complete-mode
+    aggregation. This is the continuous-indexing half of the FAISS
+    add() contract (reference apps/nvdb_ivf_build.cpp:74-90): at scale
+    the assigned stream writes straight into the
+    partitionBy(cluster_id) layout and THIS stats table is the ingest
+    monitor that catches list skew as it develops. Oracle: batch
+    assignment against the same centroid literals — stream and batch
+    must agree exactly (counts and id-sums are order-independent
+    integers)."""
+    from nano_vectordb_spark.functions import kmeans as km
+    from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_centroids_np
+    from nano_vectordb_spark.sources.tables import ensure_read_confs
+    from nano_vectordb_spark.streaming.events import run_stream_to_table
+
+    ensure_read_confs(spark)
+    cent = _oracle_centroids_np()
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = km.assign_clusters(stream, cent)
+    agg = assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("vec_id").cast("long").alias("vec_id_sum"),
+    )
+    out = run_stream_to_table(spark, agg, "ivf_ingest", "complete")
+    return out.select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "n_vectors",
+        "vec_id_sum",
+    )
