@@ -363,9 +363,17 @@ def minhash_lsh_pairs(
     return j.filter(F.col("jaccard") >= threshold)
 
 
-def _banded_sigs(sig: DataFrame, bands: int, rows: int) -> DataFrame:
-    """(doc_id, band_id, band_sig): one row per LSH band, band_sig =
-    '_'-joined slice of the signature (the minhash_lsh_pairs recipe)."""
+def _banded_sigs(
+    sig: DataFrame,
+    bands: int,
+    rows: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, band_id, band_sig [, *extra_cols]): one row per LSH
+    band, band_sig = '_'-joined slice of the signature (the
+    minhash_lsh_pairs recipe). ``extra_cols`` rides payload columns
+    (e.g. shingles for in-stream verification) through the explode
+    without a join back."""
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda bi: F.struct(
@@ -378,8 +386,11 @@ def _banded_sigs(sig: DataFrame, bands: int, rows: int) -> DataFrame:
             ).alias("band_sig"),
         ),
     )
-    return sig.select("doc_id", F.explode(band_arr).alias("band")).select(
+    return sig.select(
+        "doc_id", *extra_cols, F.explode(band_arr).alias("band")
+    ).select(
         "doc_id",
+        *extra_cols,
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_sig").alias("band_sig"),
     )

@@ -4,6 +4,7 @@ Sequential part of the registry — see registry.py (facade).
 """
 from __future__ import annotations
 from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
+    dedup_ops,
     DataFrame,
     F,
     SEED,
@@ -603,3 +604,91 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         "vec_id_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup-at-ingest: stream-static band join vs the corpus
+# --------------------------------------------------------------------------
+
+
+from nano_vectordb_spark.registry_parts.p06_dedup import (  # noqa: F401,E402
+    _sql_minhash_incremental,
+)
+
+
+@register("stream_dedup_ingest", oracle=_sql_minhash_incremental)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest as an ACTUAL Structured Streaming query: the
+    incoming batch (doc_id % mod == 0, same split as dedup_incremental)
+    arrives as a file-source stream, shingles+MinHash-signs in-stream
+    (the Arrow mapInPandas pass — stateless), and probes the STATIC
+    corpus band table via two stream-static equi-joins (stateless: no
+    watermark, no keyed join state — the production shape where the
+    corpus index is a published table and every ingest microbatch
+    probes it). Candidate pairs verify by exact shingle Jaccard and
+    fold into ONE streaming aggregation per new doc —
+    size(collect_set(corpus_id)) stands in for the distinct-pair count
+    because multi-band hits duplicate pairs and streaming forbids a
+    second dedup aggregation. Results must equal the batch
+    dedup_incremental exactly (same constants, same split)."""
+    from nano_vectordb_spark.sources.tables import ensure_read_confs
+    from nano_vectordb_spark.streaming.events import run_stream_to_table
+
+    k, bands, n = 16, 4, 3
+    rows = k // bands
+    ensure_read_confs(spark)
+    from nano_vectordb_spark.registry_parts.p06_dedup import _INCR_MOD, _JACCARD_T
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("doc_id") % _INCR_MOD == 0)
+    )
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _INCR_MOD != 0
+    )
+    c_base = dedup_ops._shingles_and_sig(corpus, k, n, "text", "doc_id")
+    c_bands = dedup_ops._banded_sigs(c_base.select("doc_id", "sig"), bands, rows)
+    b_base = dedup_ops._shingles_and_sig(stream, k, n, "text", "doc_id")
+    b_bands = dedup_ops._banded_sigs(
+        b_base.select("doc_id", "sig", "shingles", "n_sh"),
+        bands,
+        rows,
+        extra_cols=("shingles", "n_sh"),
+    )
+    cand = b_bands.alias("a").join(
+        c_bands.alias("b"),
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_sig") == F.col("b.band_sig")),
+    ).select(
+        F.col("a.doc_id").alias("new_id"),
+        F.col("a.shingles").alias("sa"),
+        F.col("a.n_sh").alias("na"),
+        F.col("b.doc_id").alias("corpus_id"),
+    )
+    j = cand.join(
+        c_base.select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("shingles").alias("sb"),
+            F.col("n_sh").alias("nb"),
+        ),
+        "corpus_id",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter.cast("double") / (
+        F.col("na") + F.col("nb") - inter
+    ).cast("double")
+    hit = jac >= F.lit(_JACCARD_T)
+    agg = (
+        j.groupBy(F.col("new_id").alias("doc_id"))
+        .agg(
+            F.size(F.collect_set(F.when(hit, F.col("corpus_id"))))
+            .cast("long")
+            .alias("n_corpus_dups"),
+            F.max(F.when(hit, jac)).alias("max_jaccard"),
+        )
+    )
+    out = run_stream_to_table(spark, agg, "dedup_ingest", "complete")
+    return out.filter(F.col("n_corpus_dups") > 0)
