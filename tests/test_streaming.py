@@ -28,3 +28,50 @@ def test_stream_event_counts_matches_batch_sql(spark, duck):
     e = registry.REGISTRY["stream_event_counts"]
     ok, msg = compare(e.fn(spark, SF_CORRECT), duck, e.oracle)
     assert ok, msg
+
+
+def test_stream_ivf_ingest_equals_batch_assignment(spark):
+    """The streaming ingest stats must equal a batch assignment with
+    the same centroids — stream/batch parity, DataFrame to DataFrame
+    (the oracle crosschecks DuckDB; this pins Spark vs Spark)."""
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark import registry
+    from nano_vectordb_spark.functions import kmeans as km
+    from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_centroids_np
+    from nano_vectordb_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    got = sorted(
+        map(tuple, registry.REGISTRY["stream_ivf_ingest"].fn(spark, SF_CORRECT).collect())
+    )
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    want = sorted(
+        map(
+            tuple,
+            km.assign_clusters(emb, _oracle_centroids_np())
+            .groupBy("cluster_id")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("vec_id").cast("long").alias("s"),
+            )
+            .select(F.col("cluster_id").cast("int"), "n", "s")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 1
+
+
+def test_stream_dedup_ingest_equals_batch_incremental(spark):
+    """Streaming dedup-at-ingest must reproduce the batch
+    dedup_incremental row for row."""
+    from nano_vectordb_spark import registry
+    from tests.conftest import SF_CORRECT
+
+    got = sorted(
+        map(tuple, registry.REGISTRY["stream_dedup_ingest"].fn(spark, SF_CORRECT).collect())
+    )
+    want = sorted(
+        map(tuple, registry.REGISTRY["dedup_incremental"].fn(spark, SF_CORRECT).collect())
+    )
+    assert got == want and len(got) > 0
