@@ -93,3 +93,20 @@ def test_cluster_topics_shape(spark):
         ranks = sorted(r["term_rank"] for r in rows if r["cluster_id"] == c)
         assert ranks == list(range(1, len(ranks) + 1))
     assert sum({r["cluster_id"]: r["n_docs"] for r in rows}.values()) > 0
+
+
+def test_release_caches_drains_and_recovers(spark):
+    """registry.release_caches() frees every tracked persist and the
+    registry transparently re-materializes afterwards (round-3 ADVICE
+    hygiene follow-through: no cache the session cannot drain)."""
+    from nano_vectordb_spark import registry
+    from tests.conftest import SF_SMOKE
+
+    # populate: quantized-base memo + dedup persists
+    registry.REGISTRY["topk_i8"].fn(spark, SF_SMOKE).count()
+    registry.REGISTRY["minhash_lsh_pairs"].fn(spark, SF_SMOKE).count()
+    released = registry.release_caches()
+    assert released > 0
+    assert not registry._FIXTURE_MEMO and not registry._INDEX_CACHE
+    # everything rebuilds on demand
+    assert registry.REGISTRY["topk_i8"].fn(spark, SF_SMOKE).count() > 0
