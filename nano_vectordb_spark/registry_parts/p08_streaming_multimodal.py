@@ -629,10 +629,15 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold into ONE streaming aggregation per new doc —
     size(collect_set(corpus_id)) stands in for the distinct-pair count
     because multi-band hits duplicate pairs and streaming forbids a
-    second dedup aggregation. Results must equal the batch
-    dedup_incremental exactly (same constants, same split)."""
+    second dedup aggregation. The aggregation runs in UPDATE output
+    mode with a sink-side last-writer-wins merge per doc_id
+    (run_stream_update_merged) — each microbatch emits only changed
+    keys, so sink traffic and re-emission stay bounded on a long-lived
+    ingest stream, unlike Complete mode which replays the whole
+    accumulated per-new-doc state every batch. Results must equal the
+    batch dedup_incremental exactly (same constants, same split)."""
     from nano_vectordb_spark.sources.tables import ensure_read_confs
-    from nano_vectordb_spark.streaming.events import run_stream_to_table
+    from nano_vectordb_spark.streaming.events import run_stream_update_merged
 
     k, bands, n = 16, 4, 3
     rows = k // bands
@@ -690,5 +695,5 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(hit, jac)).alias("max_jaccard"),
         )
     )
-    out = run_stream_to_table(spark, agg, "dedup_ingest", "complete")
+    out = run_stream_update_merged(spark, agg, "dedup_ingest", ["doc_id"])
     return out.filter(F.col("n_corpus_dups") > 0)

@@ -13,6 +13,9 @@ so partial aggregation happens map-side before the keyed state update.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +35,20 @@ _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 STREAM_STATE_PARTITIONS = 8
 
 
+def _fast_checkpoint_dir(name: str) -> str:
+    """Checkpoint dir on the fastest local scratch available. The
+    offset/commit logs fsync once per microbatch — on a disk-backed
+    /tmp that is the single biggest fixed cost of a short AvailableNow
+    run (~0.15 s measured at sf0.1); tmpfs removes it. Production
+    deployments put checkpoints on durable storage — these demo streams
+    re-derive everything from the source, so scratch is the right
+    durability tier here."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    root = os.path.join(base, "nvdb_stream_ckpt")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, f"{name}_{os.getpid()}")
+
+
 def run_stream_to_table(
     spark: SparkSession,
     sdf: DataFrame,
@@ -42,23 +59,120 @@ def run_stream_to_table(
     """Start ``sdf`` as a memory-sink AvailableNow query and return the
     materialized result table. ``spark.sql.shuffle.partitions`` is
     scoped to ``state_partitions`` around query start (the conf is read
-    at stream start and frozen into the checkpoint), then restored."""
+    at stream start and frozen into the checkpoint), then restored.
+
+    Fixed-overhead controls (they dominate a one-shot AvailableNow run):
+    the checkpoint goes on tmpfs scratch (removed after stop), and for
+    complete/update output the trailing no-data microbatch is skipped —
+    it exists only to let APPEND mode emit watermark-expired windows
+    after the last data batch, so for complete/update it is a full
+    extra state-store commit cycle that produces nothing. Append-mode
+    streams (stream-stream join, sessionize) keep it: their final
+    windows only flush in that batch."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = _fast_checkpoint_dir(name)
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    skip_nodata = output_mode in ("complete", "update")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    if skip_nodata:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
-    q.awaitTermination()
-    q.stop()
+    try:
+        q.awaitTermination()
+        q.stop()
+    finally:
+        # restore only after termination: the flag is consulted per
+        # microbatch, not frozen at start
+        if skip_nodata:
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+            )
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+def run_stream_update_merged(
+    spark: SparkSession,
+    sdf: DataFrame,
+    prefix: str,
+    key_cols: list[str],
+    state_partitions: int = STREAM_STATE_PARTITIONS,
+) -> DataFrame:
+    """Update-output AvailableNow query with a SINK-SIDE MERGE: each
+    microbatch emits only the keys whose state changed (not the whole
+    accumulated state, as Complete mode would — on a long-lived ingest
+    stream Complete re-emits per-key state every batch, growing without
+    bound), and the sink folds those deltas into a result table by
+    last-writer-wins per key — exactly what `MERGE INTO ... WHEN MATCHED
+    UPDATE` does against a Delta/Iceberg sink in production.
+
+    Mechanics: foreachBatch appends the batch's update rows tagged with
+    the epoch id to scratch parquet; the merged view keeps, per
+    ``key_cols``, the row from the LATEST epoch (a key-partitioned
+    window — never a global one). The merged result is localCheckpointed
+    so the scratch dir can be removed before returning."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = _fast_checkpoint_dir(name)
+    sink_dir = ckpt + "_sink"
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+    def _merge_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(_merge_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", old_nodata
+        )
+    try:
+        if not os.path.isdir(sink_dir):
+            return spark.createDataFrame([], sdf.schema)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(F.col("_epoch").desc())
+        merged = (
+            spark.read.parquet(sink_dir)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_epoch")
+            .localCheckpoint(eager=True)
+        )
+        return merged
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

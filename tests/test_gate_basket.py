@@ -23,10 +23,12 @@ from __future__ import annotations
 
 from nano_vectordb_spark import registry
 
-# the only entry allowed to skip the value-hash oracle, with the reason
-# recorded here (library HLL internals have no SQL form; error-bound
-# tested in tests/test_sketch.py instead)
-ROWS_ONLY_DECLARED = {"distinct_users_sketch"}
+# entries allowed to skip the value-hash oracle, with the reason
+# recorded here.  Empty since round 5: distinct_users_sketch (the one
+# r4 declaration — library HLL internals have no SQL form) now hashes
+# the exact count plus an in-plan within_2pct estimator assertion, so
+# every registry entry is oracle-backed.
+ROWS_ONLY_DECLARED: set[str] = set()
 
 R1_FAILURES = {
     "pricing_summary",

@@ -11,7 +11,7 @@ from tests.conftest import SF_CORRECT
 
 def test_hll_union_estimate_within_bounds(spark):
     res = {
-        r.event_type: (r.approx_distinct_users, r.n_daily_sketches)
+        r.event_type: (r.exact_distinct_users, r.n_daily_sketches, r.within_2pct)
         for r in registry.REGISTRY["distinct_users_sketch"].fn(spark, SF_CORRECT).collect()
     }
     exact = {
@@ -22,10 +22,11 @@ def test_hll_union_estimate_within_bounds(spark):
         .collect()
     }
     assert set(res) == set(exact)
-    for et, (approx, n_days) in res.items():
+    for et, (exact_out, n_days, within) in res.items():
         assert n_days >= 1
-        # default lgK=12 HLL: rse ~1.6%; allow 5% headroom
-        assert abs(approx - exact[et]) <= max(1, 0.05 * exact[et]), (et, approx, exact[et])
+        assert exact_out == exact[et]
+        # default lgK=12 HLL: rse ~1.6%; the entry asserts 2% in-plan
+        assert within is True, et
 
 
 def test_md5_hll_accuracy_and_mergeability(spark):
