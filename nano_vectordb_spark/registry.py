@@ -259,3 +259,98 @@ def _reorder_registry_r4() -> None:
 
 
 _reorder_registry_r4()
+
+
+# ==========================================================================
+# Driver-gate basket ordering (round 5) — rotation 2 of 3
+#
+# Every GATE_BASKET_R4 entry holds an official CORRECTNESS_r04 row
+# (49 pass + 1 declared; the declaration is retired — the entry is
+# oracle-backed since r5).  Per the rotation plan (COVERAGE.md
+# "Driver-gate window" table, r4 VERDICT item 1), round 5 swaps the
+# next 50 never-officially-gated entries — positions 51-100 of the r4
+# order, i.e. the round-3 mid-session additions — into the gate window.
+# The remaining 70 never-gated entries queue contiguously at positions
+# 51-120 (GATE_BASKET_R6 = the first 50 of those; the final 20 close
+# the record in r7).  Registry growth is FROZEN at 220 until every
+# entry holds an official driver row (COVERAGE.md schedule).
+# ==========================================================================
+
+GATE_BASKET_R5: tuple[str, ...] = (
+    # -- streaming + multimodal additions (r3 mid-session)
+    "multimodal_wav_stats",
+    "multimodal_ppm_stats",
+    "stream_ivf_ingest",
+    "stream_dedup_ingest",
+    # -- sampling / mixture / corpus pipeline
+    "sample_stratified",
+    "corpus_shuffle",
+    "mixture_weights",
+    "repetition_stats",
+    "hybrid_search_rrf",
+    "quality_filter_quantile",
+    "token_length_histogram",
+    # -- ANN variants + quantization siblings + storage formats
+    "radius_search",
+    "ivf_search_filtered",
+    "topk_binary_rescore",
+    "sq8_search",
+    "orc_roundtrip",
+    "tfidf_top_terms",
+    "orders_above_customer_avg",
+    "latency_quantiles_counting",
+    "search_quality_i8",
+    "topk_matryoshka",
+    "corpus_snapshot_diff",
+    "vocab_typo_pairs",
+    "user_retention_cohorts",
+    "ivf_search_after_delete",
+    "ivf_compact_stats",
+    "mixture_weights_temperature",
+    "schema_evolution_read",
+    "knn_self_join",
+    "ivf_cluster_balance",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "events_anomaly_topk",
+    "substring_dup_spans",
+    "user_value_ewma",
+    "multimodal_neardup",
+    "filter_funnel",
+    "source_overlap",
+    "dedup_keep_longest",
+    "stream_heavy_hitters",
+    "embedding_dim_stats",
+    "corpus_report",
+    "minhash_estimator_error",
+    "quantize_error_by_dim",
+    "ivf_nprobe_autotune",
+    "lang_id_confusion",
+    "neardup_rate_by_source",
+    "user_activity_skew",
+    "ivf_probe_cost",
+    "rankers_agreement",
+)
+
+
+def _reorder_registry_r5() -> None:
+    missing = [n for n in GATE_BASKET_R5 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R5 names unknown entries: {missing}")
+    prior = set(GATE_BASKET_R3) | set(GATE_BASKET_R4)
+    overlap = set(GATE_BASKET_R5) & prior
+    if overlap:
+        raise RuntimeError(f"GATE_BASKET_R5 repeats verdicted entries: {overlap}")
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R5}
+    # rotation queue: the remaining never-gated entries keep relative
+    # order just after the window (GATE_BASKET_R6 = positions 51-100)
+    ordered.update(
+        (n, e) for n, e in REGISTRY.items() if n not in ordered and n not in prior
+    )
+    # entries with official driver rows park at the tail
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r5()

@@ -76,9 +76,14 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R4) == 50
-    assert len(set(registry.GATE_BASKET_R4)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R4)
+    assert len(registry.GATE_BASKET_R5) == 50
+    assert len(set(registry.GATE_BASKET_R5)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R5)
+
+
+def test_r5_basket_spends_no_slot_on_verdicted_entries():
+    prior = set(registry.GATE_BASKET_R3) | set(registry.GATE_BASKET_R4)
+    assert not set(registry.GATE_BASKET_R5) & prior
 
 
 def test_r4_basket_spends_no_slot_on_verdicted_entries():
@@ -119,11 +124,26 @@ def test_officially_gated_union_covers_survey_s2():
 
 
 def test_rotation_queue_holds_only_never_gated_entries():
-    """Positions 51..N-50 must be the never-gated continuation entries in
-    stable order; the r3-verdicted basket parks at the tail."""
+    """Positions 51..120 must be the never-gated continuation entries in
+    stable order (GATE_BASKET_R6 = the first 50, the final 20 close the
+    record in r7); the r3+r4-verdicted baskets park at the tail."""
     names = list(registry.REGISTRY)
-    gated = set(registry.GATE_BASKET_R3) | set(registry.GATE_BASKET_R4)
-    queue = names[50 : len(names) - len(registry.GATE_BASKET_R3)]
-    tail = names[len(names) - len(registry.GATE_BASKET_R3) :]
+    gated = (
+        set(registry.GATE_BASKET_R3)
+        | set(registry.GATE_BASKET_R4)
+        | set(registry.GATE_BASKET_R5)
+    )
+    n_tail = len(registry.GATE_BASKET_R3) + len(registry.GATE_BASKET_R4)
+    queue = names[50 : len(names) - n_tail]
+    tail = names[len(names) - n_tail :]
     assert not set(queue) & gated, "rotation queue polluted by gated entries"
-    assert set(tail) == set(registry.GATE_BASKET_R3), "tail must be the r3 basket"
+    assert set(tail) == set(registry.GATE_BASKET_R3) | set(
+        registry.GATE_BASKET_R4
+    ), "tail must be the r3+r4 baskets"
+
+
+def test_registry_growth_frozen_until_rotation_closes():
+    """The COVERAGE.md schedule (r5: 50, r6: 50, r7: 20) only closes if
+    the registry stays at exactly 220 entries until every one holds an
+    official driver row. New entries may be added again after r7."""
+    assert len(registry.REGISTRY) == 220

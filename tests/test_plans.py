@@ -287,3 +287,58 @@ def test_embedding_dim_stats_partial_agg_no_generate_shuffle(spark):
     plan = physical_plan(df, "simple")
     assert count_exchanges(df) == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# Two-phase global rank: pin the PRESENCE of the good shape (r4 VERDICT
+# item 7). tests/test_plan_guard.py proves the absence of unpartitioned
+# data-sized windows repo-wide; these tests pin that the two_phase_rank
+# consumers actually run their rank stage partitioned, so a refactor
+# back to Window.orderBy() without partitionBy cannot land silently.
+# --------------------------------------------------------------------------
+
+
+def test_two_phase_rank_stage_is_multi_partition(spark):
+    """The rank stage must range-partition the order key across >1
+    partition (8 requested here): per-partition windows in parallel,
+    offsets from a |partitions|-row prefix sum — never one task holding
+    the whole relation."""
+    from nano_vectordb_spark.operators import globalrank as grank
+
+    df = spark.range(0, 10_000).withColumn("v", (F.col("id") * 37) % 1000)
+    # AQE rightly coalesces an 8-way exchange of 10k rows into one
+    # partition at this toy size; switch coalescing off so the assertion
+    # sees the partitioning the plan REQUESTS (what survives at scale)
+    old = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        out = grank.two_phase_rank(
+            df, [F.col("v").asc(), F.col("id").asc()], num_partitions=8
+        )
+        # the localCheckpoint pins the ranged RDD: its partition count IS
+        # the rank stage's parallelism
+        assert out.rdd.getNumPartitions() > 1
+        plan = physical_plan(out, "simple")
+        assert "__gr_pid" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old)
+
+
+@pytest.mark.parametrize(
+    "name", ["revenue_gini", "revenue_pareto", "customer_rfm_segments"]
+)
+def test_two_phase_rank_consumers_stay_partitioned(spark, name):
+    """Every window in these entries' executed plans must carry a
+    non-empty partitionSpec (the __gr_pid local-rank windows, or other
+    keyed windows); the only permitted unpartitioned windows run over
+    partition-count-sized totals, which the repo-wide guard
+    (test_plan_guard.py) already bounds. Here we pin the positive: the
+    rank windows reference __gr_pid."""
+    from nano_vectordb_spark import registry
+
+    df = registry.REGISTRY[name].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__gr_pid" in plan, (
+        f"{name}: expected the two-phase local-rank window partitioned "
+        f"by __gr_pid; got:\n{plan[:2000]}"
+    )
