@@ -27,22 +27,21 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # Headline set: the reference's own benchmark surface (flat scan /
 # quantized scan / ANN+refine) plus one representative from each
 # pipeline-extension family (dedup, text, relational, streaming).
-BENCH_QUERIES = (
-    "topk_dot",
-    "topk_multi_twophase",
-    "topk_multi_window",
-    "topk_i8",
-    "refine_i8",
-    "gt_build",
-    "ivf_search",
-    "minhash_lsh_pairs",
-    "simhash64_pairs",
-    "corpus_clean",
-    "pipeline_chunks_embed",
-    "pricing_summary",
-    "shipping_priority",
-    "stream_event_counts",
+# Grouped by family so SPARK_GRAFT_BENCH_RELEASE=1 can drain the
+# registry caches between families (registry.release_caches()) — at
+# larger sf this bounds executor storage to one family's working set
+# instead of the whole run's accumulation; entries re-materialize
+# transparently on next use.
+BENCH_FAMILIES = (
+    ("flat_scan", ("topk_dot", "topk_multi_twophase", "topk_multi_window")),
+    ("quantized", ("topk_i8", "refine_i8")),
+    ("ann", ("gt_build", "ivf_search")),
+    ("dedup", ("minhash_lsh_pairs", "simhash64_pairs", "corpus_clean")),
+    ("pipeline", ("pipeline_chunks_embed",)),
+    ("relational", ("pricing_summary", "shipping_priority")),
+    ("streaming", ("stream_event_counts",)),
 )
+BENCH_QUERIES = tuple(q for _, qs in BENCH_FAMILIES for q in qs)
 
 
 def main() -> None:
@@ -65,17 +64,21 @@ def main() -> None:
     # also loops timed runs per config (apps/nvdb_bench.cpp:332,358);
     # min is the standard de-noised single-node estimator.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    release_between = os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "") == "1"
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = registry.REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()  # materialize the full result
-            best = min(best, time.perf_counter() - t0)
-            assert n >= 0
-        timings[name] = round(best, 4)
+    for _family, names in BENCH_FAMILIES:
+        for name in names:
+            fn = registry.REGISTRY[name].fn
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()  # materialize the full result
+                best = min(best, time.perf_counter() - t0)
+                assert n >= 0
+            timings[name] = round(best, 4)
+        if release_between:
+            registry.release_caches()
     total = round(sum(timings.values()), 4)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))

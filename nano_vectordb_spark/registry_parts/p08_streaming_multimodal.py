@@ -582,17 +582,13 @@ def stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers)."""
     from nano_vectordb_spark.functions import kmeans as km
     from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_centroids_np
-    from nano_vectordb_spark.sources.tables import ensure_read_confs
-    from nano_vectordb_spark.streaming.events import run_stream_to_table
-
-    ensure_read_confs(spark)
-    cent = _oracle_centroids_np()
-    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+    from nano_vectordb_spark.streaming.events import (
+        run_stream_to_table,
+        stream_table,
     )
+
+    cent = _oracle_centroids_np()
+    stream = stream_table(spark, sf_dir, "embeddings")
     assigned = km.assign_clusters(stream, cent)
     agg = assigned.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("n_vectors"),
@@ -636,20 +632,17 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest stream, unlike Complete mode which replays the whole
     accumulated per-new-doc state every batch. Results must equal the
     batch dedup_incremental exactly (same constants, same split)."""
-    from nano_vectordb_spark.sources.tables import ensure_read_confs
-    from nano_vectordb_spark.streaming.events import run_stream_update_merged
+    from nano_vectordb_spark.streaming.events import (
+        run_stream_update_merged,
+        stream_table,
+    )
 
     k, bands, n = 16, 4, 3
     rows = k // bands
-    ensure_read_confs(spark)
     from nano_vectordb_spark.registry_parts.p06_dedup import _INCR_MOD, _JACCARD_T
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("doc_id") % _INCR_MOD == 0)
+    stream = stream_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _INCR_MOD == 0
     )
     corpus = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % _INCR_MOD != 0

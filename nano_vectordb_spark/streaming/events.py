@@ -175,6 +175,30 @@ def run_stream_update_merged(
         shutil.rmtree(sink_dir, ignore_errors=True)
 
 
+def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over one table of an sf dir, handling BOTH
+    physical layouts: a single file ``{table}.parquet`` (the driver's
+    testdata) and a Spark-written directory ``{table}.parquet/part-*``
+    (any output of df.write.parquet, e.g. the sf1 scale fixtures).
+
+    The file source only accepts directories, so the single-file layout
+    streams from ``sf_dir`` with a pathGlobFilter on the table name.
+    That filter matches FILE names — against a directory layout it
+    matches nothing and the stream silently reads zero rows (a bug this
+    helper exists to prevent), so the directory layout streams from the
+    table path itself."""
+    ensure_read_confs(spark)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet with ts as TIMESTAMP (LTZ).
 
@@ -183,14 +207,8 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UTC instant with the same wall clock — timestampdiff against the
     NTZ epoch then timestamp_micros is timezone-free, so watermarks and
     window boundaries are identical under any session timezone."""
-    ensure_read_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source wants a directory; glob-filter to the events table
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "events")
+    batch_schema = stream.schema
     dt = batch_schema["ts"].dataType
     if isinstance(dt, T.LongType):  # TIMESTAMP(NANOS) via nanosAsLong
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -87,15 +87,10 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Trigger.AvailableNow) and return the emitted sessions."""
     from pyspark.sql import types as T
 
-    from ..sources.tables import ensure_read_confs
+    from .events import stream_table
 
-    ensure_read_confs(spark)
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "events")
+    batch_schema = stream.schema
     if isinstance(batch_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     sessions = (
