@@ -89,13 +89,30 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q1 shape: float money is summed in DECIMAL (exact, order-
 # independent) and cast to double at the end so both engines emit the
 # same doubles regardless of aggregation order.
+#
+# sum_charge's THREE-factor product uses NARROW casts on purpose: with
+# (18,2)x(18,3)x(18,3) the result precision (56) exceeds both engines'
+# decimal-38 cap and each rounds intermediates by its own rule — the
+# sums then differ at ~1e-6, which the final DOUBLE exposes once the
+# aggregate passes ~1e10 (caught by the r5 sf1 parity run; invisible
+# at sf0.1 magnitudes). (12,2)x(4,3)x(4,3) -> scale-8 precision 22
+# stays exact end-to-end in both engines (price < 1e6, |disc|,|tax|
+# < 1, checked against the fixtures). Two-factor products never
+# overflow 38 and keep the original wide casts.
+#
+# The product sums ALSO round to scale 3 before the DOUBLE cast: a
+# DECIMAL whose unscaled value exceeds 2^53 (sum ~2.8e10 at scale 8 =
+# 2.8e18) converts through engine-specific int->double->descale paths
+# that can land one ulp apart even from IDENTICAL decimals. At scale 3
+# the unscaled value (~2.8e13) is exactly representable, so the cast is
+# a single correctly-rounded step in both engines — bit-identical.
 _SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3))) * (CAST(1.0 AS DECIMAL(18,3)) + CAST(l_tax AS DECIMAL(18,3)))) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,3)) - CAST(l_discount AS DECIMAL(18,3)))), 3) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))) * (CAST(1.0 AS DECIMAL(4,3)) + CAST(l_tax AS DECIMAL(4,3)))), 3) AS DOUBLE) AS sum_charge,
        CAST(sum(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) AS sum_disc
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

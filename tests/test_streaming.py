@@ -75,3 +75,27 @@ def test_stream_dedup_ingest_equals_batch_incremental(spark):
         map(tuple, registry.REGISTRY["dedup_incremental"].fn(spark, SF_CORRECT).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_table_reads_directory_layout(spark, tmp_path):
+    """pathGlobFilter matches FILE names only: against a Spark-written
+    directory layout (table.parquet/part-*) the old construction
+    silently streamed zero rows (found by the r5 sf1 scale run).
+    stream_table must read BOTH layouts and never return empty for a
+    non-empty table."""
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark.streaming.events import (
+        run_stream_to_table,
+        stream_table,
+    )
+
+    src = spark.read.parquet(f"{SF_CORRECT}/events.parquet")
+    n_src = src.count()
+    # directory layout: df.write.parquet -> events.parquet/part-*
+    src.repartition(3).write.parquet(str(tmp_path / "events.parquet"))
+    for sf_dir in (SF_CORRECT, str(tmp_path)):
+        stream = stream_table(spark, sf_dir, "events")
+        agg = stream.groupBy().agg(F.count("*").alias("n"))
+        out = run_stream_to_table(spark, agg, "lay", "complete")
+        assert out.collect()[0].n == n_src, sf_dir
