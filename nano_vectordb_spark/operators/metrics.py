@@ -27,7 +27,14 @@ def latency_stats(
 ) -> DataFrame:
     """Per-group latency stats: n, p50/p95/p99, avg (rounded: averages
     are summation-order dependent), qps = n / total_seconds assuming
-    the value column is milliseconds."""
+    the value column is milliseconds.
+
+    Percentiles carry the repo's round-6 contract: the interpolation
+    between adjacent DOUBLE-valued order statistics is computed as
+    (1-f)*a + f*b by Spark but a + (b-a)*f by DuckDB — identical in
+    real arithmetic, one ulp apart in floats once the rank fraction f
+    is long (caught by the r5 sf1 parity run at n≈200k; integer-valued
+    columns like doc lengths don't hit it at these magnitudes)."""
     g = df.groupBy(*(group_cols or []))
     pct = F.percentile(value_col, F.lit([0.5, 0.95, 0.99])) if exact else (
         F.percentile_approx(value_col, F.lit([0.5, 0.95, 0.99]))
@@ -40,9 +47,9 @@ def latency_stats(
     return out.select(
         *(group_cols or []),
         "n",
-        F.col("__pct")[0].alias("p50"),
-        F.col("__pct")[1].alias("p95"),
-        F.col("__pct")[2].alias("p99"),
+        F.round(F.col("__pct")[0], 6).alias("p50"),
+        F.round(F.col("__pct")[1], 6).alias("p95"),
+        F.round(F.col("__pct")[2], 6).alias("p99"),
         "avg_ms",
         F.round(F.col("n") / (F.col("avg_ms") * F.col("n") / 1000.0), 6).alias("qps"),
     )

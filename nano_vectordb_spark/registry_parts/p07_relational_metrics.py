@@ -26,9 +26,9 @@ from nano_vectordb_spark.registry_parts.p03_ivf import _materialize_once  # noqa
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
        round(avg(value), 6) AS avg_ms,
        round(count(*) / (round(avg(value), 6) * count(*) / 1000.0), 6) AS qps
 FROM events
