@@ -65,6 +65,7 @@ def release_caches() -> int:
                         pass
         store.clear()
     _tables._TABLE_CACHE.clear()
+    _tables._RAW_SCHEMA_CACHE.clear()
     _tables._VIEWS_STATE.clear()
     return n
 

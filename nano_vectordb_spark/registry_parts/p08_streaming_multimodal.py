@@ -373,9 +373,8 @@ SELECT doc_id,
        CAST(1 AS INT) AS n_channels,
        CAST(8 AS INT) AS bits,
        n + 44 AS wav_bytes,
-       round(list_aggregate(smp, 'sum') / n, 6) AS mean_amp,
-       round(sqrt(list_aggregate(list_transform(smp, x -> x * x), 'sum') / n),
-             6) AS rms
+       list_aggregate(smp, 'sum') / n AS mean_amp,
+       sqrt(list_aggregate(list_transform(smp, x -> x * x), 'sum') / n) AS rms
 FROM s
 """
 
@@ -424,10 +423,18 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["n_channels"].append(ch)
                 rows["bits"].append(bits)
                 rows["wav_bytes"].append(len(wav))
-                rows["mean_amp"].append(round(float(np.sum(smp)) / n_samp, 6))
-                rows["rms"].append(
-                    round(float(np.sqrt(np.dot(smp, smp) / n_samp)), 6)
-                )
+                # NO round-6 here, deliberately: 8-bit PCM samples are
+                # dyadic rationals (k/128), so every partial sum is
+                # EXACT in IEEE double regardless of order, and the
+                # single /n division and sqrt are correctly rounded —
+                # the raw doubles are bit-identical across engines.
+                # round(x, 6) would BREAK parity: means like
+                # -5358/19200 = -0.2790625 sit exactly on a half
+                # boundary, where Python/Spark (half-even on the exact
+                # double) and DuckDB (half-away on x*1e6) disagree
+                # (caught by the r5 sf1 parity sweep at 50k docs).
+                rows["mean_amp"].append(float(np.sum(smp)) / n_samp)
+                rows["rms"].append(float(np.sqrt(np.dot(smp, smp) / n_samp)))
             yield pd.DataFrame(rows)
 
     schema = (
@@ -460,12 +467,12 @@ SELECT doc_id,
        CAST({_MM_PPM_H} AS INT) AS height,
        CAST(255 AS INT) AS maxval,
        CAST(count(*) AS BIGINT) AS n_pixels,
-       round(CAST(sum(r) AS DOUBLE) / (255.0 * count(*)), 6) AS mean_r,
-       round(CAST(sum(g) AS DOUBLE) / (255.0 * count(*)), 6) AS mean_g,
-       round(CAST(sum(b) AS DOUBLE) / (255.0 * count(*)), 6) AS mean_b,
-       round(CAST(sum(CASE WHEN (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-                                < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
-             / count(*), 6) AS dark_frac
+       CAST(sum(r) AS DOUBLE) / (255.0 * count(*)) AS mean_r,
+       CAST(sum(g) AS DOUBLE) / (255.0 * count(*)) AS mean_g,
+       CAST(sum(b) AS DOUBLE) / (255.0 * count(*)) AS mean_b,
+       CAST(sum(CASE WHEN 299 * r + 587 * g + 114 * b < 127500
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS dark_frac
 FROM px GROUP BY doc_id
 """
 
@@ -508,20 +515,32 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(n_px)
                 )
                 w, h, maxval, arr = _ppm_decode(hdr + body)
-                px = arr.astype(np.float64)
-                lum = (
-                    0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]
-                ) / 255.0
+                # Rec.601 dark test in INTEGER arithmetic: the float
+                # form (0.299r+0.587g+0.114b)/255 < 0.5 is engine-
+                # dependent exactly when the true luminance IS 0.5
+                # (299r+587g+114b == 127500): DuckDB's decimal literals
+                # evaluate it exactly (not dark) while float64 lands
+                # one ulp below (dark). 1 in ~1e6 pixels — first hit by
+                # the r5 sf1 sweep. Scaling the weights by 1000 makes
+                # the threshold exact in both engines at any scale.
+                ipx = arr.astype(np.int64)
+                lum_scaled = 299 * ipx[:, 0] + 587 * ipx[:, 1] + 114 * ipx[:, 2]
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["maxval"].append(maxval)
                 rows["n_pixels"].append(len(arr))
+                # NO round-6: integer channel sums over an exact 255*n
+                # divisor are one correctly-rounded division in both
+                # engines — bit-identical raw doubles. Rounding BREAKS
+                # parity when a mean lands exactly on a 6-decimal half
+                # (same boundary class as the WAV entry; caught by the
+                # r5 sf1 sweep). dark_frac is k/16, exact either way.
                 for ch, name in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
                     s = int(arr[:, ch].astype(np.int64).sum())
-                    rows[name].append(round(s / (255.0 * len(arr)), 6))
+                    rows[name].append(s / (255.0 * len(arr)))
                 rows["dark_frac"].append(
-                    round(float(np.count_nonzero(lum < 0.5)) / len(arr), 6)
+                    float(np.count_nonzero(lum_scaled < 127500)) / len(arr)
                 )
             yield pd.DataFrame(rows)
 

@@ -33,6 +33,7 @@ TABLES = (
 # instance is memoized and shared. Keyed by applicationId: a stopped
 # session's DataFrames must not leak into its successor.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_RAW_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 _CONFS_SET: set[str] = set()
 
 
@@ -49,6 +50,21 @@ def ensure_read_confs(spark: SparkSession) -> None:
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _CONFS_SET.add(app_id)
+
+
+def raw_parquet_schema(spark: SparkSession, path: str):
+    """The UNNORMALIZED schema of a parquet table, memoized per
+    (applicationId, path). Stream sources must declare the on-disk
+    schema (the file source reads raw files; any ts normalization
+    happens downstream), so they cannot reuse load_table's normalized
+    plan — but the footer read + py4j round-trips are the same
+    per-call tax, so the schema gets the same memo treatment."""
+    ensure_read_confs(spark)
+    key = (spark.sparkContext.applicationId, path)
+    cached = _RAW_SCHEMA_CACHE.get(key)
+    if cached is None:
+        cached = _RAW_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return cached
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -187,9 +187,10 @@ def stream_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     matches nothing and the stream silently reads zero rows (a bug this
     helper exists to prevent), so the directory layout streams from the
     table path itself."""
-    ensure_read_confs(spark)
+    from ..sources.tables import raw_parquet_schema
+
     path = os.path.join(sf_dir, f"{table}.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = raw_parquet_schema(spark, path)
     if os.path.isdir(path):
         return spark.readStream.schema(schema).parquet(path)
     return (

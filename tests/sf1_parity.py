@@ -74,7 +74,6 @@ PURE_ORACLE_ENTRIES = (
 
 def main() -> None:
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
-    only = set(sys.argv[1:])
     if not os.path.exists(os.path.join(SF1, "_DONE")):
         print(f"sf1 fixture missing — run tests/make_sf1.py first ({SF1})")
         sys.exit(2)
@@ -98,9 +97,9 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs, osql = E.queries(), E.oracle_sql()
     n_pass = n_fail = 0
-    for name in PURE_ORACLE_ENTRIES:
-        if only and name not in only:
-            continue
+    # explicit argv names override the curated list (callers vet purity)
+    targets = tuple(sys.argv[1:]) or PURE_ORACLE_ENTRIES
+    for name in targets:
         t0 = time.time()
         try:
             ok, msg = compare(qs[name](spark, SF1), con, osql[name])
