@@ -634,8 +634,16 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("text"))
         ).alias("md5_b"),
     )
+    # clone-batch ids must be DISJOINT from release A at any corpus
+    # scale: a fixed +1_000_000 offset collided with real ids on the
+    # 10x sf1 fixture (id strides of exactly 1e6), silently turning
+    # "added" docs into joins against release A (caught by the r5 sf1
+    # parity sweep). max(doc_id)+1 guarantees disjointness; the one-row
+    # scalar agg is a bounded driver fetch.
+    offset = base.agg(F.max("doc_id")).first()[0] + 1
     b_new = base.filter(F.col("doc_id") % 13 == 1).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.md5("text").alias("md5_b")
+        (F.col("doc_id") + F.lit(offset)).alias("doc_id"),
+        F.md5("text").alias("md5_b"),
     )
     b = b_kept.unionAll(b_new)
     j = a.join(b, "doc_id", "full_outer")
