@@ -1211,7 +1211,18 @@ def zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_REF_LANG = "en"
 
 # shared CTE chain ending in doc(doc_id, n_tokens, bits_per_token) —
-# used by lm_perplexity_filter and quality_signal_corr
+# used by lm_perplexity_filter and quality_signal_corr.
+#
+# Per-word log-probs carry the round-6 libm contract, then convert to
+# EXACT micro-bit integers (lw_u = round(lw * 1e6)): a round-6 double
+# times 1e6 sits within one ulp of an integer, so that final rounding
+# has no half-boundary risk in either engine. The per-doc sum is then
+# exact BIGINT arithmetic — order-free, no sorted fold needed — and
+# bits_per_token is ONE correctly-rounded division, bit-identical
+# across engines and emitted unrounded. The previous shape (sum the
+# round-6 DOUBLES, round the mean to 6) hit a genuine half boundary at
+# sf1: -131.614264/16 = 8.2258915 exactly, where Spark's and DuckDB's
+# round() half-handling disagree.
 _SQL_LM_DOC_CTES = f"""t AS (
   SELECT doc_id, lang,
          list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1225,20 +1236,21 @@ uni AS (
 stats AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
 lp AS (
   SELECT u.w,
-         round(log2((u.c + 1.0) / CAST(s.n + s.v AS DOUBLE)), 6) AS lw
+         CAST(round(round(log2((u.c + 1.0) / CAST(s.n + s.v AS DOUBLE)), 6)
+                    * 1e6) AS BIGINT) AS lw_u
   FROM uni u, stats s
 ),
 scored AS (
   SELECT a.doc_id,
-         coalesce(lp.lw,
-                  (SELECT round(log2(1.0 / CAST(n + v AS DOUBLE)), 6) FROM stats)
-         ) AS lw
+         coalesce(lp.lw_u,
+                  (SELECT CAST(round(round(log2(1.0 / CAST(n + v AS DOUBLE)), 6)
+                               * 1e6) AS BIGINT) FROM stats)
+         ) AS lw_u
   FROM tok a LEFT JOIN lp ON lp.w = a.w
 ),
 doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         round(-list_aggregate(list(lw ORDER BY lw), 'sum')
-               / CAST(count(*) AS DOUBLE), 6) AS bits_per_token
+         -CAST(sum(lw_u) AS DOUBLE) / (count(*) * 1e6) AS bits_per_token
   FROM scored GROUP BY doc_id
 )"""
 
@@ -1268,21 +1280,24 @@ def _lm_bits_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n"), F.count("*").alias("v")
     ).collect()[0]
     nv = float(stats["n"] + stats["v"])
+    # round-6 libm contract, then exact micro-bit integers: the BIGINT
+    # per-doc sum is order-free (no sorted fold needed) and the single
+    # final division is correctly rounded — bit-identical across
+    # engines with no half-boundary exposure (see _SQL_LM_DOC_CTES).
+    lw_u = lambda col: F.round(F.round(F.log2(col), 6) * 1e6).cast("long")  # noqa: E731
     lp = uni.select(
-        "w", F.round(F.log2((F.col("c") + F.lit(1.0)) / F.lit(nv)), 6).alias("lw")
+        "w", lw_u((F.col("c") + F.lit(1.0)) / F.lit(nv)).alias("lw_u")
     )
-    unseen = F.round(F.log2(F.lit(1.0) / F.lit(nv)), 6)
+    unseen = lw_u(F.lit(1.0) / F.lit(nv))
     scored = tok.join(lp, "w", "left").select(
-        "doc_id", F.coalesce("lw", unseen).alias("lw")
-    )
-    fold = F.aggregate(
-        F.array_sort(F.collect_list("lw")), F.lit(0.0), lambda a, b: a + b
+        "doc_id", F.coalesce("lw_u", unseen).alias("lw_u")
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round((-fold) / F.count("*").cast("double"), 6).alias(
-            "bits_per_token"
-        ),
+        (
+            -F.sum("lw_u").cast("double")
+            / (F.count("*") * F.lit(1e6))
+        ).alias("bits_per_token"),
     )
 
 
@@ -1303,18 +1318,25 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs round to 6 decimals (the libm log2 contract), per-doc sums
     run as value-ordered sequential folds, and the decile cut is pure
     integer arithmetic over a total order."""
+    from nano_vectordb_spark.operators import globalrank as grank
+
     doc = _lm_bits_df(spark, sf_dir)
-    w_rank = Window.orderBy(F.col("bits_per_token").desc(), F.col("doc_id").asc())
-    n_docs = F.count("*").over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # decile cut via the two-phase global rank: the flagged bit needs a
+    # rank over EVERY doc (the output is corpus-sized), so a plain
+    # Window.orderBy would funnel the whole corpus through one task at
+    # scale — the exact pattern operators/globalrank.py exists for.
+    # n_docs is a bounded one-row scalar fetch.
+    ranked = grank.two_phase_rank(
+        doc,
+        [F.col("bits_per_token").desc(), F.col("doc_id").asc()],
+        rn_name="__rn",
     )
-    return doc.select(
+    n_docs = doc.count()
+    return ranked.select(
         "doc_id",
         "n_tokens",
         "bits_per_token",
-        (F.row_number().over(w_rank) <= F.floor((n_docs + F.lit(9)) / F.lit(10)))
-        .cast("int")
-        .alias("flagged"),
+        (F.col("__rn") <= F.lit((n_docs + 9) // 10)).cast("int").alias("flagged"),
     )
 
 

@@ -1004,10 +1004,17 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.round(F.pow(u, F.lit(1.0) / F.col("w")), 6).alias("sample_key"),
     )
+    # global top-N via TakeOrderedAndProject (per-partition partial
+    # top-N + tiny merge — the coordination-free merge the docstring
+    # promises), then rank WITHIN the N-row result. The previous
+    # Window.orderBy ranked the whole corpus through one task to keep
+    # N rows.
+    top = s.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc()).limit(
+        _WRS_N
+    )
     w_rank = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
     return (
-        s.withColumn("sample_rank", F.row_number().over(w_rank).cast("int"))
-        .filter(F.col("sample_rank") <= _WRS_N)
+        top.withColumn("sample_rank", F.row_number().over(w_rank).cast("int"))
         .select("doc_id", "w", "sample_key", "sample_rank")
     )
 
