@@ -23,9 +23,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/nvdb_sf1")
 
-# data-derived-oracle entries spanning every non-ANN family
+# Data-derived-oracle entries spanning every non-ANN family — 176 of
+# the 220 registry entries. The 44 outside this list, with reasons:
+#   * ANN family (~30): oracle SQL embeds centroid/codebook/rotation/
+#     hyperplane literals FITTED on the sf0.01/0.1 fixtures, so the
+#     oracle only replays at the fitted sf (ivf_*, pq_*, opq_*,
+#     sq8_search, lsh_multiprobe_search, embedding_clusters,
+#     embedding_neardup_lsh, doc_search_ivf, ann_cost_frontier, ...).
+#   * Fitted-table oracles: bpe_learn_merges / bpe_encode_stats,
+#     mixture_weights / mixture_sample, cluster_topics, filter_funnel,
+#     hybrid_search_rrf, doc_search_bm25, bm25_score_explain,
+#     rankers_agreement, benford_price_audit, bloom_join_prune,
+#     fanout_tail_amplification, federated_format_audit — the SQL
+#     embeds constants derived from the fixture (vocab encodings,
+#     mixture rates, fitted topics), which the 10x corpus invalidates.
+#   * All-pairs oracles (cost, not validity): ngram_jaccard_pairs and
+#     simhash_pairs verify against ALL-PAIRS on purpose (strongest
+#     exactness check at sf0.01) — 1.25e9 list-intersections at 50k
+#     docs; knn_pagerank and lsh_operating_point similarly replay
+#     exact all-pairs kNN / collision tables. Their Spark sides are
+#     the banded/bucketed scale paths, whose sf1 runtime the bench
+#     measures directly.
 PURE_ORACLE_ENTRIES = (
-    # relational / TPC-H shapes
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
@@ -37,38 +56,171 @@ PURE_ORACLE_ENTRIES = (
     "orders_above_customer_avg",
     "brand_margin",
     "returned_items_report",
-    # global-rank two-phase consumers (the r3 scale-killer fixes)
     "revenue_gini",
     "revenue_pareto",
     "customer_rfm_segments",
-    # text analysis
     "token_stats",
     "lang_id",
     "quality_score",
     "doc_fingerprint",
     "vocab_top_terms",
     "doc_length_percentiles",
-    # dedup family (md5-derived permutations replay in SQL).
-    # ngram_jaccard_pairs and simhash_pairs are EXCLUDED here: their
-    # oracles verify against ALL-PAIRS on purpose (the strongest
-    # exactness check at sf0.01) — at 50k sf1 docs that is 1.25e9
-    # list-intersections in DuckDB, hours of oracle CPU for no extra
-    # signal. minhash_lsh_pairs' oracle replays the banded inverted
-    # index, so it scales and stays in.
     "dedup_exact",
     "minhash_lsh_pairs",
     "data_split",
-    # sketches (md5 hash families replay in SQL)
     "heavy_hitters_cm",
     "distinct_users_sketch",
-    # events / sessionization / windows
     "events_sessionize",
     "events_range_join",
     "events_salted_agg",
     "latency_percentiles",
-    # streaming (batch-parity oracles)
     "stream_event_counts",
     "stream_dedup",
+    "multimodal_wav_stats",
+    "quality_filter_quantile",
+    "latency_quantiles_counting",
+    "schema_evolution_read",
+    "dedup_keep_longest",
+    "lang_id_confusion",
+    "hard_negative_mining",
+    "incremental_stats_merge",
+    "corpus_history_scd2",
+    "dow_seasonality",
+    "vocab_drift_js",
+    "price_index_laspeyres",
+    "simpson_paradox_audit",
+    "vocab_growth_heaps",
+    "zipf_slope",
+    "bpe_token_stats",
+    "corpus_release",
+    "nation_trade_volume",
+    "topk_l2",
+    "slice_first_n",
+    "csv_chunks_embed",
+    "multimodal_features",
+    "pack_sequences",
+    "events_gapfill",
+    "multimodal_ppm_stats",
+    "token_length_histogram",
+    "search_quality_i8",
+    "stream_heavy_hitters",
+    "neardup_rate_by_source",
+    "pmi_collocations",
+    "dq_validation_suite",
+    "user_value_twa",
+    "prefix_filter_join",
+    "event_markov_transitions",
+    "error_rate_control_chart",
+    "locf_imputation",
+    "holt_forecast_daily",
+    "price_dispersion_by_part",
+    "doc_skyline",
+    "chunk_fixed",
+    "bigram_commonness",
+    "nation_presence",
+    "topk_f16",
+    "sample_queries",
+    "events_running_window",
+    "multimodal_frames",
+    "pii_redact",
+    "distinct_users_hll",
+    "stream_dedup_ingest",
+    "radius_search",
+    "topk_matryoshka",
+    "events_anomaly_topk",
+    "embedding_dim_stats",
+    "user_activity_skew",
+    "quality_signal_corr",
+    "neardup_graph_stats",
+    "value_drift_ks",
+    "event_type_trend",
+    "range_partition_plan",
+    "user_budget_clamp",
+    "event_top_paths",
+    "order_count_dispersion",
+    "mixture_waterfill",
+    "topk_filtered",
+    "chunk_words",
+    "corpus_upsert",
+    "order_fulfillment_latency",
+    "topk_i8",
+    "sanity_stats",
+    "events_asof_purchase",
+    "doc_search",
+    "decontaminate",
+    "orders_rollup",
+    "sample_stratified",
+    "topk_binary_rescore",
+    "corpus_snapshot_diff",
+    "user_value_ewma",
+    "corpus_report",
+    "pack_efficiency",
+    "orders_cube",
+    "chunk_words_udtf",
+    "max_concurrent_sessions",
+    "churn_training_set",
+    "ab_test_conversion",
+    "attribution_model_compare",
+    "event_entropy_rate",
+    "source_lang_independence",
+    "topk_cosine",
+    "pipeline_chunks_embed",
+    "text_normalize",
+    "lineitem_unpivot",
+    "topk_multi_twophase",
+    "quantize_i8",
+    "scan_cost_model",
+    "dedup_components",
+    "events_hypertable_rollup",
+    "events_partitioned_scan",
+    "corpus_shuffle",
+    "orc_roundtrip",
+    "user_retention_cohorts",
+    "multimodal_neardup",
+    "minhash_estimator_error",
+    "zorder_skipping",
+    "sliding_distinct_users",
+    "event_pattern_match",
+    "weighted_sample_docs",
+    "event_assoc_rules",
+    "trimmed_mean_value",
+    "km_survival_curve",
+    "stream_late_drop",
+    "error_purchase_xcorr",
+    "containment_pairs",
+    "topk_multi_window",
+    "jsonl_roundtrip",
+    "topk_mmr",
+    "events_props_json",
+    "gt_build",
+    "quant_error_stats",
+    "stream_click_attribution",
+    "simhash64_pairs",
+    "events_funnel",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "mixture_weights_temperature",
+    "source_overlap",
+    "quantize_error_by_dim",
+    "lm_perplexity_filter",
+    "label_centroid_quality",
+    "corpus_diversity_entropy",
+    "diverse_topk_docs",
+    "persistent_heavy_hitters",
+    "link_negative_samples",
+    "customer_ltv_cohorts",
+    "gdpr_erasure_audit",
+    "volume_cusum_chart",
+    "doc_novelty_share",
+    "events_trailing_window",
+    "csv_roundtrip",
+    "dedup_incremental",
+    "topk_dot",
+    "recall_i8_vs_f32",
+    "refine_i8",
+    "stream_sessionize",
+    "corpus_clean",
+    "events_props_variant",
 )
 
 
