@@ -78,7 +78,30 @@ def _cls(node):
 # output is |groups| rows, a limit is literal-bounded, a local/one-row
 # relation is a literal.  Joins/filters/projects pass fact cardinality
 # through and keep the walk going.
-_BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+#
+# EXCEPTION (r5): an Aggregate grouped by a per-row id column (doc_id,
+# vec_id, event_id, order keys...) emits one row per ENTITY — fact
+# cardinality in different clothes, not a bound. The round-5 audit
+# found lm_perplexity_filter's corpus-sized decile window hiding
+# behind exactly this shape.
+_BOUNDING = {"GlobalLimit", "LocalLimit", "Deduplicate"}
+_ID_GROUP_PAT = (
+    "doc_id",
+    "vec_id",
+    "event_id",
+    "o_orderkey",
+    "l_orderkey",
+    "query_id",
+    "chunk_id",
+)
+
+
+def _aggregate_is_bounding(node) -> bool:
+    try:
+        grouping = node.groupingExpressions().mkString(",")
+    except Exception:  # non-Aggregate or API drift: conservative bound
+        return True
+    return not any(pat in grouping for pat in _ID_GROUP_PAT)
 _UNBOUNDED_LEAVES = {
     "LogicalRelation",
     "DataSourceV2ScanRelation",
@@ -94,6 +117,8 @@ _UNBOUNDED_LEAVES = {
 def _unbounded_scan_below(node) -> bool:
     name = _cls(node)
     if name in _BOUNDING:
+        return False
+    if name == "Aggregate" and _aggregate_is_bounding(node):
         return False
     if name in _UNBOUNDED_LEAVES:
         return True
