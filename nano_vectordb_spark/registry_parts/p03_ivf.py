@@ -161,7 +161,7 @@ WHERE rank <= {K}
 def _ivf_index(spark: SparkSession, sf_dir: str) -> ivf_ops.IvfIndex:
     # memoized per sf_dir: builds are seeded/deterministic, and the
     # driver calls many registry entries in one session
-    key = ("ivf", sf_dir)
+    key = ("ivf", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
         idx = ivf_ops.ivf_build(base, nlist=_IVF_NLIST, seed=SEED)
@@ -307,7 +307,7 @@ def ivf_search_after_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment over ALL vectors against the pre-insert centroid
     literals, which equals build-then-add exactly because assignment
     depends only on the frozen centroids."""
-    key = ("ivf_add", sf_dir)
+    key = ("ivf_add", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         corpus = emb.filter(F.col("vec_id") % _IVF_ADD_MOD != 0)
@@ -330,7 +330,7 @@ def ivf_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os as _os
 
-    key = ("ivf_disk", sf_dir)
+    key = ("ivf_disk", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         idx = _ivf_index(spark, sf_dir)
         # content-addressed path: a layout written by an older fit (e.g.

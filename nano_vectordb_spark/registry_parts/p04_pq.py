@@ -41,7 +41,7 @@ _PQ_REFINE_K = 50
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> pq_ops.PqIndex:
-    key = ("pq", sf_dir)
+    key = ("pq", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
         idx = pq_ops.pq_build(base, m=_PQ_M, nbits=_PQ_NBITS, seed=SEED)
@@ -378,7 +378,7 @@ def opq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rotated at LUT build; refine reranks in the original space.
     Orthonormality preserves dot/L2 ranking semantics. Oracle embeds the
     rotation + codebook literals and replays the whole pipeline."""
-    key = ("opq", sf_dir)
+    key = ("opq", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
         rot = pq_ops.pca_rotation(base)
@@ -406,7 +406,7 @@ def opq_learned_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Performance.md Table 19)."""
     from nano_vectordb_spark.functions import kmeans as km
 
-    key = ("opq_learned", sf_dir)
+    key = ("opq_learned", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
         mat = km.collect_train_sample(
@@ -434,7 +434,7 @@ def ivfpq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder in tests/test_ivfpq.py."""
     from nano_vectordb_spark.operators import ivfpq as ivfpq_ops
 
-    key = ("ivfpq", sf_dir)
+    key = ("ivfpq", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         base = load_table(spark, sf_dir, "embeddings")
         idx = ivfpq_ops.ivfpq_build(

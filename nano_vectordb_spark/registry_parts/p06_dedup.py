@@ -154,7 +154,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants), so candidate sets match exactly. The built plan (with
     its persisted shingle+signature base) is memoized per sf_dir so
     repeat invocations reuse one cache instead of stacking persists."""
-    key = ("minhash_lsh", sf_dir)
+    key = ("minhash_lsh", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = dedup_ops.minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"), _JACCARD_T
@@ -631,7 +631,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates are generated — the corpus band table is built once and
     persisted alongside the corpus, so per-ingest cost scales with the
     batch, not the corpus."""
-    key = ("dedup_incremental", sf_dir)
+    key = ("dedup_incremental", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         batch = docs.filter(F.col("doc_id") % _INCR_MOD == 0)

@@ -251,7 +251,7 @@ def doc_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     still ranks first (its cluster is always probed — asserted in
     tests/test_textops.py). Oracle: corpus + centroid literals replayed
     through DuckDB probe/prune/rank."""
-    key = ("doc_ivf", sf_dir)
+    key = ("doc_ivf", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)

@@ -130,7 +130,7 @@ _SQ8_TRAIN_CAP = 100_000
 
 
 def _sq8_fit(spark: SparkSession, sf_dir: str):
-    key = ("sq8", sf_dir)
+    key = ("sq8", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _INDEX_CACHE[key] = qz.sq8_train(emb, train_cap=_SQ8_TRAIN_CAP)
@@ -901,7 +901,7 @@ def ivf_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ivf_index(spark, sf_dir)
     dead = F.col("vec_id") % _IVF_COMPACT_MOD == _IVF_COMPACT_RES
-    key = ("ivf_compacted", sf_dir)
+    key = ("ivf_compacted", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         cent_rows = idx.centroids.orderBy("cluster_id").collect()
         fp = hashlib.md5(

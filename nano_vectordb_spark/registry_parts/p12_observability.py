@@ -474,7 +474,7 @@ def minhash_estimator_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/max absolute error and bias. The dedup-family analog of
     quant_error_stats: the evidence that the chosen k is accurate
     enough before the near-dup pass scales to the full corpus."""
-    key = ("minhash_est_err", sf_dir)
+    key = ("minhash_est_err", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = dedup_ops.minhash_estimator_error(
             load_table(spark, sf_dir, "documents")

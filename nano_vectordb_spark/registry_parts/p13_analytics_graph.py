@@ -866,7 +866,7 @@ def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Memoized per fixture (the dedup/IVF _INDEX_CACHE discipline) so
     # repeated gate/bench invocations reuse one cached plan instead of
     # re-persisting blocks every call.
-    key = ("topic_emb", sf_dir)
+    key = ("topic_emb", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = (
             text_ops.hash_embed(

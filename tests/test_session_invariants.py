@@ -110,3 +110,47 @@ def test_release_caches_drains_and_recovers(spark):
     assert not registry._FIXTURE_MEMO and not registry._INDEX_CACHE
     # everything rebuilds on demand
     assert registry.REGISTRY["topk_i8"].fn(spark, SF_SMOKE).count() > 0
+
+
+def test_session_restart_does_not_serve_stale_caches():
+    """Round-5 find: every registry memo must key on applicationId.
+    A fourth-config sweep that built a SECOND session in one process
+    hit 26 entries whose cached IVF/PQ/dedup DataFrames belonged to the
+    stopped first session ('NoneType' has no attribute 'broadcast'/
+    'sc'). Reproduce in a subprocess: run the formerly-failing entries
+    in session A, stop it, run them again in session B — both must
+    succeed."""
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from nano_vectordb_spark import registry
+
+def run_once(tag):
+    spark = (SparkSession.builder.master("local[2]")
+             .config("spark.sql.shuffle.partitions", "2")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = "/root/testdata/sf0.001"
+    for name in ("ivf_search", "minhash_lsh_pairs", "topk_i8"):
+        n = registry.REGISTRY[name].fn(spark, sf).count()
+        assert n >= 0, (tag, name)
+    spark.stop()
+
+run_once("A")
+run_once("B")
+print("RESTART_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "RESTART_OK" in out.stdout, out.stderr[-2000:]
