@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/nvdb_sf1")
-REPLICAS = 10
+# 10 replicas of sf0.1 = sf1; SPARK_GRAFT_SCALE_REPLICAS=100 with a
+# matching DST builds sf10 for the second decade of the scaling curve
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 
 # key columns to offset per table: col -> per-replica stride (a round
 # number safely above the sf0.1 max so replica key ranges never collide)
