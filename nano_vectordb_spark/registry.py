@@ -355,3 +355,165 @@ def _reorder_registry_r5() -> None:
 
 
 _reorder_registry_r5()
+
+
+# --- Round-6 rotation (r5 VERDICT item 1) -----------------------------
+# GATE_BASKET_R6 = positions 51-100 of the r5 order: the next 50
+# never-officially-gated entries (continuation-session additions:
+# observability, analytics-graph, analytics-ops, stats-wave singles).
+# All 50 were judge-replayed green in the round-5 verdict session and
+# match the COVERAGE.md preview verbatim (rotation 3 of 4).  After this
+# reorder, positions 51-70 are the final 20 never-gated entries
+# (GATE_BASKET_R7_NEVER_GATED below), closing the record in r7.
+GATE_BASKET_R6: tuple[str, ...] = (
+    "pack_efficiency",
+    "bloom_join_prune",
+    "zorder_skipping",
+    "lm_perplexity_filter",
+    "hard_negative_mining",
+    "pmi_collocations",
+    "quality_signal_corr",
+    "orders_cube",
+    "sliding_distinct_users",
+    "label_centroid_quality",
+    "incremental_stats_merge",
+    "dq_validation_suite",
+    "neardup_graph_stats",
+    "knn_pagerank",
+    "event_pattern_match",
+    "corpus_diversity_entropy",
+    "lsh_operating_point",
+    "user_value_twa",
+    "lsh_multiprobe_search",
+    "value_drift_ks",
+    "chunk_words_udtf",
+    "revenue_pareto",
+    "cluster_topics",
+    "weighted_sample_docs",
+    "diverse_topk_docs",
+    "corpus_history_scd2",
+    "prefix_filter_join",
+    "event_type_trend",
+    "max_concurrent_sessions",
+    "event_assoc_rules",
+    "persistent_heavy_hitters",
+    "federated_format_audit",
+    "dow_seasonality",
+    "event_markov_transitions",
+    "range_partition_plan",
+    "churn_training_set",
+    "trimmed_mean_value",
+    "link_negative_samples",
+    "vocab_drift_js",
+    "error_rate_control_chart",
+    "customer_rfm_segments",
+    "user_budget_clamp",
+    "benford_price_audit",
+    "ab_test_conversion",
+    "km_survival_curve",
+    "customer_ltv_cohorts",
+    "price_index_laspeyres",
+    "locf_imputation",
+    "event_top_paths",
+    "attribution_model_compare",
+)
+
+# r7 plan, pinned now so the final rotation is mechanical (r5 VERDICT
+# item 7): the last 20 never-gated entries, followed by 30 re-gate
+# slots spent on the oldest official rows (the r2/r3-era verdicts) —
+# the re-gate list lives in GATE_BASKET_R7_REGATES.
+GATE_BASKET_R7_NEVER_GATED: tuple[str, ...] = (
+    "bm25_score_explain",
+    "stream_late_drop",
+    "gdpr_erasure_audit",
+    "ann_cost_frontier",
+    "revenue_gini",
+    "simpson_paradox_audit",
+    "holt_forecast_daily",
+    "order_count_dispersion",
+    "event_entropy_rate",
+    "error_purchase_xcorr",
+    "volume_cusum_chart",
+    "vocab_growth_heaps",
+    "price_dispersion_by_part",
+    "mixture_waterfill",
+    "source_lang_independence",
+    "containment_pairs",
+    "doc_novelty_share",
+    "fanout_tail_amplification",
+    "zipf_slope",
+    "doc_skyline",
+)
+
+# The 30 r7 re-gate slots (r5 VERDICT item 7), chosen by a deterministic
+# priority rule over the oldest official rows (all CORRECTNESS_r03-era;
+# every r2 row was superseded in r3):
+#   1. distinct_users_sketch — the one entry whose r4 official row was
+#      the declared rows-only check; its r5 rework (exact count + in-plan
+#      estimator bound) has never held a fully hash-green driver row.
+#   2. the 9 round-1 failures — a regression here would be the most
+#      damaging to the record.
+#   3. the SURVEY §2 operator representatives — keeps every §2 line's
+#      official evidence fresh after three rounds of refactors.
+#   4. fill from GATE_BASKET_R3 order: stream_event_counts (whose r5
+#      perf rework — tmpfs checkpoints, no-data-microbatch skip —
+#      deserves a fresh correctness row).
+GATE_BASKET_R7_REGATES: tuple[str, ...] = (
+    "distinct_users_sketch",
+    "pricing_summary",
+    "top_revenue_customers",
+    "events_running_window",
+    "events_sessionize",
+    "events_asof_purchase",
+    "events_range_join",
+    "events_salted_agg",
+    "latency_percentiles",
+    "embedding_neardup_lsh",
+    "slice_first_n",
+    "quant_error_stats",
+    "topk_dot",
+    "topk_f16",
+    "topk_i8",
+    "topk_l2",
+    "topk_multi_twophase",
+    "gt_build",
+    "recall_i8_vs_f32",
+    "scan_cost_model",
+    "sample_queries",
+    "quantize_i8",
+    "sanity_stats",
+    "ivf_search",
+    "pq_adc_search",
+    "opq_learned_refine_search",
+    "ivfpq_refine_search",
+    "refine_i8",
+    "csv_chunks_embed",
+    "stream_event_counts",
+)
+
+# The full r7 gate window, pinned now so the final rotation is purely
+# mechanical: copy this tuple into a _reorder_registry_r7() next round.
+GATE_BASKET_R7: tuple[str, ...] = GATE_BASKET_R7_NEVER_GATED + GATE_BASKET_R7_REGATES
+
+
+def _reorder_registry_r6() -> None:
+    missing = [n for n in GATE_BASKET_R6 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R6 names unknown entries: {missing}")
+    prior = set(GATE_BASKET_R3) | set(GATE_BASKET_R4) | set(GATE_BASKET_R5)
+    overlap = set(GATE_BASKET_R6) & prior
+    if overlap:
+        raise RuntimeError(f"GATE_BASKET_R6 repeats verdicted entries: {overlap}")
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R6}
+    # rotation queue: the final 20 never-gated entries queue right after
+    # the window (GATE_BASKET_R7_NEVER_GATED = positions 51-70 next round)
+    ordered.update(
+        (n, e) for n, e in REGISTRY.items() if n not in ordered and n not in prior
+    )
+    # entries with official driver rows park at the tail
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r6()

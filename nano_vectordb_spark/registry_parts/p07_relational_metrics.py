@@ -486,7 +486,7 @@ _SQL_SKETCH = """
 SELECT event_type,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_daily_sketches,
-       TRUE AS within_2pct
+       TRUE AS within_5pct
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -499,11 +499,12 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: sketches pre-aggregate per partition/day and re-aggregate
     without rescanning, unlike exact COUNT(DISTINCT). The raw estimate
     is library-specific (no SQL form), so the DRIVER-VISIBLE contract
-    hashes the exact count plus an in-plan ``within_2pct`` assertion:
-    the sketch estimate must land within 2% relative error of the exact
-    distinct count (default lgK=12 HLL, rse ~1.6%; measured ≤0.8% on
-    every fixture). A wrong sketch flips the boolean and fails the
-    value-hash — the estimator is gated, not just row-counted. Raw
+    hashes the exact count plus an in-plan ``within_5pct`` assertion:
+    the sketch estimate must land within 5% relative error of the exact
+    distinct count — ~3x the default lgK=12 HLL rse of ~1.6%, so the
+    bound sits at >=3 sigma and stays deterministic under future
+    fixtures/replicas (measured ≤0.8% on every current fixture). A
+    wrong sketch flips the boolean and fails the value-hash — the estimator is gated, not just row-counted. Raw
     estimates remain available via the engine-independent sibling
     distinct_users_hll."""
     ev = load_table(spark, sf_dir, "events")
@@ -525,8 +526,8 @@ def distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_daily_sketches",
             (
                 F.abs(F.col("approx") - F.col("exact_distinct_users"))
-                <= 0.02 * F.col("exact_distinct_users")
-            ).alias("within_2pct"),
+                <= 0.05 * F.col("exact_distinct_users")
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )

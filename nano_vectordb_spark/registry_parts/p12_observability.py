@@ -1315,9 +1315,10 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     as kmeans centroids — while the per-token scoring is a standard
     vocab posting join, broadcastable when the vocab is small and an
     ordinary shuffle join when it is not.  Determinism: per-token log
-    probs round to 6 decimals (the libm log2 contract), per-doc sums
-    run as value-ordered sequential folds, and the decile cut is pure
-    integer arithmetic over a total order."""
+    probs round to 6 decimals (the libm log2 contract) then scale to
+    exact micro-bit BIGINTs, so per-doc sums are order-free integer
+    additions with one correctly-rounded final division, and the decile
+    cut is pure integer arithmetic over a total order."""
     from nano_vectordb_spark.operators import globalrank as grank
 
     doc = _lm_bits_df(spark, sf_dir)
@@ -1325,13 +1326,19 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank over EVERY doc (the output is corpus-sized), so a plain
     # Window.orderBy would funnel the whole corpus through one task at
     # scale — the exact pattern operators/globalrank.py exists for.
-    # n_docs is a bounded one-row scalar fetch.
     ranked = grank.two_phase_rank(
         doc,
         [F.col("bits_per_token").desc(), F.col("doc_id").asc()],
         rn_name="__rn",
     )
-    n_docs = doc.count()
+    # n_docs comes off the rank stage itself (max global rank), so the
+    # tok/join/aggregate chain runs ONCE: two_phase_rank pins its output
+    # in a lazy localCheckpoint, this scalar fetch materializes those
+    # blocks, and the final select re-reads them.  A separate
+    # doc.count() would recompute the whole scoring pipeline.
+    n_docs = int(
+        ranked.agg(F.max("__rn").alias("n")).collect()[0]["n"] or 0
+    )
     return ranked.select(
         "doc_id",
         "n_tokens",

@@ -1386,19 +1386,28 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("en").alias("t"), F.lit(-1).alias("d"), "user_id", "session_id"
         )
     )
-    w_sweep = Window.orderBy(
-        F.col("t").asc(), F.col("d").desc(), F.col("user_id").asc(),
-        F.col("session_id").asc(),
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    c = pts.select("t", F.sum("d").over(w_sweep).alias("conc"))
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # the sweep's running sum is over EVERY session boundary (2x
+    # session count — fact-scale), so it runs as a two-phase ranged
+    # cumulative sum, not an unpartitioned window (the r6 plan-guard
+    # tightening caught the original single-task form); the peak lookup
+    # is then a broadcast join against the 1-row max, keeping the whole
+    # query in-plan with no data-sized funnel
+    from nano_vectordb_spark.operators import globalrank as grank
+
+    c = grank.two_phase_rank(
+        pts,
+        [
+            F.col("t").asc(),
+            F.col("d").desc(),
+            F.col("user_id").asc(),
+            F.col("session_id").asc(),
+        ],
+        cum_sums=[(F.col("d"), "conc")],
+        rn_name="__rn",
+    ).select("t", "conc")
+    mx = c.groupBy().agg(F.max("conc").alias("mx"))
     peak = (
-        c.select(
-            "t", "conc", F.max("conc").over(w_all).alias("mx")
-        )
-        .where(F.col("conc") == F.col("mx"))
+        c.join(F.broadcast(mx), F.col("conc") == F.col("mx"))
         .agg(
             F.max("mx").cast("long").alias("max_concurrent"),
             F.min("t").cast("long").alias("peak_t_us"),

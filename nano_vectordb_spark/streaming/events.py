@@ -110,6 +110,7 @@ def run_stream_update_merged(
     prefix: str,
     key_cols: list[str],
     state_partitions: int = STREAM_STATE_PARTITIONS,
+    epoch_rows: dict[int, int] | None = None,
 ) -> DataFrame:
     """Update-output AvailableNow query with a SINK-SIDE MERGE: each
     microbatch emits only the keys whose state changed (not the whole
@@ -123,7 +124,14 @@ def run_stream_update_merged(
     the epoch id to scratch parquet; the merged view keeps, per
     ``key_cols``, the row from the LATEST epoch (a key-partitioned
     window — never a global one). The merged result is localCheckpointed
-    so the scratch dir can be removed before returning."""
+    so the scratch dir can be removed before returning.
+
+    ``epoch_rows`` (optional out-param): filled with {epoch_id: rows
+    emitted in that microbatch}, read back from the epoch-tagged sink
+    before cleanup — the measurable form of the update-mode claim that
+    each batch emits only its CHANGED keys, not accumulated state
+    (asserted under a forced multi-microbatch run in
+    tests/test_streaming.py)."""
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = _fast_checkpoint_dir(name)
     sink_dir = ckpt + "_sink"
@@ -160,6 +168,15 @@ def run_stream_update_merged(
         if not os.path.isdir(sink_dir):
             return spark.createDataFrame([], sdf.schema)
         from pyspark.sql import Window
+
+        if epoch_rows is not None:
+            for r in (
+                spark.read.parquet(sink_dir)
+                .groupBy("_epoch")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ):
+                epoch_rows[int(r["_epoch"])] = int(r["n"])
 
         w = Window.partitionBy(*key_cols).orderBy(F.col("_epoch").desc())
         merged = (

@@ -84,7 +84,11 @@ def build(spark) -> str:
                 ).withColumn("n_chars", F.length("text"))
             if t == "embeddings" and i > 0:
                 dim = len(base.select("embedding").first()[0])
-                k = i % dim
+                # rotation must never be 0 for i>0, or replicas whose
+                # index is a multiple of dim duplicate the base vectors
+                # verbatim (distance ties in knn/dedup workloads); this
+                # cycles k through 1..dim-1
+                k = 1 + (i - 1) % (dim - 1)
                 rep = rep.withColumn(
                     "embedding",
                     F.concat(

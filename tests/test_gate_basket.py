@@ -26,7 +26,7 @@ from nano_vectordb_spark import registry
 # entries allowed to skip the value-hash oracle, with the reason
 # recorded here.  Empty since round 5: distinct_users_sketch (the one
 # r4 declaration — library HLL internals have no SQL form) now hashes
-# the exact count plus an in-plan within_2pct estimator assertion, so
+# the exact count plus an in-plan within_5pct estimator assertion, so
 # every registry entry is oracle-backed.
 ROWS_ONLY_DECLARED: set[str] = set()
 
@@ -76,9 +76,18 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R5) == 50
-    assert len(set(registry.GATE_BASKET_R5)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R5)
+    assert len(registry.GATE_BASKET_R6) == 50
+    assert len(set(registry.GATE_BASKET_R6)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R6)
+
+
+def test_r6_basket_spends_no_slot_on_verdicted_entries():
+    prior = (
+        set(registry.GATE_BASKET_R3)
+        | set(registry.GATE_BASKET_R4)
+        | set(registry.GATE_BASKET_R5)
+    )
+    assert not set(registry.GATE_BASKET_R6) & prior
 
 
 def test_r5_basket_spends_no_slot_on_verdicted_entries():
@@ -88,6 +97,38 @@ def test_r5_basket_spends_no_slot_on_verdicted_entries():
 
 def test_r4_basket_spends_no_slot_on_verdicted_entries():
     assert not set(registry.GATE_BASKET_R4) & set(registry.GATE_BASKET_R3)
+
+
+def test_r7_plan_is_pinned_and_closes_the_rotation():
+    """r5 VERDICT item 7: the final gate window is named now so the r7
+    rotation is mechanical.  20 never-gated entries (= the rotation
+    queue, exactly) + 30 re-gate slots on the oldest official rows."""
+    never = registry.GATE_BASKET_R7_NEVER_GATED
+    regates = registry.GATE_BASKET_R7_REGATES
+    assert len(never) == 20 and len(regates) == 30
+    assert len(registry.GATE_BASKET_R7) == 50
+    assert len(set(registry.GATE_BASKET_R7)) == 50
+    # the never-gated tranche is exactly the post-window rotation queue
+    names = list(registry.REGISTRY)
+    assert names[50:70] == list(never)
+    # every re-gate slot targets an entry whose official row is r3-era
+    # (all of GATE_BASKET_R3) or the one r4 rows-only declaration
+    eligible = set(registry.GATE_BASKET_R3) | {"distinct_users_sketch"}
+    assert set(regates) <= eligible
+    # the priority picks are present: the rows-only retiree, all nine
+    # round-1 failures, and the r5-reworked streaming representative
+    assert "distinct_users_sketch" in regates
+    assert R1_FAILURES <= set(regates)
+    assert "stream_event_counts" in regates
+    # after r7 every registry entry holds an official driver row
+    all_gated = (
+        set(registry.GATE_BASKET_R3)
+        | set(registry.GATE_BASKET_R4)
+        | set(registry.GATE_BASKET_R5)
+        | set(registry.GATE_BASKET_R6)
+        | set(never)
+    )
+    assert all_gated == set(registry.REGISTRY)
 
 
 def test_top50_all_oracle_backed():
@@ -124,22 +165,29 @@ def test_officially_gated_union_covers_survey_s2():
 
 
 def test_rotation_queue_holds_only_never_gated_entries():
-    """Positions 51..120 must be the never-gated continuation entries in
-    stable order (GATE_BASKET_R6 = the first 50, the final 20 close the
-    record in r7); the r3+r4-verdicted baskets park at the tail."""
+    """Positions 51..70 must be the final 20 never-gated entries in
+    stable order (they close the record in r7); the r3+r4+r5-verdicted
+    baskets park at the tail."""
     names = list(registry.REGISTRY)
     gated = (
         set(registry.GATE_BASKET_R3)
         | set(registry.GATE_BASKET_R4)
         | set(registry.GATE_BASKET_R5)
+        | set(registry.GATE_BASKET_R6)
     )
-    n_tail = len(registry.GATE_BASKET_R3) + len(registry.GATE_BASKET_R4)
+    n_tail = (
+        len(registry.GATE_BASKET_R3)
+        + len(registry.GATE_BASKET_R4)
+        + len(registry.GATE_BASKET_R5)
+    )
     queue = names[50 : len(names) - n_tail]
     tail = names[len(names) - n_tail :]
     assert not set(queue) & gated, "rotation queue polluted by gated entries"
-    assert set(tail) == set(registry.GATE_BASKET_R3) | set(
-        registry.GATE_BASKET_R4
-    ), "tail must be the r3+r4 baskets"
+    assert set(tail) == (
+        set(registry.GATE_BASKET_R3)
+        | set(registry.GATE_BASKET_R4)
+        | set(registry.GATE_BASKET_R5)
+    ), "tail must be the r3+r4+r5 baskets"
 
 
 def test_registry_growth_frozen_until_rotation_closes():

@@ -11,7 +11,7 @@ from tests.conftest import SF_CORRECT
 
 def test_hll_union_estimate_within_bounds(spark):
     res = {
-        r.event_type: (r.exact_distinct_users, r.n_daily_sketches, r.within_2pct)
+        r.event_type: (r.exact_distinct_users, r.n_daily_sketches, r.within_5pct)
         for r in registry.REGISTRY["distinct_users_sketch"].fn(spark, SF_CORRECT).collect()
     }
     exact = {

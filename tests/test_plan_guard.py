@@ -93,14 +93,25 @@ _ID_GROUP_PAT = (
     "l_orderkey",
     "query_id",
     "chunk_id",
+    # user-entity keys (r5 ADVICE): users/customers/suppliers/parts are
+    # fact-cardinality at 100 TB, not bounded dimensions.  cluster_id /
+    # band_id / bucket_id style keys stay OFF this list on purpose —
+    # those domains are k-bounded by construction.
+    "user_id",
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
 )
 
 
 def _aggregate_is_bounding(node) -> bool:
     try:
         grouping = node.groupingExpressions().mkString(",")
-    except Exception:  # non-Aggregate or API drift: conservative bound
-        return True
+    except Exception:
+        # API drift on a node we matched as "Aggregate": fail STRICT
+        # (treat as non-bounding and keep walking) — returning True here
+        # would silently disable the guard for every aggregate
+        return False
     return not any(pat in grouping for pat in _ID_GROUP_PAT)
 _UNBOUNDED_LEAVES = {
     "LogicalRelation",
