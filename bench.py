@@ -66,17 +66,19 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     release_between = os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "") == "1"
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for _family, names in BENCH_FAMILIES:
         for name in names:
             fn = registry.REGISTRY[name].fn
-            best = float("inf")
+            ts: list[float] = []
             for _ in range(reps):
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 n = df.count()  # materialize the full result
-                best = min(best, time.perf_counter() - t0)
+                ts.append(time.perf_counter() - t0)
                 assert n >= 0
-            timings[name] = round(best, 4)
+            timings[name] = round(min(ts), 4)
+            rep_times[name] = [round(t, 4) for t in ts]
         if release_between:
             registry.release_caches()
     total = round(sum(timings.values()), 4)
@@ -91,6 +93,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # every rep per query (first rep includes one-time
+                # materialization/caching) — makes machine-state noise
+                # visible in the official record instead of only the min
+                "query_reps": rep_times,
                 "sf": sf,
             }
         )

@@ -112,11 +112,27 @@ def _lloyd_once(
 
 
 def collect_train_sample(
-    df: DataFrame, vec_col: str, train_rows: int
+    df: DataFrame, vec_col: str, train_rows: int, id_col: str = "vec_id"
 ) -> np.ndarray:
-    """First-N training prefix (the FAISS ntrain convention,
-    ivf_build.cpp:44) — a limit() never scans past the bound, so the
-    collect is O(train_rows x D) regardless of table size."""
+    """First-N training rows (the FAISS ntrain convention,
+    ivf_build.cpp:44), keyed by ``id_col`` when the table has one: the
+    N smallest ids, via TakeOrderedAndProject — distributed partial
+    top-N, O(train_rows x D) driver traffic regardless of table size.
+
+    Keying on the id (rather than a bare limit()) makes the training
+    set well-defined under ANY physical layout: limit() takes a
+    partition-order prefix, and partition order over a multi-file scan
+    follows Spark's size-descending file packing — not reproducible
+    outside Spark, and not stable across layouts of the same data. On
+    the single-file fixtures rows are id-monotone, so this is
+    bit-identical to the historical prefix; on directory-layout scale
+    fixtures (tests/make_sf1.py) it is what lets the NumPy oracle
+    re-fit reproduce the Spark fit exactly."""
+    if id_col in df.columns:
+        rows = (
+            df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+        )
+        return np.asarray([r[1] for r in rows], dtype=np.float64)
     rows = df.select(vec_col).limit(train_rows).collect()
     return np.asarray([r[0] for r in rows], dtype=np.float64)
 

@@ -60,8 +60,15 @@ def _materialize_once(path: str, write_fn, marker: str = "_SUCCESS") -> None:
             _os.rename(tmp, path)
 
 # the driver's correctness gate runs at this fixture; lazy oracles that
-# embed fit-derived literals compute them from the same parquet
-_ORACLE_SF = "/root/testdata/sf0.01"
+# embed fit-derived literals compute them from the same parquet.
+# Overridable (SPARK_GRAFT_ORACLE_SF) so the scale-parity sweeps
+# (tests/sf1_parity.py) can re-derive the fits on a scale fixture and
+# hash-verify the ANN family at 10x — pyarrow reads both the
+# single-file layout and Spark-written directories (files prefixed
+# '_' are ignored by the dataset reader).
+import os as _os
+
+_ORACLE_SF = _os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _sql_l2(a: str, b: str) -> str:
@@ -78,10 +85,34 @@ _ORACLE_FIT_CACHE: dict[str, object] = {}
 def _fit_cached(key: str, fn):
     """Oracle fits are deterministic per fixture; cache them so a
     harness that calls oracle_sql() repeatedly (e.g. once per query
-    subprocess) pays for each fit once per process."""
+    subprocess) pays for each fit once per process.  Keyed on the
+    oracle fixture dir so a future in-process override can never be
+    served a stale fit."""
+    key = f"{key}@{_ORACLE_SF}"
     if key not in _ORACLE_FIT_CACHE:
         _ORACLE_FIT_CACHE[key] = fn()
     return _ORACLE_FIT_CACHE[key]
+
+
+def _oracle_train_rows(n: int, pred=None) -> "object":
+    """The oracle's training prefix: the ``n`` embeddings with the
+    SMALLEST vec_ids (after the optional ``pred(ids)`` row mask) —
+    the NumPy twin of kmeans.collect_train_sample's id-keyed top-N, so
+    the fit reproduces the Spark fit under any physical file layout
+    (a raw row-order prefix is only stable on single-file fixtures)."""
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(
+        f"{_ORACLE_SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    rows = np.asarray(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    if pred is not None:
+        keep = pred(ids)
+        ids, rows = ids[keep], rows[keep]
+    order = np.argsort(ids, kind="stable")[:n]
+    return rows[order]
 
 
 def _oracle_centroids_np() -> "object":
@@ -91,14 +122,10 @@ def _oracle_centroids_np() -> "object":
 
     def fit():
         import numpy as np
-        import pyarrow.parquet as papq
 
         from nano_vectordb_spark.functions import kmeans as km
 
-        tbl = papq.read_table(
-            f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"]
-        )
-        rows = tbl.column("embedding").to_pylist()[: km.train_rows_for(_IVF_NLIST)]
+        rows = _oracle_train_rows(km.train_rows_for(_IVF_NLIST))
         return km.lloyd_fit(
             np.asarray(rows, dtype=np.float64), _IVF_NLIST, seed=SEED
         )
@@ -271,22 +298,17 @@ _IVF_ADD_MOD = 10  # vec_id % 10 == 0 stands in for the inserted batch
 def _oracle_centroids_add_np() -> "object":
     """Centroids for the incremental-add entry: the IDENTICAL seeded
     fit, but trained on the pre-insert corpus (vec_id % _IVF_ADD_MOD
-    != 0) — first-N prefix of the FILTERED table in file order, exactly
-    what collect_train_sample sees on the Spark side."""
+    != 0) — the id-keyed first-N of the FILTERED table, exactly what
+    collect_train_sample sees on the Spark side."""
 
     def fit():
         import numpy as np
-        import pyarrow.parquet as papq
 
         from nano_vectordb_spark.functions import kmeans as km
 
-        tbl = papq.read_table(
-            f"{_ORACLE_SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        rows = _oracle_train_rows(
+            km.train_rows_for(_IVF_NLIST), pred=lambda ids: ids % _IVF_ADD_MOD != 0
         )
-        ids = tbl.column("vec_id").to_pylist()
-        embs = tbl.column("embedding").to_pylist()
-        rows = [e for i, e in zip(ids, embs) if i % _IVF_ADD_MOD != 0]
-        rows = rows[: km.train_rows_for(_IVF_NLIST)]
         return km.lloyd_fit(
             np.asarray(rows, dtype=np.float64), _IVF_NLIST, seed=SEED
         )

@@ -57,11 +57,11 @@ def _oracle_train_mat() -> "object":
     from nano_vectordb_spark.functions import kmeans as km
 
     def load():
-        tbl = papq.read_table(
-            f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"]
+        from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_train_rows
+
+        return np.asarray(
+            _oracle_train_rows(km.train_rows_for(2**_PQ_NBITS)), dtype=np.float64
         )
-        rows = tbl.column("embedding").to_pylist()[: km.train_rows_for(2**_PQ_NBITS)]
-        return np.asarray(rows, dtype=np.float64)
 
     return _fit_cached("train_mat", load)
 

@@ -173,10 +173,15 @@ def _oracle_doc_centroids():
 
     from nano_vectordb_spark.functions import kmeans as km
 
+    import os as _os
+
     con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{_ORACLE_SF}/documents.parquet'"
-    )
+    # the oracle fixture may be a Spark-written directory (scale sweeps
+    # under SPARK_GRAFT_ORACLE_SF) — DuckDB needs the part-file glob
+    _doc_path = f"{_ORACLE_SF}/documents.parquet"
+    if _os.path.isdir(_doc_path):
+        _doc_path = f"{_doc_path}/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{_doc_path}'")
     def fit():
         rows = con.sql(
             f"WITH {_SQL_EMBED_CTES} "

@@ -2053,7 +2053,11 @@ def _pagerank_oracle() -> str:
     in DECIMAL arithmetic and land one ulp away from the double path."""
     import pyarrow.parquet as papq
 
-    n = papq.read_metadata(f"{_ORACLE_SF}/embeddings.parquet").num_rows
+    # read_table (not read_metadata) so directory-layout scale fixtures
+    # under SPARK_GRAFT_ORACLE_SF resolve too; one id column is cheap
+    n = papq.read_table(
+        f"{_ORACLE_SF}/embeddings.parquet", columns=["vec_id"]
+    ).num_rows
     base = (1.0 - _PR_D) / n
     init = 1.0 / n
     knn_sql = REGISTRY["knn_self_join"].oracle

@@ -223,6 +223,43 @@ PURE_ORACLE_ENTRIES = (
     "events_props_variant",
 )
 
+# ANN-family entries whose oracle literals (centroids / codebooks /
+# rotations / hyperplanes / scale vectors) RE-DERIVE on the target
+# fixture when SPARK_GRAFT_ORACLE_SF points at it (r6: the train
+# sample is id-keyed on both engine sides — kmeans.collect_train_sample
+# and p03_ivf._oracle_train_rows — so the fit is layout-independent).
+# Run with:
+#   SPARK_GRAFT_ORACLE_SF=/tmp/nvdb_sf1 python tests/sf1_parity.py --ann
+# Still excluded even here (cost, not validity): the all-pairs oracles
+# (knn_self_join, knn_pagerank, ngram_jaccard_pairs, simhash_pairs,
+# embedding_neardup_pairs, lsh_operating_point) and the fitted-TEXT
+# oracles (bpe_*, cluster_topics, hybrid/bm25 family, mixture_*,
+# vocab_typo_pairs, substring_dup_spans, ...) whose DuckDB replay cost
+# scales with corpus text, not vector count.
+ANN_REFIT_ENTRIES = (
+    "ivf_search",
+    "ivf_search_persisted",
+    "ivf_search_after_add",
+    "ivf_search_filtered",
+    "ivf_search_after_delete",
+    "ivf_cluster_balance",
+    "ivf_compact_stats",
+    "ivf_nprobe_autotune",
+    "ivf_probe_cost",
+    "ivf_recall_sweep",
+    "stream_ivf_ingest",
+    "pq_adc_search",
+    "pq_refine_search",
+    "opq_refine_search",
+    "opq_learned_refine_search",
+    "ivfpq_refine_search",
+    "sq8_search",
+    "embedding_clusters",
+    "lsh_multiprobe_search",
+    "embedding_neardup_lsh",
+    "ann_cost_frontier",
+)
+
 
 def main() -> None:
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
@@ -249,8 +286,17 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs, osql = E.queries(), E.oracle_sql()
     n_pass = n_fail = 0
-    # explicit argv names override the curated list (callers vet purity)
-    targets = tuple(sys.argv[1:]) or PURE_ORACLE_ENTRIES
+    # explicit argv names override the curated list (callers vet purity);
+    # --ann selects the re-fittable ANN tranche (requires
+    # SPARK_GRAFT_ORACLE_SF to point at the same fixture as SF1)
+    args = sys.argv[1:]
+    if args == ["--ann"]:
+        if os.environ.get("SPARK_GRAFT_ORACLE_SF") != SF1:
+            print("--ann requires SPARK_GRAFT_ORACLE_SF to equal the SF1 dir")
+            sys.exit(2)
+        targets = ANN_REFIT_ENTRIES
+    else:
+        targets = tuple(args) or PURE_ORACLE_ENTRIES
     for name in targets:
         t0 = time.time()
         try:

@@ -184,3 +184,124 @@ def test_extract_features_ppm_decoder(spark):
     assert (r.width, r.height) == (2, 2)
     # two white pixels in the top bucket... (lum=1 clamps to last bucket)
     assert r.features == [0.5, 0.5]
+
+
+# --- PNG codec (r5 VERDICT item 6: stdlib zlib + full defilter) -------
+
+
+def _rng_pixels(w, h, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(w * h, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "mode", ["none", "sub", "up", "average", "paeth", "adaptive"]
+)
+def test_png_roundtrip_every_filter(mode):
+    """Every scanline filter type (and the adaptive MSAD selection)
+    must decode back to the exact pixels."""
+    import numpy as np
+
+    w, h = 13, 9  # odd sizes exercise stride edges
+    px = _rng_pixels(w, h)
+    blob = mm.png_encode(w, h, px, filter_mode=mode)
+    gw, gh, maxval, got = mm._png_decode(blob)
+    assert (gw, gh, maxval) == (w, h, 255)
+    assert np.array_equal(got, px)
+
+
+def test_png_gradient_prefers_nontrivial_filters():
+    """A smooth gradient compresses via Sub/Up/Paeth — assert the
+    adaptive encoder actually picked a non-None filter somewhere (the
+    defilter loop is exercised, not just filter 0) and that the payload
+    beats the raw size."""
+    import numpy as np
+
+    w, h = 32, 16
+    r = np.arange(w * h, dtype=np.uint8).reshape(-1, 1)
+    px = np.hstack([r, r // 2, 255 - r]).astype(np.uint8)
+    blob = mm.png_encode(w, h, px, filter_mode="adaptive")
+    filters = set()
+    import struct
+    import zlib
+
+    pos = len(mm._PNG_SIG)
+    while pos + 8 <= len(blob):
+        size = struct.unpack_from(">I", blob, pos)[0]
+        tag = blob[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            raw = zlib.decompress(blob[pos + 8 : pos + 8 + size])
+            stride = w * 3 + 1
+            filters = {raw[y * stride] for y in range(h)}
+        pos += 12 + size
+    assert filters - {0}, "adaptive encoder never chose a real filter"
+    assert len(blob) < w * h * 3
+    _, _, _, got = mm._png_decode(blob)
+    assert np.array_equal(got, px)
+
+
+def test_png_grayscale_and_crc_reject():
+    """Color type 0 decodes with channels replicated; a corrupted byte
+    fails the CRC check loudly instead of yielding wrong pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 5, 4
+    gray = np.arange(w * h, dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y * w : (y + 1) * w].tobytes() for y in range(h))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    gw, gh, maxval, px = mm._png_decode(blob)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(px[:, 0], gray) and np.array_equal(px[:, 1], gray)
+
+    bad = bytearray(blob)
+    bad[len(mm._PNG_SIG) + 8] ^= 0xFF  # flip a byte inside IHDR
+    with pytest.raises(ValueError, match="CRC"):
+        mm._png_decode(bytes(bad))
+
+
+def test_png_matches_ppm_stats_contract():
+    """The PNG path must produce byte-identical features to the PPM
+    path on the same pixels — the shared (w, h, maxval, pixels)
+    contract that lets the r8 registry entry reuse the PPM oracle
+    shape."""
+    import numpy as np
+
+    w, h = 8, 6
+    px = _rng_pixels(w, h, seed=11)
+    png_blob = mm.png_encode(w, h, px)
+    ppm_blob = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+    f_png = mm._ppm_features(mm._png_decode(png_blob)[3], 255, 4)
+    f_ppm = mm._ppm_features(mm._ppm_decode(ppm_blob)[3], 255, 4)
+    assert f_png == f_ppm
+
+
+def test_extract_features_png_decoder(spark):
+    """decoder='png' through the Arrow mapInPandas plumbing."""
+    import numpy as np
+
+    w, h = 6, 5
+    px = _rng_pixels(w, h, seed=3)
+    blob = mm.png_encode(w, h, px)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    r = mm.extract_features(df, dim=4, decoder="png").collect()[0]
+    assert (r.width, r.height) == (w, h)
+    assert abs(sum(r.features) - 1.0) < 1e-12
