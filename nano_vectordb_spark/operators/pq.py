@@ -51,9 +51,22 @@ def pca_rotation(base: DataFrame, vec_col: str = "embedding", sample_rows: int =
     pretransform, apps/nvdb_ivfpq_build.cpp:78-91; SURVEY §7 phase 5
     sanctions PCA as the first-fidelity rotation before full OPQ
     iteration). Computed driver-side from a bounded sample — at 100 TB
-    a D x D covariance never needs more than a sample."""
-    rows = base.select(vec_col).limit(sample_rows).collect()
-    mat = np.asarray([r[0] for r in rows], dtype=np.float64)
+    a D x D covariance never needs more than a sample. The sample is
+    the ``sample_rows`` SMALLEST vec_ids (TakeOrdered), not a bare
+    limit(): a partition-order prefix follows Spark's size-descending
+    file packing and is not reproducible outside Spark on multi-file
+    layouts (found by the r6 sf1 ANN oracle re-fit sweep)."""
+    if "vec_id" in base.columns:
+        rows = (
+            base.select("vec_id", vec_col)
+            .orderBy("vec_id")
+            .limit(sample_rows)
+            .collect()
+        )
+        mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    else:
+        rows = base.select(vec_col).limit(sample_rows).collect()
+        mat = np.asarray([r[0] for r in rows], dtype=np.float64)
     cov = np.cov(mat, rowvar=False)
     # eigh returns ascending; descending variance order balances
     # information across the M subspaces after rotation

@@ -86,7 +86,17 @@ def _oracle_pq_books(rotation=None, centroids=None, nbits=_PQ_NBITS, seed_off=0)
     )
     if key in _ORACLE_FIT_CACHE:
         return _ORACLE_FIT_CACHE[key]
-    mat = _oracle_train_mat()
+    # the train set is sized by THIS fit's k = 2**nbits, matching the
+    # Spark side's train_rows_for(k) — _oracle_train_mat() (sized for
+    # _PQ_NBITS) was wrong for the ivfpq path's smaller nbits: invisible
+    # at sf0.01 where both clamp to the whole table, caught by the r6
+    # sf1 ANN oracle re-fit sweep
+    from nano_vectordb_spark.functions import kmeans as _km
+    from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_train_rows
+
+    mat = np.asarray(
+        _oracle_train_rows(_km.train_rows_for(2**nbits)), dtype=np.float64
+    )
     if rotation is not None:
         mat = mat @ rotation
     if centroids is not None:
@@ -113,7 +123,10 @@ def _oracle_pca_rotation():
     import numpy as np
 
     def fit():
-        mat = _oracle_train_mat()[:10_000]
+        from nano_vectordb_spark.registry_parts.p03_ivf import _oracle_train_rows
+
+        # pq_ops.pca_rotation's sample: the 10k smallest vec_ids
+        mat = np.asarray(_oracle_train_rows(10_000), dtype=np.float64)
         cov = np.cov(mat, rowvar=False)
         _w, v = np.linalg.eigh(cov)
         return v[:, ::-1]

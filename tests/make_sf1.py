@@ -34,6 +34,17 @@ DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/nvdb_sf1")
 # 10 replicas of sf0.1 = sf1; SPARK_GRAFT_SCALE_REPLICAS=100 with a
 # matching DST builds sf10 for the second decade of the scaling curve
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+# SPARK_GRAFT_SCALE_TABLES=documents,events restricts the build to a
+# table subset — the sf100 third-decade fixture only needs the
+# data-bound family's tables (documents+events), ~2.6 GB instead of
+# ~160 GB for all facts at 1000 replicas
+_TABLE_SUBSET = {
+    t for t in os.environ.get("SPARK_GRAFT_SCALE_TABLES", "").split(",") if t
+}
+# plans with REPLICAS union branches stress the analyzer; write in
+# chunks of <= 50 replicas (append mode) so sf100 (1000 replicas)
+# stays a sequence of ordinary writes
+_CHUNK = 50
 
 # key columns to offset per table: col -> per-replica stride (a round
 # number safely above the sf0.1 max so replica key ranges never collide)
@@ -60,10 +71,14 @@ def build(spark) -> str:
         return DST
     os.makedirs(DST, exist_ok=True)
     for t in ("region", "nation"):
+        if _TABLE_SUBSET and t not in _TABLE_SUBSET:
+            continue
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
     for t, offs in _OFFSETS.items():
+        if _TABLE_SUBSET and t not in _TABLE_SUBSET:
+            continue
         base = spark.read.parquet(f"{SRC}/{t}.parquet")
         parts = []
         for i in range(REPLICAS):
@@ -97,10 +112,13 @@ def build(spark) -> str:
                     ),
                 )
             parts.append(rep)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        for c0 in range(0, len(parts), _CHUNK):
+            chunk = parts[c0 : c0 + _CHUNK]
+            out = chunk[0]
+            for p in chunk[1:]:
+                out = out.unionByName(p)
+            mode = "overwrite" if c0 == 0 else "append"
+            out.write.mode(mode).parquet(f"{DST}/{t}.parquet")
     open(os.path.join(DST, "_DONE"), "w").close()
     return DST
 
@@ -111,7 +129,10 @@ def main() -> None:
 
     spark = get_spark(app_name="nvdb-make-sf1", cpus="32")
     build(spark)
-    for t in list(_OFFSETS) + ["region", "nation"]:
+    tables = list(_OFFSETS) + ["region", "nation"]
+    if _TABLE_SUBSET:
+        tables = [t for t in tables if t in _TABLE_SUBSET]
+    for t in tables:
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(t, n)
     spark.stop()
