@@ -608,21 +608,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash near-dup pairs (a_id < b_id, hamming <= max_hamming).
-    Pair generation joins on 8 nibble bands: if two 32-bit hashes agree
-    on no band, they differ in >= 8 bits, so for max_hamming <= 7 the
-    band join finds EXACTLY the same pairs as the N^2 scan."""
+    Pair generation joins on the COARSEST exact banding (pigeonhole:
+    two hashes agreeing on no band differ in >= B bits, so B bands are
+    exact for max_hamming <= B-1; fewer/wider bands square the bucket
+    count and keep the join out of its quadratic occupancy regime —
+    see simhash64_pairs for the measured sf100 cliff)."""
     if max_hamming > 7:
         raise ValueError("band join is exact only for max_hamming <= 7")
+    n_bands = next(b for b in (2, 4, 8) if b >= max_hamming + 1)
+    width = 32 // n_bands
+    mask = (1 << width) - 1
     sh = simhash(df, text_col, id_col)
     bands = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band_id"),
-                F.shiftright(F.col("simhash"), bi * 4)
-                .bitwiseAND(F.lit(15))
+                F.shiftright(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit(mask))
                 .alias("nib"),
             )
-            for bi in range(8)
+            for bi in range(n_bands)
         ]
     )
     banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
@@ -853,13 +858,22 @@ def simhash64_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs (a_id < b_id, hamming <=
-    max_hamming). Band width adapts to the threshold (pigeonhole: B
-    bands are exact for hamming <= B-1): byte bands (8) for <= 7 —
-    256-way buckets keep candidate volume ~30x below nibble bands on
-    shared-vocabulary corpora — else nibble bands (16) for <= 15."""
+    max_hamming). Band width adapts to the threshold via the COARSEST
+    exact banding (pigeonhole: B bands are exact for hamming <= B-1,
+    so the fewest/widest bands that satisfy B >= t+1 win): bucket
+    count per band is 2^(64/B), so each halving of B squares the
+    bucket count and divides per-bucket occupancy — and the band
+    join's candidate volume grows ~quadratically in occupancy.  The
+    r6 sf100 decade run (5M docs) measured the difference: 8-bit
+    bands (2^8 buckets, ~19.5k docs/bucket) put the join in its
+    quadratic regime (>20 min, killed), while the t=3-exact 16-bit
+    bands (2^16 buckets, ~76 docs/bucket) keep candidates near-linear.
+    At any corpus size, occupancy = n_docs / 2^(64/B): re-check the
+    regime when n_docs approaches the bucket count."""
     if max_hamming > 15:
         raise ValueError("band join is exact only for max_hamming <= 15")
-    per_half = 4 if max_hamming <= 7 else 8  # bands per 32-bit half
+    n_bands = next(b for b in (2, 4, 8, 16) if b >= max_hamming + 1)
+    per_half = n_bands // 2  # bands per 32-bit half
     width = 32 // per_half
     mask = (1 << width) - 1
     # the signature table feeds both sides of the self-join: persist so

@@ -556,6 +556,76 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
+# R8 QUEUE (r5 VERDICT item 6): the PNG sibling — identical pixel
+# chain and stats contract, but the payload round-trips through the
+# REAL compressed codec (png_encode: adaptive-filter deflate;
+# _png_decode: CRC-checked inflate + five-filter defilter), closing
+# the compressed-codec boundary with the stdlib zlib. NOT registered
+# yet: the registry is growth-frozen at 220 until the r7 rotation
+# closes (tests/test_gate_basket.py). Register with
+# @register("multimodal_png_stats", oracle=_SQL_MM_PNG) in r8; until
+# then tests/test_multimodal.py::test_multimodal_png_stats_vs_oracle
+# runs the exact driver-gate comparison directly.
+_SQL_MM_PNG = _SQL_MM_PPM
+
+
+def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec path: the same md5-chained RGB pixels as
+    multimodal_ppm_stats, but encoded through the real stdlib PNG
+    writer (zlib deflate, adaptive scanline filters) and decoded back
+    by operators/multimodal._png_decode — inflate + defilter + CRC
+    walk run per row inside the Arrow batch. The decoded-pixel stats
+    are byte-identical to the PPM entry's (the shared
+    (w, h, maxval, pixels) contract), so the SAME oracle SQL applies:
+    the compressed representation is exercised end-to-end while the
+    hashed output stays codec-independent."""
+    from nano_vectordb_spark.operators.multimodal import _png_decode, png_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_px = _MM_PPM_W * _MM_PPM_H
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "maxval": [],
+                "n_pixels": [], "mean_r": [], "mean_g": [], "mean_b": [],
+                "dark_frac": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = b"".join(
+                    bytes.fromhex(
+                        hashlib.md5(f"{text}:px{i}".encode()).hexdigest()[:6]
+                    )
+                    for i in range(n_px)
+                )
+                px = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+                blob = png_encode(_MM_PPM_W, _MM_PPM_H, px)
+                w, h, maxval, arr = _png_decode(blob)
+                ipx = arr.astype(np.int64)
+                lum_scaled = 299 * ipx[:, 0] + 587 * ipx[:, 1] + 114 * ipx[:, 2]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["maxval"].append(maxval)
+                rows["n_pixels"].append(len(arr))
+                for ch, name in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+                    s = int(arr[:, ch].astype(np.int64).sum())
+                    rows[name].append(s / (255.0 * len(arr)))
+                rows["dark_frac"].append(
+                    float(np.count_nonzero(lum_scaled < 127500)) / len(arr)
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "doc_id long, width int, height int, maxval int, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double, dark_frac double"
+    )
+    return docs.mapInPandas(run, schema)
 
 
 # --------------------------------------------------------------------------

@@ -305,3 +305,23 @@ def test_extract_features_png_decoder(spark):
     r = mm.extract_features(df, dim=4, decoder="png").collect()[0]
     assert (r.width, r.height) == (w, h)
     assert abs(sum(r.features) - 1.0) < 1e-12
+
+
+def test_multimodal_png_stats_vs_oracle(spark, duck):
+    """The r8-queued PNG registry entry, run through the exact
+    driver-gate comparison NOW (registration waits for the growth
+    freeze to lift): the compressed round-trip must hash-match the
+    shared pixel-stats oracle, and the registry must not contain it
+    yet."""
+    from nano_vectordb_spark import registry
+    from nano_vectordb_spark.registry_parts.p08_streaming_multimodal import (
+        _SQL_MM_PNG,
+        multimodal_png_stats,
+    )
+    from tests.conftest import SF_CORRECT
+    from tests.oracle_harness import compare
+
+    assert "multimodal_png_stats" not in registry.REGISTRY
+    df = multimodal_png_stats(spark, SF_CORRECT)
+    ok, msg = compare(df, duck, _SQL_MM_PNG)
+    assert ok, msg
