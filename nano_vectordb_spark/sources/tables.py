@@ -117,6 +117,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     app_id = spark.sparkContext.applicationId
     if _VIEWS_STATE.get(app_id) == sf_dir:
         return
-    for t in TABLES:
+    # Partial fixtures are legitimate (the sf100 decade ships only
+    # documents+events; a 100 TB job mounts only the tables it reads),
+    # so register what exists — but an sf_dir with NO tables is a typo,
+    # not a partial fixture: fail loudly.
+    if "://" in sf_dir:  # object-store URI: existence probe is not a stat()
+        present = list(TABLES)
+    else:
+        present = [
+            t for t in TABLES if os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))
+        ]
+        if not present:
+            raise FileNotFoundError(f"no *.parquet tables under {sf_dir!r}")
+    for t in present:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     _VIEWS_STATE[app_id] = sf_dir

@@ -358,6 +358,7 @@ def heavy_hitters_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     k: int = 3,
+    state_partitions: int = STREAM_STATE_PARTITIONS,
 ) -> DataFrame:
     """Streaming per-window heavy hitters: top-k users by event count
     per tumbling window. Structured Streaming cannot chain two
@@ -367,9 +368,22 @@ def heavy_hitters_stream(
     serving side ranks the materialized result — exactly how a
     dashboard reads a streaming rollup table.
 
-    At scale the stream side is the expensive half (state keyed by
-    window x user); the rank runs over one window's worth of users per
-    partition. Ties break to the lowest user_id for determinism."""
+    Unlike the other demo streams, the keyed state here is DATA-SIZED:
+    users grow with the corpus, so (window x user) is ~#events keys on
+    a historical replay (sf100: ~100M). Two choices make that scale
+    (the r6 sf100 run measured the naive form — complete output into a
+    memory sink — OOM-ing a 48 GB heap):
+
+    * UPDATE output + sink-side merge (`run_stream_update_merged`):
+      each microbatch emits only changed keys into distributed
+      parquet; complete mode re-emits the ENTIRE accumulated state
+      through the driver-heap memory sink every batch.
+    * RocksDB state store: keyed state lives off-heap/on-disk per
+      partition instead of in the executor heap (the default
+      HDFSBackedStateStore keeps the whole partition map on heap).
+
+    The rank runs over one window's worth of users per partition.
+    Ties break to the lowest user_id for determinism."""
     from pyspark.sql import Window
 
     stream = _event_stream(spark, sf_dir)
@@ -385,7 +399,26 @@ def heavy_hitters_stream(
             "n_events",
         )
     )
-    tbl = run_stream_to_table(spark, agg, "hh", "complete")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, "")
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state"
+        ".RocksDBStateStoreProvider",
+    )
+    try:
+        tbl = run_stream_update_merged(
+            spark,
+            agg,
+            "hh",
+            ["window_start", "user_id"],
+            state_partitions=state_partitions,
+        )
+    finally:
+        if old_provider:
+            spark.conf.set(provider_key, old_provider)
+        else:
+            spark.conf.unset(provider_key)
     rank_w = Window.partitionBy("window_start").orderBy(
         F.desc("n_events"), F.asc("user_id")
     )

@@ -82,3 +82,31 @@ def test_norm_of_empty_text_chunks(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert textops.chunk_words(df, 50).count() == 0  # no tokens -> no chunks
+
+
+def test_register_views_partial_fixture(spark, tmp_path):
+    """Partial scale fixtures (e.g. the sf100 decade ships only
+    documents+events) register the tables that exist; a directory with
+    no tables at all fails loudly (typo'd sf_dir, not a partial
+    fixture)."""
+    import shutil
+
+    from nano_vectordb_spark.sources import tables as tbl
+
+    part = tmp_path / "partial"
+    part.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", part / "documents.parquet"
+    )
+    tbl.register_views(spark, str(part))
+    assert spark.sql("SELECT count(*) FROM documents").first()[0] > 0
+    # no tables at all -> loud failure, and the views-state memo must
+    # not record the bad dir
+    import pytest as _pytest
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError):
+        tbl.register_views(spark, str(empty))
+    # restore full-fixture views for any later test in this session
+    tbl.register_views(spark, "/root/testdata/sf0.01")
