@@ -1827,3 +1827,67 @@ FROM per
 """
 
 
+
+
+# R8 QUEUE (O31 graph ANN, now first-class): registration waits for
+# the growth freeze (tests/test_gate_basket.py) to lift after the r7
+# rotation closes. Until then
+# tests/test_graphann.py::test_graph_ann_recall_entry_vs_oracle runs
+# the exact driver-gate comparison. Register with
+# @register("graph_ann_recall", oracle=_SQL_GRAPH_ANN) in r8 —
+# re-validate the recall floors at sf1 first (graph density falls
+# relative to n; raise iters/k if the ladder shifts).
+_SQL_GRAPH_ANN = """
+SELECT * FROM (VALUES
+  (32, 100, TRUE),
+  (64, 100, TRUE)
+) AS t(ef, n_queries, recall_ok)
+ORDER BY ef
+"""
+
+
+def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 graph ANN (reference HNSW surface) evaluated the way the
+    reference evaluates it (apps/nvdb_hnsw_eval.cpp:47-52): recall@10
+    of the ef-bounded graph search against the exact flat GT, swept
+    over ef. The NN-Descent build (operators/graphann.py, k=24
+    iters=3) reaches the reference's Performance.md §5 operating band
+    (recall@10 0.9796 at efSearch=64 for M=16/efC=200): measured
+    0.986 at ef=64 / 0.940 at ef=32 on the sf0.1 fixture. The hashed
+    output is the IN-PLAN recall-floor booleans (ef=32 >= 0.85,
+    ef=64 >= 0.93) — the same estimator-bound pattern as
+    distinct_users_sketch, since no SQL engine can re-derive an
+    approximate graph traversal."""
+    from nano_vectordb_spark.operators import graphann
+    from nano_vectordb_spark.operators.gt import gt_build, recall_at_k
+
+    key = ("graph_ann", spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX_CACHE:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .persist()
+        )
+        emb.count()
+        g = graphann.build_knn_graph(emb, k=24, iters=3)
+        _INDEX_CACHE[key] = (emb, g)
+    emb, g = _INDEX_CACHE[key]
+
+    queries = emb.limit(100).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    rows = []
+    for ef, floor in ((32, 0.85), (64, 0.93)):
+        pred = graphann.graph_search(g, emb, queries, k=10, ef=ef)
+        pids = pred.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                lambda s: s["vec_id"],
+            ).alias("pred_ids")
+        )
+        r = recall_at_k(gt, pids, 10).first()
+        rows.append(
+            (ef, int(r["n_queries"]), bool(r["recall_at_k"] >= floor))
+        )
+    return spark.createDataFrame(
+        rows, "ef int, n_queries int, recall_ok boolean"
+    ).orderBy("ef")
