@@ -1834,9 +1834,10 @@ FROM per
 # rotation closes. Until then
 # tests/test_graphann.py::test_graph_ann_recall_entry_vs_oracle runs
 # the exact driver-gate comparison. Register with
-# @register("graph_ann_recall", oracle=_SQL_GRAPH_ANN) in r8 —
-# re-validate the recall floors at sf1 first (graph density falls
-# relative to n; raise iters/k if the ladder shifts).
+# @register("graph_ann_recall", oracle=_SQL_GRAPH_ANN) in r8.
+# sf1 re-validation DONE (r6): the ring-init ladder did shift at 20k
+# nodes (0.45 @ ef=64), root-fixed by the blocked-init build —
+# 0.973 @ ef=64 at sf1, so the 0.85/0.93 floors hold at both scales.
 _SQL_GRAPH_ANN = """
 SELECT * FROM (VALUES
   (32, 100, TRUE),
@@ -1850,10 +1851,12 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31 graph ANN (reference HNSW surface) evaluated the way the
     reference evaluates it (apps/nvdb_hnsw_eval.cpp:47-52): recall@10
     of the ef-bounded graph search against the exact flat GT, swept
-    over ef. The NN-Descent build (operators/graphann.py, k=24
-    iters=3) reaches the reference's Performance.md §5 operating band
-    (recall@10 0.9796 at efSearch=64 for M=16/efC=200): measured
-    0.986 at ef=64 / 0.940 at ef=32 on the sf0.1 fixture. The hashed
+    over ef. The blocked-init + NN-Descent-repair build
+    (operators/graphann.py, k=24 iters=3) reaches the reference's
+    Performance.md §5 operating band (recall@10 0.9796 at efSearch=64
+    for M=16/efC=200): measured 1.0 at ef=32 and ef=64 on the sf0.1
+    fixture (2k vectors = one exact block) and 0.956/0.973 at
+    ef=32/64 on the 20k-vector sf1 fixture. The hashed
     output is the IN-PLAN recall-floor booleans (ef=32 >= 0.85,
     ef=64 >= 0.93) — the same estimator-bound pattern as
     distinct_users_sketch, since no SQL engine can re-derive an
