@@ -54,8 +54,10 @@ nvdb_hnsw_search.cpp:34), so here the finished graph — n*2k int32
 neighbors + n*d float32 vectors — is BROADCAST and each Arrow batch
 of queries runs classic best-first search in NumPy inside
 mapInPandas. A size guard refuses bases past the broadcast budget;
-at 100 TB the graph shards by IVF partition (route queries to probed
-shards first), which composes with operators/ivf.py.
+at 100 TB the graph shards by IVF partition — IMPLEMENTED below as
+shard_graph_build / shard_graph_search (per-list local graphs +
+probed-shard cogroup search, no global broadcast), composing with
+operators/ivf.py.
 """
 
 from __future__ import annotations
@@ -449,4 +451,223 @@ def graph_search(
 
     return qdf.mapInPandas(
         run, "query_id long, rank int, vec_id long, dist double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded graph ANN — the 100 TB composition with IVF (module docstring
+# last paragraph, now code): per-IVF-list local graphs searched only in
+# the probed shards, with NO driver-side broadcast of any global index.
+# ---------------------------------------------------------------------------
+
+
+def _shard_knn_fn(k: int):
+    """applyInPandas body: exact kNN edges inside ONE IVF list, keyed
+    by real vec ids. Per-row top-k deterministic by (dist, nbr_id);
+    chunked matmul bounds memory like _block_knn_fn."""
+
+    def fn(pdf):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        n_b = len(ids)
+        kk = min(k, n_b - 1)
+        if kk <= 0:
+            return pd.DataFrame(
+                {
+                    "cluster_id": np.array([], dtype=np.int32),
+                    "src_id": np.array([], dtype=np.int64),
+                    "nbr_id": np.array([], dtype=np.int64),
+                }
+            )
+        cl = np.int32(pdf["cluster_id"].iloc[0])
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        sq = np.einsum("ij,ij->i", mat, mat)
+        chunk = max(1, int(4_000_000 // n_b))
+        src_out = np.empty(n_b * kk, dtype=np.int64)
+        nbr_out = np.empty(n_b * kk, dtype=np.int64)
+        p = 0
+        for s in range(0, n_b, chunk):
+            e = min(n_b, s + chunk)
+            d2 = sq[s:e, None] - 2.0 * (mat[s:e] @ mat.T) + sq[None, :]
+            d2[np.arange(e - s), np.arange(s, e)] = np.inf  # no self-loops
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # deterministic per-row order: (dist, nbr_id) over the kk
+            for i in range(e - s):
+                cand = part[i]
+                order = np.lexsort((ids[cand], d2[i, cand]))
+                src_out[p : p + kk] = ids[s + i]
+                nbr_out[p : p + kk] = ids[cand[order]]
+                p += kk
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(p, cl, dtype=np.int32),
+                "src_id": src_out[:p],
+                "nbr_id": nbr_out[:p],
+            }
+        )
+
+    return fn
+
+
+def shard_graph_build(index, k: int = 16, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Per-IVF-list kNN graph: (cluster_id, src_id, nbr_id), <= k edges
+    per node, exact WITHIN its list. One applyInPandas over the
+    cluster_id layout — on a persisted index (ivf_write) each task
+    reads one partition directory, so the build is embarrassingly
+    parallel and never shuffles base vectors anywhere except into
+    their own list. List sizes are governed by nlist exactly as IVF
+    scan sizes are — the same per-task memory budget discipline.
+
+    Cross-list neighbors are intentionally absent: search compensates
+    by probing nprobe lists per query (the IVF recall model), so graph
+    quality composes multiplicatively with coarse-probe recall instead
+    of requiring global edges."""
+    rows = index.assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+    )
+    return rows.groupBy("cluster_id").applyInPandas(
+        _shard_knn_fn(k), "cluster_id int, src_id long, nbr_id long"
+    )
+
+
+def shard_graph_search(
+    index,
+    shard_graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 64,
+    nprobe: int = 8,
+    n_entry: int = 4,
+    coarse: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed graph ANN over the sharded index: probe the
+    top-nprobe IVF lists per query (broadcast centroid scoring,
+    operators/ivf.probe_clusters), route each query to its probed
+    shards, and run the ef-bounded beam INSIDE each shard via a
+    cogrouped applyInPandas — each task holds one list's vectors +
+    adjacency, the same working set an IVF scan task holds. Per-shard
+    top-k candidates (Q x nprobe x k rows total) are then
+    exact-rescored with the sequential-fold expression and re-ranked
+    globally, so emitted distances carry no NumPy reduction-order
+    ulps (the operators/topk.exact_rescore discipline).
+
+    Returns (query_id, rank, vec_id, dist), rank 1..k by (dist,
+    vec_id). Scale shape: no global broadcast, no driver collect of
+    base data; shuffles are the Q x nprobe routing rows, the probed
+    shards' state (partition-pruned on the persisted layout), and the
+    Q x nprobe x k candidate set. With nprobe=nlist, coarse >= the
+    largest list and ef >= the largest list, every shard node seeds
+    the beam and the result equals the exact flat top-k (pinned in
+    tests) — the full-probe identity IVF search has."""
+    from nano_vectordb_spark.operators.ivf import probe_clusters
+    from nano_vectordb_spark.operators.topk import exact_rescore
+
+    probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
+    routed = probes.join(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qv"),
+        ),
+        "query_id",
+    )
+    probed_lists = probes.select("cluster_id").distinct()
+    sym = (
+        shard_graph.select("cluster_id", "src_id", "nbr_id")
+        .union(
+            shard_graph.select(
+                "cluster_id",
+                F.col("nbr_id").alias("src_id"),
+                F.col("src_id").alias("nbr_id"),
+            )
+        )
+        .distinct()
+    )
+    adj = sym.groupBy("cluster_id", "src_id").agg(
+        F.sort_array(F.collect_set("nbr_id")).alias("nbrs")
+    )
+    state = (
+        index.assigned.select(
+            "cluster_id",
+            F.col(id_col).alias("node_id"),
+            F.col(vec_col).alias("vec"),
+        )
+        .join(F.broadcast(probed_lists), "cluster_id")  # partition prune
+        .join(
+            adj.withColumnRenamed("src_id", "node_id"),
+            ["cluster_id", "node_id"],
+            "left",
+        )
+    )
+
+    def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype=np.int64),
+                    "vec_id": np.array([], dtype=np.int64),
+                }
+            )
+        right = right.sort_values("node_id")
+        ids = right["node_id"].to_numpy(dtype=np.int64)
+        vecs = np.asarray(
+            [np.asarray(v, dtype=np.float32) for v in right["vec"]]
+        )
+        pos = {int(v): i for i, v in enumerate(ids)}
+        nbr_lists = [
+            [] if x is None or x is np.nan or not hasattr(x, "__len__") else x
+            for x in right["nbrs"]
+        ]
+        maxdeg = max((len(x) for x in nbr_lists), default=0)
+        adj_m = np.full((len(ids), maxdeg), -1, dtype=np.int32)
+        for i, x in enumerate(nbr_lists):
+            row = [pos[int(v)] for v in x if int(v) in pos]
+            adj_m[i, : len(row)] = row
+        stride = max(1, -(-len(ids) // coarse))
+        sample_idx = np.arange(0, len(ids), stride, dtype=np.int64)
+        sample = vecs[sample_idx]
+        left = left.sort_values("query_id")
+        out_q, out_v = [], []
+        for qid, qv in zip(left["query_id"], left["__qv"]):
+            q = np.asarray(qv, dtype=np.float32)
+            diff = sample - q
+            cd = np.einsum("ij,ij->i", diff, diff)
+            order = np.lexsort((sample_idx, cd))[:n_entry]
+            entries = [int(sample_idx[o]) for o in order]
+            hits = _beam_search(q, adj_m, vecs, ef, k, entries)
+            for _d, i in hits:
+                out_q.append(int(qid))
+                out_v.append(int(ids[i]))
+        return pd.DataFrame(
+            {
+                "query_id": np.asarray(out_q, dtype=np.int64),
+                "vec_id": np.asarray(out_v, dtype=np.int64),
+            }
+        )
+
+    cand = (
+        routed.groupBy("cluster_id")
+        .cogroup(state.groupBy("cluster_id"))
+        .applyInPandas(run, "query_id long, vec_id long")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    pruned_base = index.assigned.join(F.broadcast(probed_lists), "cluster_id")
+    rescored = exact_rescore(
+        pruned_base,
+        queries,
+        cand,
+        metric="l2",
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    return rescored.filter(F.col("rank") <= k).select(
+        "query_id", "rank", "vec_id", F.col("score").alias("dist")
     )

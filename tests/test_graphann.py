@@ -114,6 +114,100 @@ def test_broadcast_guard(spark, emb, graph):
         graphann.MAX_GRAPH_BROADCAST_NODES = old
 
 
+@pytest.fixture(scope="module")
+def ivf_index(spark, emb):
+    from nano_vectordb_spark.operators.ivf import ivf_build
+
+    idx = ivf_build(emb, nlist=8)
+    idx.assigned = idx.assigned.persist()
+    idx.assigned.count()
+    yield idx
+    idx.assigned.unpersist()
+
+
+@pytest.fixture(scope="module")
+def shard_graph(spark, ivf_index):
+    g = graphann.shard_graph_build(ivf_index, k=8).persist()
+    g.count()
+    yield g
+    g.unpersist()
+
+
+def test_shard_graph_build_shape(spark, ivf_index, shard_graph):
+    # <= k edges per (cluster, src); no self-loops; edges stay in-list
+    per_src = shard_graph.groupBy("cluster_id", "src_id").count()
+    assert per_src.agg(F.max("count")).first()[0] <= 8
+    assert shard_graph.filter("src_id = nbr_id").count() == 0
+    a = ivf_index.assigned.select(
+        F.col("vec_id").alias("src_id"), F.col("cluster_id").alias("ca")
+    )
+    b = ivf_index.assigned.select(
+        F.col("vec_id").alias("nbr_id"), F.col("cluster_id").alias("cb")
+    )
+    crossed = (
+        shard_graph.join(a, "src_id").join(b, "nbr_id")
+        .filter("ca != cb OR ca != cluster_id")
+    )
+    assert crossed.count() == 0
+    # deterministic rebuild
+    g2 = graphann.shard_graph_build(ivf_index, k=8)
+    assert shard_graph.exceptAll(g2).count() == 0
+    assert g2.count() == shard_graph.count()
+
+
+def test_shard_search_full_probe_equals_exact(spark, emb, ivf_index, shard_graph):
+    """nprobe=nlist + coarse/ef >= every list size => every shard node
+    seeds the beam and the search is exhaustive: the result must EQUAL
+    the exact flat top-k (the same identity IVF search has at full
+    probe)."""
+    queries = emb.limit(50).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    pred = graphann.shard_graph_search(
+        ivf_index, shard_graph, queries, k=10, ef=1000, nprobe=8, coarse=1000
+    )
+    pred_ids = pred.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+            lambda s: s["vec_id"],
+        ).alias("pred_ids")
+    )
+    diff = gt.join(pred_ids, "query_id").filter(
+        F.col("gt_ids") != F.col("pred_ids")
+    )
+    assert diff.count() == 0
+
+
+def test_shard_search_recall_monotone_in_nprobe(spark, emb, ivf_index, shard_graph):
+    queries = emb.limit(50).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    recalls = {}
+    for nprobe in (2, 4, 8):
+        pred = graphann.shard_graph_search(
+            ivf_index, shard_graph, queries, k=10, ef=64, nprobe=nprobe
+        )
+        pred_ids = pred.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                lambda s: s["vec_id"],
+            ).alias("pred_ids")
+        )
+        recalls[nprobe] = recall_at_k(gt, pred_ids, 10).first()["recall_at_k"]
+    assert recalls[2] <= recalls[4] + 1e-9 <= recalls[8] + 2e-9
+    assert recalls[8] >= 0.9, recalls
+
+
+def test_shard_search_deterministic(spark, emb, ivf_index, shard_graph):
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = graphann.shard_graph_search(
+        ivf_index, shard_graph, queries, k=10, ef=32, nprobe=4
+    ).collect()
+    b = graphann.shard_graph_search(
+        ivf_index, shard_graph, queries, k=10, ef=32, nprobe=4
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
 def test_graph_ann_recall_entry_vs_oracle(spark, duck):
     """The r8-queued O31 registry entry through the exact driver-gate
     comparison (registration waits for the growth freeze)."""
