@@ -187,6 +187,7 @@ def build_knn_graph(
     block_target: int = _BLOCK_TARGET,
     n_assign: int = 2,
     n_cluster: int = 2,
+    repair_degree: int | None = None,
 ) -> DataFrame:
     """Distributed k-NN graph: cluster-blocked exact init + NN-Descent
     repair (module docstring). Returns (src_id, nbr_id, dist) with
@@ -257,9 +258,15 @@ def build_knn_graph(
     )
     cur = _topk_per_node(with_dist(cand0), k).localCheckpoint(eager=False)
 
+    rd = repair_degree if repair_degree is not None else 2 * k
     for _ in range(repair_rounds):
         # symmetrize + degree-cap: NN-Descent explores out- AND
-        # in-neighbors; the cap bounds the self-join to (2k)^2 per node
+        # in-neighbors; the cap bounds the self-join to rd^2 per node.
+        # rd < 2k is the published SAMPLED NN-Descent (Dong et al. §2.3
+        # rho-sampling): with the blocked init already locally exact,
+        # the rounds only stitch boundaries, so a reduced per-pivot
+        # fan-out (e.g. 12) cuts candidate volume quadratically while
+        # keeping the closest — most informative — co-neighbors.
         u = _degree_cap(
             cur.select("idx", "nbr", "dist").union(
                 cur.select(
@@ -268,7 +275,7 @@ def build_knn_graph(
                     "dist",
                 )
             ),
-            2 * k,
+            rd,
         ).select("idx", "nbr")
         # neighbor-of-neighbor candidates: two neighbors of the same
         # node are candidate neighbors of EACH OTHER

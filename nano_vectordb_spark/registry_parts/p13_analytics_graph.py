@@ -1894,3 +1894,80 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ef int, n_queries int, recall_ok boolean"
     ).orderBy("ef")
+
+
+# R8 QUEUE (O31 sharded graph ANN — the 100 TB composition with IVF):
+# registration waits for the growth freeze like graph_ann_recall.
+# tests/test_graphann.py::test_graph_ann_sharded_entry_vs_oracle runs
+# the exact driver-gate comparison until then.
+_SQL_GRAPH_ANN_SHARDED = """
+SELECT * FROM (VALUES
+  (2, 100, TRUE, TRUE),
+  (4, 100, TRUE, TRUE),
+  (8, 100, TRUE, TRUE)
+) AS t(nprobe, n_queries, recall_ok, monotone_ok)
+ORDER BY nprobe
+"""
+
+
+def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O31 at cluster scale: per-IVF-list graphs searched only in the
+    probed shards (operators/graphann.shard_graph_build/search — no
+    global broadcast, no driver collect of base data). Hashed output
+    is IN-PLAN booleans, all deterministically TRUE by construction:
+
+    * recall_ok — nprobe=2 recall >= 0.20, nprobe=4 >= 0.50 (loose
+      floors under the measured values), and nprobe=8 (= nlist, with
+      ef and the zoom-in sample sized to the largest list) recall
+      == 1.0 EXACTLY: full probe + exhaustive per-shard beam equals
+      the flat exact top-k, the identity pinned in
+      tests/test_graphann.py.
+    * monotone_ok — recall non-decreasing in nprobe: a larger probe
+      set only grows each query's candidate set, and under exact
+      (dist, vec_id) final ranking a new candidate can only displace
+      a true top-10 member if it is itself a true top-10 member.
+    """
+    from nano_vectordb_spark.operators import graphann
+    from nano_vectordb_spark.operators.gt import gt_build, recall_at_k
+    from nano_vectordb_spark.operators.ivf import ivf_build
+
+    key = ("graph_ann_sharded", spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX_CACHE:
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .persist()
+        )
+        emb.count()
+        idx = ivf_build(emb, nlist=8)
+        idx.assigned = idx.assigned.persist()
+        g = graphann.shard_graph_build(idx, k=16).persist()
+        maxlist = int(
+            idx.assigned.groupBy("cluster_id").count().agg(F.max("count")).first()[0]
+        )
+        _INDEX_CACHE[key] = (emb, idx, g, maxlist)
+    emb, idx, g, maxlist = _INDEX_CACHE[key]
+
+    queries = emb.limit(100).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    rows = []
+    prev = -1.0
+    for nprobe, floor in ((2, 0.20), (4, 0.50), (8, None)):
+        ef, coarse = (maxlist, maxlist) if floor is None else (64, 256)
+        pred = graphann.shard_graph_search(
+            idx, g, queries, k=10, ef=ef, nprobe=nprobe, coarse=coarse
+        )
+        pids = pred.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                lambda s: s["vec_id"],
+            ).alias("pred_ids")
+        )
+        r = recall_at_k(gt, pids, 10).first()
+        rec = float(r["recall_at_k"])
+        ok = rec == 1.0 if floor is None else rec >= floor
+        rows.append((nprobe, int(r["n_queries"]), bool(ok), bool(rec >= prev)))
+        prev = rec
+    return spark.createDataFrame(
+        rows, "nprobe int, n_queries int, recall_ok boolean, monotone_ok boolean"
+    ).orderBy("nprobe")

@@ -223,3 +223,20 @@ def test_graph_ann_recall_entry_vs_oracle(spark, duck):
     df = graph_ann_recall(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_GRAPH_ANN)
     assert ok, msg
+
+
+def test_graph_ann_sharded_entry_vs_oracle(spark, duck):
+    """The r8-queued sharded-O31 registry entry through the exact
+    driver-gate comparison (registration waits for the growth freeze)."""
+    from nano_vectordb_spark import registry
+    from nano_vectordb_spark.registry_parts.p13_analytics_graph import (
+        _SQL_GRAPH_ANN_SHARDED,
+        graph_ann_sharded,
+    )
+    from tests.conftest import SF_CORRECT
+    from tests.oracle_harness import compare
+
+    assert "graph_ann_sharded" not in registry.REGISTRY
+    df = graph_ann_sharded(spark, SF_CORRECT)
+    ok, msg = compare(df, duck, _SQL_GRAPH_ANN_SHARDED)
+    assert ok, msg
