@@ -555,6 +555,78 @@ def shard_graph_build(index, k: int = 16, id_col: str = "vec_id",
     )
 
 
+def graph_write(graph: DataFrame, path: str) -> None:
+    """Persist the flat kNN graph (the hnswlib saveIndex analog,
+    nvdb_hnsw_build.cpp:51). The graph is plain relational data, so
+    the artifact is plain parquet; search reloads it with graph_read
+    and broadcasts exactly as an in-memory build would."""
+    graph.select("src_id", "nbr_id", "dist").write.mode("overwrite").parquet(path)
+
+
+def graph_read(spark, path: str) -> DataFrame:
+    """Reload a graph_write artifact (the hnswlib loadIndex analog,
+    nvdb_hnsw_search.cpp:34)."""
+    return spark.read.parquet(path)
+
+
+def shard_graph_write(shard_graph: DataFrame, path: str) -> None:
+    """Persist the sharded graph AS its physical layout: edges
+    partitioned by cluster_id, so probed-shard search prunes partition
+    directories the same way IVF scan does (operators/ivf.ivf_write).
+    The layout IS the index — the saveIndex analog at cluster scale."""
+    shard_graph.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+
+def shard_graph_read(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def shard_graph_add(
+    index,
+    shard_graph: DataFrame,
+    new_rows: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental insert — the hnswlib addPoint analog
+    (nvdb_hnsw_build.cpp:45) at the sharded level. New vectors are
+    assigned to their nearest FROZEN centroid (the FAISS add()
+    contract, operators/ivf.ivf_add), and ONLY the touched lists'
+    local graphs are rebuilt; untouched lists keep their edges
+    verbatim. Because the per-list build is a deterministic function
+    of the list's content, add-then-rebuild-touched EQUALS a bulk
+    build over the union (pinned in tests) — the same add==bulk
+    identity ivf_add carries.
+
+    Returns (new_index, new_shard_graph). Cost: one broadcast-matmul
+    assign over the new rows + per-touched-list O(B^2 d) rebuilds —
+    independent of how many lists exist, so a trickle insert touches
+    a handful of partitions no matter the table size."""
+    from nano_vectordb_spark.operators.ivf import ivf_add
+
+    idx2 = ivf_add(index, new_rows, vec_col=vec_col)
+    touched = [
+        int(r["cluster_id"])
+        for r in idx2.assigned.join(
+            new_rows.select(F.col(id_col).alias("__nid")),
+            F.col(id_col) == F.col("__nid"),
+            "left_semi",
+        )
+        .select("cluster_id")
+        .distinct()
+        .collect()
+    ]
+    kept = shard_graph.filter(~F.col("cluster_id").isin(touched))
+    from dataclasses import replace
+
+    touched_index = replace(
+        idx2, assigned=idx2.assigned.filter(F.col("cluster_id").isin(touched))
+    )
+    rebuilt = shard_graph_build(touched_index, k=k, id_col=id_col, vec_col=vec_col)
+    return idx2, kept.unionByName(rebuilt)
+
+
 def shard_graph_search(
     index,
     shard_graph: DataFrame,

@@ -208,6 +208,51 @@ def test_shard_search_deterministic(spark, emb, ivf_index, shard_graph):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_graph_persist_roundtrip(spark, emb, graph, tmp_path):
+    """saveIndex/loadIndex analog: reloaded graph searches identically."""
+    path = str(tmp_path / "flat_graph")
+    graphann.graph_write(graph, path)
+    g2 = graphann.graph_read(spark, path)
+    assert g2.exceptAll(graph).count() == 0 and g2.count() == graph.count()
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    a = graphann.graph_search(graph, emb, queries, k=10, ef=32).collect()
+    b = graphann.graph_search(g2, emb, queries, k=10, ef=32).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_shard_graph_persist_roundtrip(spark, ivf_index, shard_graph, tmp_path):
+    path = str(tmp_path / "shard_graph")
+    graphann.shard_graph_write(shard_graph, path)
+    g2 = graphann.shard_graph_read(spark, path)
+    assert (
+        g2.select("cluster_id", "src_id", "nbr_id")
+        .exceptAll(shard_graph.select("cluster_id", "src_id", "nbr_id"))
+        .count()
+        == 0
+    )
+    assert g2.count() == shard_graph.count()
+
+
+def test_shard_graph_add_equals_bulk(spark, emb):
+    """addPoint analog: incremental insert + touched-list rebuild must
+    EQUAL the bulk build over the union (per-list builds are
+    deterministic functions of list content)."""
+    from nano_vectordb_spark.operators.ivf import ivf_build
+
+    old = emb.filter("vec_id % 10 != 0")
+    new = emb.filter("vec_id % 10 = 0")
+    idx = ivf_build(old, nlist=8)
+    g_old = graphann.shard_graph_build(idx, k=8)
+    idx2, g_inc = graphann.shard_graph_add(idx, g_old, new, k=8)
+    from nano_vectordb_spark.operators.ivf import ivf_add
+
+    g_bulk = graphann.shard_graph_build(ivf_add(idx, new), k=8)
+    cols = ["cluster_id", "src_id", "nbr_id"]
+    assert g_inc.select(*cols).exceptAll(g_bulk.select(*cols)).count() == 0
+    assert g_inc.count() == g_bulk.count()
+
+
 def test_graph_ann_recall_entry_vs_oracle(spark, duck):
     """The r8-queued O31 registry entry through the exact driver-gate
     comparison (registration waits for the growth freeze)."""
