@@ -222,7 +222,7 @@ def build_knn_graph(
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     idxd = (
         two_phase_rank(base, [F.col("id").asc()], rn_name="__rn")
-        .select((F.col("__rn") - 1).cast("int").alias("idx"), "id", "vec")
+        .select((F.col("__rn") - 1).cast("long").alias("idx"), "id", "vec")
         .persist()
     )
     n = idxd.count()
@@ -671,11 +671,21 @@ def shard_graph_search(
         ),
         "query_id",
     )
-    probed_lists = probes.select("cluster_id").distinct()
+    # static partition prune, the plan-pinned IVF pattern
+    # (ivf.py:355): a literal IN over <= nlist ints reaches the scan
+    # as PartitionFilters on the persisted cluster_id layout; a
+    # broadcast join would only get dynamic pruning at best
+    probed_ids = sorted(
+        int(r["cluster_id"])
+        for r in probes.select("cluster_id").distinct().collect()
+    )
+    probed_filter = F.col("cluster_id").isin(probed_ids)
     sym = (
-        shard_graph.select("cluster_id", "src_id", "nbr_id")
+        shard_graph.filter(probed_filter)  # prunes the persisted
+        # shard_graph_write layout exactly like the base scan
+        .select("cluster_id", "src_id", "nbr_id")
         .union(
-            shard_graph.select(
+            shard_graph.filter(probed_filter).select(
                 "cluster_id",
                 F.col("nbr_id").alias("src_id"),
                 F.col("src_id").alias("nbr_id"),
@@ -692,7 +702,7 @@ def shard_graph_search(
             F.col(id_col).alias("node_id"),
             F.col(vec_col).alias("vec"),
         )
-        .join(F.broadcast(probed_lists), "cluster_id")  # partition prune
+        .filter(probed_filter)
         .join(
             adj.withColumnRenamed("src_id", "node_id"),
             ["cluster_id", "node_id"],
@@ -751,7 +761,7 @@ def shard_graph_search(
         .applyInPandas(run, "query_id long, vec_id long")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    pruned_base = index.assigned.join(F.broadcast(probed_lists), "cluster_id")
+    pruned_base = index.assigned.filter(probed_filter)
     rescored = exact_rescore(
         pruned_base,
         queries,

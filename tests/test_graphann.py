@@ -253,6 +253,31 @@ def test_shard_graph_add_equals_bulk(spark, emb):
     assert g_inc.count() == g_bulk.count()
 
 
+def test_shard_search_partition_prunes_persisted_layouts(spark, emb, tmp_path):
+    """On persisted layouts (ivf_write base + shard_graph_write edges)
+    the probed-cluster IN filter must reach BOTH scans as
+    PartitionFilters — only the probed directories are read, the same
+    scan-skip the IVF plan pin guarantees (test_plans.py:62)."""
+    from nano_vectordb_spark.operators.ivf import ivf_build, ivf_read, ivf_write
+    from tests.test_plans import physical_plan
+
+    idx = ivf_build(emb, nlist=8)
+    ivf_write(idx, str(tmp_path / "ivf"))
+    g = graphann.shard_graph_build(idx, k=8)
+    graphann.shard_graph_write(g, str(tmp_path / "sg"))
+    idx2 = ivf_read(spark, str(tmp_path / "ivf"))
+    g2 = graphann.shard_graph_read(spark, str(tmp_path / "sg"))
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    pred = graphann.shard_graph_search(idx2, g2, queries, k=5, ef=32, nprobe=2)
+    plan = physical_plan(pred, "formatted")
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters: [" in ln]
+    pruned = [ln for ln in pf_lines if "cluster_id" in ln and "IN (" in ln]
+    # base scan (x2: beam state + exact rescore) and edge scan (x2:
+    # both union branches) all carry the IN partition filter
+    assert len(pruned) >= 3, plan
+    assert pred.count() > 0
+
+
 def test_graph_ann_recall_entry_vs_oracle(spark, duck):
     """The r8-queued O31 registry entry through the exact driver-gate
     comparison (registration waits for the growth freeze)."""
