@@ -370,40 +370,38 @@ def _beam_search(q, adj, vecs, ef: int, k: int, entries) -> list[tuple[float, in
     """hnswlib layer-0 search semantics (searchBaseLayerST): best-first
     expansion with an ef-bounded result heap; stop when the closest
     unexpanded candidate is farther than the worst kept result.
-    Deterministic: all orderings tie-break on node index."""
+    Deterministic: all orderings tie-break on node index. Each
+    expansion scores ALL unvisited neighbors in one vectorized NumPy
+    pass (the batched analog of hnswlib's prefetched distance loop);
+    only the heap bookkeeping stays scalar."""
     import numpy as np
-
-    def dist(i: int) -> float:
-        d = vecs[i] - q
-        return float(np.dot(d, d))
 
     visited = set()
     cand: list[tuple[float, int]] = []
     res: list[tuple[float, int]] = []  # max-heap via negated key
-    for e in entries:
-        if e in visited:
-            continue
-        visited.add(e)
-        de = dist(e)
-        heapq.heappush(cand, (de, e))
-        heapq.heappush(res, (-de, -e))
-        if len(res) > ef:
-            heapq.heappop(res)
-    while cand:
-        d, u = heapq.heappop(cand)
-        if len(res) >= ef and d > -res[0][0]:
-            break
-        for v in adj[u]:
-            v = int(v)
-            if v < 0 or v in visited:
-                continue
-            visited.add(v)
-            dv = dist(v)
+
+    def offer(nodes) -> None:
+        nv = vecs[nodes] - q
+        dvs = np.einsum("ij,ij->i", nv, nv)
+        for v, dv in zip(nodes, dvs.tolist()):
             if len(res) < ef or dv < -res[0][0]:
                 heapq.heappush(cand, (dv, v))
                 heapq.heappush(res, (-dv, -v))
                 if len(res) > ef:
                     heapq.heappop(res)
+
+    ent = [e for e in dict.fromkeys(int(e) for e in entries)]
+    visited.update(ent)
+    offer(ent)
+    while cand:
+        d, u = heapq.heappop(cand)
+        if len(res) >= ef and d > -res[0][0]:
+            break
+        new = [int(v) for v in adj[u] if v >= 0 and int(v) not in visited]
+        if not new:
+            continue
+        visited.update(new)
+        offer(new)
     ordered = sorted((-nd, -ni) for nd, ni in res)
     return ordered[:k]
 
