@@ -20,8 +20,11 @@ as ef grows — is a two-stage build:
 1. **Cluster-blocked exact init**: k-means the base into blocks of
    ~_BLOCK_TARGET vectors (driver-fit on a bounded sample, the same
    train/assign split as operators/ivf.py), assign every vector to
-   its TWO nearest centroids (multi-assignment covers most block
-   boundaries), and compute the exact local kNN inside each block
+   its n_assign nearest centroids under each of n_cluster
+   independently seeded clusterings (multi-assignment covers
+   within-clustering block boundaries; independent clusterings
+   decorrelate the residual misses), and compute the exact local kNN
+   inside each block
    with one vectorized `applyInPandas` — n/B independent tasks of
    O(B^2 d) work each, no cartesian, no global shuffle beyond the
    block exchange. This is the standard blocked kNN-join design
@@ -326,26 +329,30 @@ def build_knn_graph(
 def _collect_graph(graph: DataFrame, emb: DataFrame, id_col: str, vec_col: str):
     """Driver-side (adjacency, vectors, ids) arrays ordered by idx —
     the broadcastable RAM-resident index, with the same hard size
-    guard discipline as operators/topk.MAX_BROADCAST_QUERIES."""
+    guard discipline as operators/topk.MAX_BROADCAST_QUERIES. Both
+    collects come back through Arrow (toPandas), not Row objects —
+    at the 1M-node budget that is the difference between ~300 MB of
+    NumPy and several GB of driver Row overhead."""
     import numpy as np
 
-    base = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .orderBy("id")
-        .collect()
-    )
-    n = len(base)
+    # guard BEFORE materializing anything driver-side
+    n = emb.count()
     if n > MAX_GRAPH_BROADCAST_NODES:
         raise ValueError(
             f"graph_search broadcasts the whole index; n={n} exceeds "
             f"MAX_GRAPH_BROADCAST_NODES={MAX_GRAPH_BROADCAST_NODES}. "
             "Shard the graph by IVF partition instead (operators/ivf.py)."
         )
-    ids = np.array([r["id"] for r in base], dtype=np.int64)
-    vecs = np.array([r["vec"] for r in base], dtype=np.float32)
+    base = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy("id")
+        .toPandas()
+    )
+    ids = base["id"].to_numpy(dtype=np.int64)
+    vecs = np.asarray([np.asarray(v, dtype=np.float32) for v in base["vec"]])
     pos = {int(v): i for i, v in enumerate(ids)}
     # symmetrized adjacency (out + in edges), ragged -> (n, maxdeg)
-    adj_rows = (
+    adj_pdf = (
         graph.select("src_id", "nbr_id")
         .union(
             graph.select(
@@ -355,13 +362,13 @@ def _collect_graph(graph: DataFrame, emb: DataFrame, id_col: str, vec_col: str):
         .distinct()
         .groupBy("src_id")
         .agg(F.sort_array(F.collect_set("nbr_id")).alias("nbrs"))
-        .collect()
+        .toPandas()
     )
-    maxdeg = max((len(r["nbrs"]) for r in adj_rows), default=0)
+    maxdeg = max((len(x) for x in adj_pdf["nbrs"]), default=0)
     adj = np.full((n, maxdeg), -1, dtype=np.int32)
-    for r in adj_rows:
-        i = pos[int(r["src_id"])]
-        row = [pos[int(x)] for x in r["nbrs"]]
+    for s, nbrs in zip(adj_pdf["src_id"], adj_pdf["nbrs"]):
+        i = pos[int(s)]
+        row = [pos[int(x)] for x in nbrs]
         adj[i, : len(row)] = row
     return adj, vecs, ids
 
