@@ -81,6 +81,13 @@ from nano_vectordb_spark.operators.globalrank import two_phase_rank
 # 4.6 GB on-disk at 500K*d=768); past this, shard the graph by IVF list.
 MAX_GRAPH_BROADCAST_NODES = 1_000_000
 
+# byte-estimate guard (r6 ADVICE): the node cap alone assumes d~64 —
+# at d=768 a 1M-node index is ~3 GB of vectors, far past the intended
+# RAM-resident budget, so the guard also bounds the ESTIMATED broadcast
+# bytes (float32 vectors + symmetrized int64 adjacency + int64 ids),
+# computed from the actual dimension and edge count before collecting.
+MAX_GRAPH_BROADCAST_BYTES = 512 * (1 << 20)
+
 
 # local exact-kNN block size: B^2 distances per block task (2048^2
 # float64 via chunked matmul = bounded memory); nlist = ceil(n / B)
@@ -341,6 +348,20 @@ def _collect_graph(graph: DataFrame, emb: DataFrame, id_col: str, vec_col: str):
         raise ValueError(
             f"graph_search broadcasts the whole index; n={n} exceeds "
             f"MAX_GRAPH_BROADCAST_NODES={MAX_GRAPH_BROADCAST_NODES}. "
+            "Shard the graph by IVF partition instead (operators/ivf.py)."
+        )
+    # byte estimate from the ACTUAL dimension + edge count (r6 ADVICE:
+    # the node cap assumes d~64; d=768 blows the budget at far fewer
+    # nodes): n*d*4 vector floats + 2E*8 symmetrized adjacency ids +
+    # n*8 node ids.
+    dim = int(emb.select(F.size(vec_col)).first()[0]) if n else 0
+    n_edges = graph.count()
+    est_bytes = n * dim * 4 + 2 * n_edges * 8 + n * 8
+    if est_bytes > MAX_GRAPH_BROADCAST_BYTES:
+        raise ValueError(
+            f"graph_search broadcast estimate {est_bytes} bytes "
+            f"(n={n}, d={dim}, edges={n_edges}) exceeds "
+            f"MAX_GRAPH_BROADCAST_BYTES={MAX_GRAPH_BROADCAST_BYTES}. "
             "Shard the graph by IVF partition instead (operators/ivf.py)."
         )
     base = (

@@ -324,6 +324,11 @@ def _png_decode(blob: bytes):
     pos, ihdr, idat = len(_PNG_SIG), None, bytearray()
     while pos + 8 <= len(blob):
         size = struct.unpack_from(">I", blob, pos)[0]
+        # r6 ADVICE: bounds-check the declared chunk length before the
+        # CRC read so a truncated blob raises the ValueError contract
+        # of the other malformed-input paths, not struct.error.
+        if pos + 12 + size > len(blob):
+            raise ValueError("truncated PNG chunk")
         tag = blob[pos + 4 : pos + 8]
         body = blob[pos + 8 : pos + 8 + size]
         crc = struct.unpack_from(">I", blob, pos + 8 + size)[0]
@@ -345,7 +350,10 @@ def _png_decode(blob: bytes):
         raise ValueError("unsupported compression/filter/interlace method")
     bpp = 3 if color == 2 else 1
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     if len(raw) != height * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     out = np.zeros((height, stride), dtype=np.uint8)

@@ -274,7 +274,9 @@ _reorder_registry_r4()
 # The remaining 70 never-gated entries queue contiguously at positions
 # 51-120 (GATE_BASKET_R6 = the first 50 of those; the final 20 close
 # the record in r7).  Registry growth is FROZEN at 220 until every
-# entry holds an official driver row (COVERAGE.md schedule).
+# entry holds an official driver row (COVERAGE.md schedule) — the one
+# sanctioned r7 exception is the pair of O31 graph-ANN entries the r6
+# VERDICT directed INTO the gate window (220 -> 222, both gated in r7).
 # ==========================================================================
 
 GATE_BASKET_R5: tuple[str, ...] = (
@@ -445,6 +447,17 @@ GATE_BASKET_R7_NEVER_GATED: tuple[str, ...] = (
     "doc_skyline",
 )
 
+# The two O31 graph-ANN entries, registered this round (r6 VERDICT
+# item 1: the last SURVEY §2 operator without an official driver
+# CORRECTNESS row) and swapped into the r7 window in place of two
+# re-gate slots (topk_f16 / topk_l2 — O5/O7 quantized variants of the
+# same score-dispatch path as topk_dot/topk_i8, which stay in the
+# basket, so every §2 line keeps a fresh representative).
+GATE_BASKET_R7_GRAPH_ANN: tuple[str, ...] = (
+    "graph_ann_recall",
+    "graph_ann_sharded",
+)
+
 # The 30 r7 re-gate slots (r5 VERDICT item 7), chosen by a deterministic
 # priority rule over the oldest official rows (all CORRECTNESS_r03-era;
 # every r2 row was superseded in r3):
@@ -472,9 +485,7 @@ GATE_BASKET_R7_REGATES: tuple[str, ...] = (
     "slice_first_n",
     "quant_error_stats",
     "topk_dot",
-    "topk_f16",
     "topk_i8",
-    "topk_l2",
     "topk_multi_twophase",
     "gt_build",
     "recall_i8_vs_f32",
@@ -491,9 +502,14 @@ GATE_BASKET_R7_REGATES: tuple[str, ...] = (
     "stream_event_counts",
 )
 
-# The full r7 gate window, pinned now so the final rotation is purely
-# mechanical: copy this tuple into a _reorder_registry_r7() next round.
-GATE_BASKET_R7: tuple[str, ...] = GATE_BASKET_R7_NEVER_GATED + GATE_BASKET_R7_REGATES
+# The full r7 gate window (50 = 20 never-gated + 2 graph-ANN
+# registrations + 28 re-gates).  The r5-pinned plan had 30 re-gates;
+# the r6 VERDICT (item 1) directed swapping two slots for the O31
+# entries so the operator gets its official CORRECTNESS row this
+# round rather than r8.
+GATE_BASKET_R7: tuple[str, ...] = (
+    GATE_BASKET_R7_NEVER_GATED + GATE_BASKET_R7_GRAPH_ANN + GATE_BASKET_R7_REGATES
+)
 
 
 def _reorder_registry_r6() -> None:
@@ -517,3 +533,43 @@ def _reorder_registry_r6() -> None:
 
 
 _reorder_registry_r6()
+
+
+# --- Round-7 rotation (r5 VERDICT item 7 / r6 VERDICT items 1+4) ------
+# The final rotation: the 20 last never-gated entries, the 2 newly
+# registered O31 graph-ANN entries, then 28 re-gate slots refreshing
+# the oldest official rows.  After this round every registry entry
+# holds an official driver CORRECTNESS row (222/222) and the growth
+# freeze (tests/test_gate_basket.py) lifts.
+def _reorder_registry_r7() -> None:
+    missing = [n for n in GATE_BASKET_R7 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R7 names unknown entries: {missing}")
+    if len(GATE_BASKET_R7) != 50:
+        raise RuntimeError(
+            f"GATE_BASKET_R7 must be exactly 50 entries, got {len(GATE_BASKET_R7)}"
+        )
+    never_gated = set(GATE_BASKET_R7_NEVER_GATED) | set(GATE_BASKET_R7_GRAPH_ANN)
+    prior = (
+        set(GATE_BASKET_R3)
+        | set(GATE_BASKET_R4)
+        | set(GATE_BASKET_R5)
+        | set(GATE_BASKET_R6)
+    )
+    overlap = never_gated & prior
+    if overlap:
+        raise RuntimeError(f"GATE_BASKET_R7 repeats verdicted entries: {overlap}")
+    not_regates = set(GATE_BASKET_R7_REGATES) - prior
+    if not_regates:
+        raise RuntimeError(
+            f"GATE_BASKET_R7_REGATES must re-gate official rows only: {not_regates}"
+        )
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R7}
+    # everything else already holds an official driver row: park at the
+    # tail in existing relative order
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r7()

@@ -1829,12 +1829,10 @@ FROM per
 
 
 
-# R8 QUEUE (O31 graph ANN, now first-class): registration waits for
-# the growth freeze (tests/test_gate_basket.py) to lift after the r7
-# rotation closes. Until then
-# tests/test_graphann.py::test_graph_ann_recall_entry_vs_oracle runs
-# the exact driver-gate comparison. Register with
-# @register("graph_ann_recall", oracle=_SQL_GRAPH_ANN) in r8.
+# O31 graph ANN, registered in r7 (r6 VERDICT item 1): the last
+# SURVEY §2 operator without an official driver CORRECTNESS row; the
+# r7 gate window swaps two re-gate slots for these two entries
+# (registry.GATE_BASKET_R7).
 # sf1 re-validation DONE (r6): the ring-init ladder did shift at 20k
 # nodes (0.45 @ ef=64), root-fixed by the blocked-init build —
 # 0.973 @ ef=64 at sf1, so the 0.85/0.93 floors hold at both scales.
@@ -1847,6 +1845,7 @@ ORDER BY ef
 """
 
 
+@register("graph_ann_recall", oracle=_SQL_GRAPH_ANN)
 def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31 graph ANN (reference HNSW surface) evaluated the way the
     reference evaluates it (apps/nvdb_hnsw_eval.cpp:47-52): recall@10
@@ -1876,7 +1875,14 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INDEX_CACHE[key] = (emb, g)
     emb, g = _INDEX_CACHE[key]
 
-    queries = emb.limit(100).select(F.col("vec_id").alias("query_id"), "embedding")
+    # Seeded layout-independent query set (r6 ADVICE): an unordered
+    # limit(100) is a partition-order prefix, ill-defined on directory
+    # fixtures; the repo's seeded sampler is the p00_base pattern.
+    from nano_vectordb_spark.operators import sample as sample_ops
+
+    queries = sample_ops.sample_queries(emb, 100, seed=SEED, mode="random").select(
+        "query_id", "embedding"
+    )
     gt = gt_build(emb, queries, k=10, metric="l2")
     rows = []
     for ef, floor in ((32, 0.85), (64, 0.93)):
@@ -1896,10 +1902,8 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ef")
 
 
-# R8 QUEUE (O31 sharded graph ANN — the 100 TB composition with IVF):
-# registration waits for the growth freeze like graph_ann_recall.
-# tests/test_graphann.py::test_graph_ann_sharded_entry_vs_oracle runs
-# the exact driver-gate comparison until then.
+# O31 sharded graph ANN — the 100 TB composition with IVF; registered
+# in r7 alongside graph_ann_recall (r6 VERDICT item 1).
 _SQL_GRAPH_ANN_SHARDED = """
 SELECT * FROM (VALUES
   (2, 100, TRUE, TRUE),
@@ -1910,6 +1914,7 @@ ORDER BY nprobe
 """
 
 
+@register("graph_ann_sharded", oracle=_SQL_GRAPH_ANN_SHARDED)
 def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O31 at cluster scale: per-IVF-list graphs searched only in the
     probed shards (operators/graphann.shard_graph_build/search — no
@@ -1948,7 +1953,13 @@ def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _INDEX_CACHE[key] = (emb, idx, g, maxlist)
     emb, idx, g, maxlist = _INDEX_CACHE[key]
 
-    queries = emb.limit(100).select(F.col("vec_id").alias("query_id"), "embedding")
+    # Seeded layout-independent query set (r6 ADVICE, same as
+    # graph_ann_recall).
+    from nano_vectordb_spark.operators import sample as sample_ops
+
+    queries = sample_ops.sample_queries(emb, 100, seed=SEED, mode="random").select(
+        "query_id", "embedding"
+    )
     gt = gt_build(emb, queries, k=10, metric="l2")
     rows = []
     prev = -1.0

@@ -896,7 +896,10 @@ def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal quantity rounded to 6 (engine-identical), min/max
     exact compares, the mean avg+round-6; ranking orders on the
     ROUNDED ratio with a part tie-break. One (part, supplier)
-    aggregate then a part-keyed reduce."""
+    aggregate then a part-keyed reduce; the top-{_PD_TOP} head is
+    taken with orderBy+limit (TakeOrderedAndProject — parallel
+    partial top-N per partition) and only the bounded head is ranked,
+    never the open part dimension (20M parts at sf100)."""
     li = load_table(spark, sf_dir, "lineitem")
     up = li.groupBy(
         F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
@@ -923,8 +926,7 @@ def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = F.round(
         (F.col("max_price") - F.col("min_price")) / F.col("mean_price"), 6
     )
-    w = Window.orderBy(ratio.desc(), F.col("part").asc())
-    return (
+    head = (
         m.select(
             "part",
             "n_suppliers",
@@ -933,9 +935,11 @@ def price_dispersion_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price",
             ratio.alias("price_range_ratio"),
         )
-        .withColumn("dispersion_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("dispersion_rank") <= _PD_TOP)
+        .orderBy(F.col("price_range_ratio").desc(), F.col("part").asc())
+        .limit(_PD_TOP)
     )
+    w = Window.orderBy(F.col("price_range_ratio").desc(), F.col("part").asc())
+    return head.withColumn("dispersion_rank", F.row_number().over(w).cast("int"))
 
 
 _SQL_WATERFILL = """

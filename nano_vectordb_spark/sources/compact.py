@@ -25,8 +25,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _dir_bytes(path: str) -> int:
+    # The size listing is local-filesystem only; a silent 0 here would
+    # make plan_compaction funnel an arbitrarily large table through a
+    # single output partition, so fail loudly (r6 ADVICE).
+    if "://" in path:
+        raise ValueError(
+            f"_dir_bytes lists the local filesystem only, got URI {path!r}; "
+            "plan compaction from a driver-side listing of the object store "
+            "(e.g. the table format's file manifest) instead"
+        )
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no such file or directory: {path!r}")
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:

@@ -64,11 +64,30 @@ _OFFSETS = {
 }
 
 
+# Generator version, embedded in the _DONE marker (r6 ADVICE): any
+# change to the replication scheme (e.g. the r6 rotation fix
+# k = 1 + (i-1) % (dim-1)) bumps this, so stale on-disk fixtures are
+# detected and rebuilt instead of silently reused against oracle
+# expectations fitted to the new scheme.
+_GEN_VERSION = "v2-rot-nonzero"
+
+
+def _marker_text() -> str:
+    return f"{_GEN_VERSION} replicas={REPLICAS} tables={sorted(_TABLE_SUBSET) or 'all'}"
+
+
 def build(spark) -> str:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(DST, "_DONE")):
-        return DST
+    done = os.path.join(DST, "_DONE")
+    if os.path.exists(done):
+        with open(done) as fh:
+            if fh.read() == _marker_text():
+                return DST
+        # stale fixture from an older generator: rebuild from scratch
+        import shutil
+
+        shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     for t in ("region", "nation"):
         if _TABLE_SUBSET and t not in _TABLE_SUBSET:
@@ -119,7 +138,8 @@ def build(spark) -> str:
                 out = out.unionByName(p)
             mode = "overwrite" if c0 == 0 else "append"
             out.write.mode(mode).parquet(f"{DST}/{t}.parquet")
-    open(os.path.join(DST, "_DONE"), "w").close()
+    with open(os.path.join(DST, "_DONE"), "w") as fh:
+        fh.write(_marker_text())
     return DST
 
 

@@ -1,22 +1,24 @@
 """Standing guard for the driver-gate basket (round-2 VERDICT items 1+6;
-round-3 VERDICT item 1 — the r4 rotation).
+round-3 VERDICT item 1; round-6 VERDICT items 1+4 — the r7 rotation).
 
 The driver's correctness gate checks only the FIRST 50 registry entries.
-Round 3 proved the curated covering set (GATE_BASKET_R3) 50/50 green, so
-round 4 rotates the next 50 never-officially-gated entries (r3-order
-positions 51-100) into the window, per the plan in COVERAGE.md.  The
+Rounds 3-6 rotated curated 50-entry windows through the gate
+(GATE_BASKET_R3..R6, all 50/50 green).  Round 7 is the final rotation:
+the last 20 never-officially-gated entries, the 2 newly registered O31
+graph-ANN entries (r6 VERDICT item 1 — swapped in for two re-gate
+slots), and 28 re-gate slots refreshing the oldest official rows.  The
 guards:
-  * the top-50 is exactly GATE_BASKET_R4 (rotation 1 of 3),
-  * r4 basket entries have NO prior official driver row (no wasted slots),
+  * the top-50 is exactly GATE_BASKET_R7 (rotation 4 of 4),
+  * the never-gated + graph-ANN tranches have NO prior official driver
+    row (no wasted slots); every re-gate slot targets an official row,
   * every top-50 entry ships a DuckDB oracle (rows-only entries may not
-    silently land in the gated window) — except the one declared case,
+    silently land in the gated window),
   * registry-wide, any oracle-less entry must be explicitly declared,
-  * the union of officially-gated baskets (r3 ∪ r4) still covers every
-    SURVEY §2 representative and all 9 round-1 failures (their official
-    rows are CORRECTNESS_r03; they must never silently drop from the
-    record),
-  * the rotation queue right after the window holds only never-gated
-    entries so GATE_BASKET_R5 is simply positions 51-100 next round.
+  * the union of officially-gated baskets still covers every SURVEY §2
+    representative and all 9 round-1 failures (their official rows are
+    CORRECTNESS_r03; they must never silently drop from the record),
+  * after the r7 window gates, every registry entry holds an official
+    driver row (222/222) — the rotation's designed endpoint.
 """
 
 from __future__ import annotations
@@ -44,9 +46,9 @@ R1_FAILURES = {
 
 # entry -> SURVEY §2 operators it certifies (coverage map; O1 is the
 # shared source layer every entry loads through, O13 is internal to the
-# two-phase merge, O15/O30 are justified skips, O25 native, O31 a
-# documented substitution evidenced in tests/test_ann_recall_parity.py,
-# O34 is bench.py itself).  All hold official CORRECTNESS_r03 rows.
+# two-phase merge, O15/O30 are justified skips, O25 native, O31 holds
+# its own entries since r7 (graph_ann_recall / graph_ann_sharded), O34
+# is bench.py itself).  All hold official CORRECTNESS_r03 rows.
 SURVEY_S2_REPS = {
     "slice_first_n": ("O2", "O20"),
     "quant_error_stats": ("O3",),
@@ -76,9 +78,22 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R6) == 50
-    assert len(set(registry.GATE_BASKET_R6)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R6)
+    assert len(registry.GATE_BASKET_R7) == 50
+    assert len(set(registry.GATE_BASKET_R7)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R7)
+
+
+def test_r7_new_tranches_spend_no_slot_on_verdicted_entries():
+    prior = (
+        set(registry.GATE_BASKET_R3)
+        | set(registry.GATE_BASKET_R4)
+        | set(registry.GATE_BASKET_R5)
+        | set(registry.GATE_BASKET_R6)
+    )
+    fresh = set(registry.GATE_BASKET_R7_NEVER_GATED) | set(
+        registry.GATE_BASKET_R7_GRAPH_ANN
+    )
+    assert not fresh & prior
 
 
 def test_r6_basket_spends_no_slot_on_verdicted_entries():
@@ -99,18 +114,17 @@ def test_r4_basket_spends_no_slot_on_verdicted_entries():
     assert not set(registry.GATE_BASKET_R4) & set(registry.GATE_BASKET_R3)
 
 
-def test_r7_plan_is_pinned_and_closes_the_rotation():
-    """r5 VERDICT item 7: the final gate window is named now so the r7
-    rotation is mechanical.  20 never-gated entries (= the rotation
-    queue, exactly) + 30 re-gate slots on the oldest official rows."""
+def test_r7_window_closes_the_rotation():
+    """r5 VERDICT item 7 pinned the plan; r6 VERDICT item 1 directed the
+    two-slot swap for the O31 entries.  20 never-gated + 2 graph-ANN +
+    28 re-gate slots on the oldest official rows = the final window."""
     never = registry.GATE_BASKET_R7_NEVER_GATED
+    graph = registry.GATE_BASKET_R7_GRAPH_ANN
     regates = registry.GATE_BASKET_R7_REGATES
-    assert len(never) == 20 and len(regates) == 30
+    assert len(never) == 20 and len(graph) == 2 and len(regates) == 28
     assert len(registry.GATE_BASKET_R7) == 50
     assert len(set(registry.GATE_BASKET_R7)) == 50
-    # the never-gated tranche is exactly the post-window rotation queue
-    names = list(registry.REGISTRY)
-    assert names[50:70] == list(never)
+    assert set(graph) == {"graph_ann_recall", "graph_ann_sharded"}
     # every re-gate slot targets an entry whose official row is r3-era
     # (all of GATE_BASKET_R3) or the one r4 rows-only declaration
     eligible = set(registry.GATE_BASKET_R3) | {"distinct_users_sketch"}
@@ -120,6 +134,11 @@ def test_r7_plan_is_pinned_and_closes_the_rotation():
     assert "distinct_users_sketch" in regates
     assert R1_FAILURES <= set(regates)
     assert "stream_event_counts" in regates
+    # the two slots ceded to the graph-ANN entries are the O5/O7
+    # quantized topk variants; their dispatch path stays covered by
+    # topk_dot / topk_i8 which remain in the basket
+    assert {"topk_f16", "topk_l2"} & set(regates) == set()
+    assert {"topk_dot", "topk_i8"} <= set(regates)
     # after r7 every registry entry holds an official driver row
     all_gated = (
         set(registry.GATE_BASKET_R3)
@@ -127,6 +146,7 @@ def test_r7_plan_is_pinned_and_closes_the_rotation():
         | set(registry.GATE_BASKET_R5)
         | set(registry.GATE_BASKET_R6)
         | set(never)
+        | set(graph)
     )
     assert all_gated == set(registry.REGISTRY)
 
@@ -164,10 +184,10 @@ def test_officially_gated_union_covers_survey_s2():
     assert not missing, f"§2 representatives outside the official record: {missing}"
 
 
-def test_rotation_queue_holds_only_never_gated_entries():
-    """Positions 51..70 must be the final 20 never-gated entries in
-    stable order (they close the record in r7); the r3+r4+r5-verdicted
-    baskets park at the tail."""
+def test_tail_holds_only_officially_gated_entries():
+    """After the r7 reorder every entry outside the window already holds
+    an official driver row (r3-r6); nothing never-gated may hide past
+    position 50 where the driver would miss it."""
     names = list(registry.REGISTRY)
     gated = (
         set(registry.GATE_BASKET_R3)
@@ -175,23 +195,18 @@ def test_rotation_queue_holds_only_never_gated_entries():
         | set(registry.GATE_BASKET_R5)
         | set(registry.GATE_BASKET_R6)
     )
-    n_tail = (
-        len(registry.GATE_BASKET_R3)
-        + len(registry.GATE_BASKET_R4)
-        + len(registry.GATE_BASKET_R5)
+    assert set(names[50:]) <= gated, (
+        "never-gated entries parked outside the r7 window: "
+        f"{set(names[50:]) - gated}"
     )
-    queue = names[50 : len(names) - n_tail]
-    tail = names[len(names) - n_tail :]
-    assert not set(queue) & gated, "rotation queue polluted by gated entries"
-    assert set(tail) == (
-        set(registry.GATE_BASKET_R3)
-        | set(registry.GATE_BASKET_R4)
-        | set(registry.GATE_BASKET_R5)
-    ), "tail must be the r3+r4+r5 baskets"
 
 
 def test_registry_growth_frozen_until_rotation_closes():
-    """The COVERAGE.md schedule (r5: 50, r6: 50, r7: 20) only closes if
-    the registry stays at exactly 220 entries until every one holds an
-    official driver row. New entries may be added again after r7."""
-    assert len(registry.REGISTRY) == 220
+    """The COVERAGE.md schedule (r5: 50, r6: 50, r7: 20+2) only closes
+    if the registry stays frozen until every entry holds an official
+    driver row.  The one sanctioned r7 addition is the pair of O31
+    graph-ANN entries the r6 VERDICT directed into the window
+    (220 -> 222); both sit INSIDE the r7 gate window, so the freeze's
+    intent — no entry ships unverified — is preserved.  New entries may
+    be added again after r7."""
+    assert len(registry.REGISTRY) == 222

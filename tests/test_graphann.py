@@ -114,6 +114,21 @@ def test_broadcast_guard(spark, emb, graph):
         graphann.MAX_GRAPH_BROADCAST_NODES = old
 
 
+def test_broadcast_byte_guard(spark, emb, graph):
+    """r6 ADVICE: the guard must bound estimated BYTES (dimension-
+    aware), not just node count — d=768 blows the RAM budget at far
+    fewer than 1M nodes."""
+    old = graphann.MAX_GRAPH_BROADCAST_BYTES
+    graphann.MAX_GRAPH_BROADCAST_BYTES = 1024
+    try:
+        with pytest.raises(ValueError, match="MAX_GRAPH_BROADCAST_BYTES"):
+            graphann.graph_search(
+                graph, emb, emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+            )
+    finally:
+        graphann.MAX_GRAPH_BROADCAST_BYTES = old
+
+
 @pytest.fixture(scope="module")
 def ivf_index(spark, emb):
     from nano_vectordb_spark.operators.ivf import ivf_build
@@ -279,8 +294,8 @@ def test_shard_search_partition_prunes_persisted_layouts(spark, emb, tmp_path):
 
 
 def test_graph_ann_recall_entry_vs_oracle(spark, duck):
-    """The r8-queued O31 registry entry through the exact driver-gate
-    comparison (registration waits for the growth freeze)."""
+    """The O31 registry entry (registered in r7, gate window slot 21)
+    through the exact driver-gate comparison."""
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.registry_parts.p13_analytics_graph import (
         _SQL_GRAPH_ANN,
@@ -289,15 +304,16 @@ def test_graph_ann_recall_entry_vs_oracle(spark, duck):
     from tests.conftest import SF_CORRECT
     from tests.oracle_harness import compare
 
-    assert "graph_ann_recall" not in registry.REGISTRY
+    assert "graph_ann_recall" in registry.REGISTRY
+    assert "graph_ann_recall" in registry.GATE_BASKET_R7
     df = graph_ann_recall(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_GRAPH_ANN)
     assert ok, msg
 
 
 def test_graph_ann_sharded_entry_vs_oracle(spark, duck):
-    """The r8-queued sharded-O31 registry entry through the exact
-    driver-gate comparison (registration waits for the growth freeze)."""
+    """The sharded-O31 registry entry (registered in r7, gate window
+    slot 22) through the exact driver-gate comparison."""
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.registry_parts.p13_analytics_graph import (
         _SQL_GRAPH_ANN_SHARDED,
@@ -306,7 +322,8 @@ def test_graph_ann_sharded_entry_vs_oracle(spark, duck):
     from tests.conftest import SF_CORRECT
     from tests.oracle_harness import compare
 
-    assert "graph_ann_sharded" not in registry.REGISTRY
+    assert "graph_ann_sharded" in registry.REGISTRY
+    assert "graph_ann_sharded" in registry.GATE_BASKET_R7
     df = graph_ann_sharded(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_GRAPH_ANN_SHARDED)
     assert ok, msg

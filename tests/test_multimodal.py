@@ -278,6 +278,42 @@ def test_png_grayscale_and_crc_reject():
         mm._png_decode(bytes(bad))
 
 
+def test_png_truncation_raises_valueerror():
+    """r6 ADVICE: a truncated blob or corrupt IDAT must raise the same
+    ValueError contract as the other malformed-input paths, never
+    struct.error / zlib.error."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 4, 3
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(w * h, 3)
+    blob = mm.png_encode(w, h, px)
+    # truncate into the IDAT CRC (cut the 12-byte IEND plus one byte):
+    # the declared chunk length now runs past the blob
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm._png_decode(blob[:-13])
+    # corrupt IDAT bytes with a recomputed CRC: chunk walk passes, the
+    # inflate fails -> ValueError, not zlib.error
+    pos = len(mm._PNG_SIG)
+    size = struct.unpack_from(">I", blob, pos)[0]
+    pos += 12 + size  # skip IHDR -> IDAT header
+    size = struct.unpack_from(">I", blob, pos)[0]
+    assert blob[pos + 4 : pos + 8] == b"IDAT"
+    body = bytearray(blob[pos + 8 : pos + 8 + size])
+    body[0] ^= 0xFF
+    rebuilt = (
+        blob[: pos + 4]
+        + b"IDAT"
+        + bytes(body)
+        + struct.pack(">I", zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF)
+        + blob[pos + 12 + size :]
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        mm._png_decode(rebuilt)
+
+
 def test_png_matches_ppm_stats_contract():
     """The PNG path must produce byte-identical features to the PPM
     path on the same pixels — the shared (w, h, maxval, pixels)

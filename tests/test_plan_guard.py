@@ -89,8 +89,6 @@ _ID_GROUP_PAT = (
     "doc_id",
     "vec_id",
     "event_id",
-    "o_orderkey",
-    "l_orderkey",
     "query_id",
     "chunk_id",
     # user-entity keys (r5 ADVICE): users/customers/suppliers/parts are
@@ -98,9 +96,15 @@ _ID_GROUP_PAT = (
     # band_id / bucket_id style keys stay OFF this list on purpose —
     # those domains are k-bounded by construction.
     "user_id",
-    "c_custkey",
-    "s_suppkey",
-    "p_partkey",
+    # bare substrings (r6 VERDICT item 3): table-prefixed aliases
+    # (l_partkey, ps_suppkey, o_custkey...) all contain the bare key,
+    # so every prefix variant matches — the r6 audit found
+    # price_dispersion_by_part's l_partkey grouping slipping past the
+    # old p_partkey/s_suppkey literals.
+    "orderkey",
+    "custkey",
+    "suppkey",
+    "partkey",
 )
 
 
