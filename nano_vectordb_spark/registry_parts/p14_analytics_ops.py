@@ -1463,3 +1463,92 @@ WHERE sc.query_id = 0
 """
 
 
+
+
+# R8 QUEUE (small-files compaction witness, r6 VERDICT item 8): the
+# measured 46 s -> 9.15 s streaming-read win at sf100 (PERF.md,
+# sources/compact.py) gets an oracle-witnessed entry. Registration
+# waits for the r7 rotation to close (the r7 window is full at 50);
+# until then tests/test_compact.py::test_compact_stats_entry_vs_oracle
+# runs the exact driver-gate comparison. Register with
+# @register("compact_stats", oracle=_SQL_COMPACT_STATS) in r8.
+_SQL_COMPACT_STATS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS rows_preserved,
+       TRUE AS hash_preserved,
+       TRUE AS layout_ok
+FROM events
+"""
+
+
+def _compact_scratch(sf_dir: str) -> str:
+    """Content-addressed scratch dir (the _csv_docs_path staleness
+    rule: keyed by the source parquet's stat, so a /tmp layout written
+    from a previous testdata generation is never reused)."""
+    import hashlib
+    import os as _os
+
+    st = _os.stat(_os.path.join(sf_dir, "events.parquet"))
+    key = f"compact:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    return "/tmp/nvdb_compact_" + hashlib.md5(key.encode()).hexdigest()[:8]
+
+
+def compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip witness (sources/compact.py —
+    the OPTIMIZE/bin-packing step every table-format deployment
+    schedules; measured 5x streaming-read win at sf100 in PERF.md).
+    Compacts the events table to ~1 MB files in a content-addressed
+    scratch dir and hashes: the EXACT row count of the rewritten table
+    (cross-engine: the oracle counts the source — compaction must be
+    lossless), plus IN-PLAN booleans — source/destination row counts
+    equal, order-independent full-row xxhash64 fingerprint equal
+    (compaction may reorder rows across files, never change them), and
+    the output file count equal to plan_compaction's target (the
+    layout the rewrite promised is the layout it delivered).
+    Scale shape: one distributed read + one round-robin repartition +
+    one distributed write; the only driver work is the file listing."""
+    import os as _os
+
+    from nano_vectordb_spark.sources import compact as compact_src
+
+    dst = _compact_scratch(sf_dir)
+    planned = compact_src.plan_compaction(
+        _os.path.join(sf_dir, "events.parquet"), target_mb=1
+    )
+    out = compact_src.compact_table(spark, sf_dir, dst, "events", target_mb=1)
+    src = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+
+    def fingerprint(df: DataFrame):
+        # order-independent: per-row xxhash64 over every column, summed
+        # (sum is commutative; files/partitions may reorder rows)
+        row = df.select(
+            F.xxhash64(*[F.col(c) for c in sorted(df.columns)]).alias("h")
+        )
+        # sum as decimal(38,0): 50k 64-bit hashes overflow a long sum
+        # under ANSI mode
+        r = row.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("fp"),
+        ).first()
+        return int(r["n"]), int(r["fp"])
+
+    n_src, fp_src = fingerprint(src)
+    n_dst, fp_dst = fingerprint(out)
+    n_files = len(
+        [
+            f
+            for f in _os.listdir(_os.path.join(dst, "events.parquet"))
+            if f.endswith(".parquet")
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_dst,
+                bool(n_src == n_dst),
+                bool(fp_src == fp_dst),
+                bool(n_files == planned),
+            )
+        ],
+        "n_rows long, rows_preserved boolean, hash_preserved boolean, layout_ok boolean",
+    )

@@ -65,3 +65,20 @@ def test_compact_roundtrip_is_lossless(spark, tmp_path):
 
     a, b = row_fingerprint(orig), row_fingerprint(out)
     assert (a.n, a.s) == (b.n, b.s)
+
+
+def test_compact_stats_entry_vs_oracle(spark, duck):
+    """The r8-queued compact_stats registry entry through the exact
+    driver-gate comparison (registration waits for the r7 rotation to
+    close; r6 VERDICT item 8)."""
+    from nano_vectordb_spark import registry
+    from nano_vectordb_spark.registry_parts.p14_analytics_ops import (
+        _SQL_COMPACT_STATS,
+        compact_stats,
+    )
+    from tests.oracle_harness import compare
+
+    assert "compact_stats" not in registry.REGISTRY
+    df = compact_stats(spark, SF_CORRECT)
+    ok, msg = compare(df, duck, _SQL_COMPACT_STATS)
+    assert ok, msg
