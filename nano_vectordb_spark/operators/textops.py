@@ -13,6 +13,7 @@ Reference surface (SURVEY.md O33, scripts/build_vecbin_chunked.py):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,17 +133,17 @@ def chunk_sentences(
     ).withColumn("chunk_chars", F.length("chunk"))
 
 
-def hash_embed(
+def hash_embed_fold(
     df: DataFrame,
     dim: int,
     text_col: str = "chunk",
     out_col: str = "embedding",
 ) -> DataFrame:
-    """Deterministic hash-projection embedding: each token adds weight
-    1/(pos+1) to bucket (token_hash mod dim); the result is
-    L2-normalized. A testable stand-in for the model encode step of the
-    reference pipeline (O33) with the same shape contract: fixed dim,
-    normalized, order-sensitive."""
+    """Executable spec for hash_embed as pure Catalyst higher-order
+    folds — the form every oracle SQL mirrors. Kept as the equivalence
+    oracle for the vectorized fast path (tests/test_textops.py pins
+    hash_embed ≡ hash_embed_fold bit-for-bit); O(dim × tokens) work per
+    row, so the fast path is what callers use."""
     toks = tokens_expr(F.col(text_col))
     # materialize the (bucket, weight) pairs as real columns first —
     # referencing the transform expression from each of the `dim`
@@ -171,3 +172,69 @@ def hash_embed(
         normalize_expr(F.col("__raw"))
     )
     return staged.withColumn(out_col, safe).drop("__toks", "__buckets", "__raw")
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int,
+    text_col: str = "chunk",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-projection embedding: each token adds weight
+    1/(pos+1) to bucket (md5-prefix token_hash mod dim); the result is
+    L2-normalized. A testable stand-in for the model encode step of the
+    reference pipeline (O33) with the same shape contract: fixed dim,
+    normalized, order-sensitive.
+
+    Implementation is an Arrow-batched pandas UDF, BIT-IDENTICAL to the
+    Catalyst fold spec (hash_embed_fold, which the DuckDB oracles
+    mirror) by construction:
+      * per-bucket weights accumulate in token order (np.add.at applies
+        repeated indices sequentially), and the fold's `acc + 0.0` for
+        non-matching tokens is exact in IEEE754, so both produce the
+        same left-to-right partial-sum sequence per bucket;
+      * the norm is a sequential left fold of x*x in array order (a
+        Python loop — np.sum's pairwise summation would round
+        differently), then one correctly-rounded sqrt and an
+        elementwise divide.
+    The fold form is O(dim × tokens) expression evaluations per row —
+    measured 30×+ slower at dim=64 on long documents — while this path
+    hashes each UNIQUE token once per batch and does O(tokens + dim)
+    float work per row, JVM→Python transfer Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _embed(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        buckets: dict[str, int] = {}
+
+        def bucket(tok: str) -> int:
+            b = buckets.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:7], 16) % dim
+                buckets[tok] = b
+            return b
+
+        out: list = []
+        for text in texts:
+            if text is None:
+                out.append(None)
+                continue
+            toks = [t for t in text.split(" ") if t]
+            raw = np.zeros(dim, dtype=np.float64)
+            if toks:
+                idx = np.fromiter(
+                    (bucket(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                np.add.at(raw, idx, 1.0 / np.arange(1.0, len(toks) + 1.0))
+                s = 0.0
+                for v in raw.tolist():
+                    s += v * v
+                raw = raw / (s**0.5)
+            out.append(raw)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _embed(F.col(text_col)))

@@ -145,6 +145,34 @@ def test_hash_embed_normalized_and_deterministic(spark):
     ]
 
 
+def test_hash_embed_matches_fold_spec_bitwise(spark):
+    """The vectorized pandas-UDF hash_embed must equal the Catalyst
+    fold spec (hash_embed_fold — the form the DuckDB oracles mirror)
+    BIT-FOR-BIT: exact float equality, no tolerance. Covers repeated
+    tokens (order-dependent bucket accumulation), multi-space runs,
+    empty text (zero vector, unnormalized), single token, unicode, and
+    long docs with many bucket collisions."""
+    rows = [
+        (0, "a b c a b a"),
+        (1, "  leading  and   multi   space  "),
+        (2, ""),
+        (3, "solo"),
+        (4, "naïve café 東京 naïve"),
+        (5, " ".join(f"tok{i % 7}" for i in range(500))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for dim in (8, 64):
+        fast = {
+            r.doc_id: list(r.embedding)
+            for r in textops.hash_embed(df, dim, text_col="text").collect()
+        }
+        spec = {
+            r.doc_id: list(r.embedding)
+            for r in textops.hash_embed_fold(df, dim, text_col="text").collect()
+        }
+        assert fast == spec  # exact equality, not approx
+
+
 def test_csv_pipeline_end_to_end(spark):
     import numpy as np
 
