@@ -44,6 +44,26 @@ BENCH_FAMILIES = (
 BENCH_QUERIES = tuple(q for _, qs in BENCH_FAMILIES for q in qs)
 
 
+def _host_fingerprint() -> dict:
+    """CPU model + nominal MHz + core count, best-effort from
+    /proc/cpuinfo (Linux-only; empty dict elsewhere)."""
+    info: dict = {}
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if ":" not in line:
+                    continue
+                k, v = (s.strip() for s in line.split(":", 1))
+                if k == "model name" and "cpu_model" not in info:
+                    info["cpu_model"] = v
+                elif k == "cpu MHz" and "cpu_mhz" not in info:
+                    info["cpu_mhz"] = float(v)
+        info["n_cpus"] = os.cpu_count()
+    except OSError:
+        pass
+    return info
+
+
 def main() -> None:
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.session import get_spark
@@ -98,6 +118,11 @@ def main() -> None:
                 # visible in the official record instead of only the min
                 "query_reps": rep_times,
                 "sf": sf,
+                # host fingerprint: bench totals are only comparable
+                # across rounds on the same machine class (the r6->r7
+                # rotation showed a uniform ~1.25x shift on untouched
+                # queries from a host change alone)
+                "host": _host_fingerprint(),
             }
         )
     )
