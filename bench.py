@@ -46,8 +46,8 @@ BENCH_QUERIES = tuple(q for _, qs in BENCH_FAMILIES for q in qs)
 
 def _host_fingerprint() -> dict:
     """CPU model + nominal MHz + core count, best-effort from
-    /proc/cpuinfo (Linux-only; empty dict elsewhere)."""
-    info: dict = {}
+    /proc/cpuinfo (Linux-only; partial dict elsewhere)."""
+    info: dict = {"n_cpus": os.cpu_count()}
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
@@ -57,11 +57,24 @@ def _host_fingerprint() -> dict:
                 if k == "model name" and "cpu_model" not in info:
                     info["cpu_model"] = v
                 elif k == "cpu MHz" and "cpu_mhz" not in info:
-                    info["cpu_mhz"] = float(v)
-        info["n_cpus"] = os.cpu_count()
+                    try:
+                        info["cpu_mhz"] = float(v)
+                    except ValueError:
+                        pass
     except OSError:
         pass
     return info
+
+
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, best-effort (r7 VERDICT item 2:
+    BENCH_r07 was load-contaminated and the artifact couldn't show it;
+    recording load at start and per-rep makes contamination visible in
+    the official record)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover - non-unix
+        return None
 
 
 def main() -> None:
@@ -85,6 +98,8 @@ def main() -> None:
     # min is the standard de-noised single-node estimator.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     release_between = os.environ.get("SPARK_GRAFT_BENCH_RELEASE", "") == "1"
+    load_start = _loadavg()
+    load_samples: list[list[float]] = []
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     for _family, names in BENCH_FAMILIES:
@@ -97,6 +112,9 @@ def main() -> None:
                 n = df.count()  # materialize the full result
                 ts.append(time.perf_counter() - t0)
                 assert n >= 0
+                la = _loadavg()
+                if la is not None:
+                    load_samples.append(la)
             timings[name] = round(min(ts), 4)
             rep_times[name] = [round(t, 4) for t in ts]
         if release_between:
@@ -123,6 +141,18 @@ def main() -> None:
                 # rotation showed a uniform ~1.25x shift on untouched
                 # queries from a host change alone)
                 "host": _host_fingerprint(),
+                # load telemetry: load_start is the 1/5/15-min loadavg
+                # BEFORE the first timed rep — the contamination signal
+                # (the bench's own 32 threads inflate the 1-min average
+                # DURING the run, so load_start/15-min are what to read;
+                # a load_start 1-min well above 0 on a dedicated box
+                # means another job shared the machine, as in BENCH_r07)
+                "load_start": load_start,
+                "load_reps_max_1m": (
+                    round(max(s[0] for s in load_samples), 2)
+                    if load_samples
+                    else None
+                ),
             }
         )
     )

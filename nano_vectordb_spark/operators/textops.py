@@ -167,9 +167,13 @@ def hash_embed_fold(
         ),
     )
     staged = staged.withColumn("__raw", raw)
-    # all-zero rows (no tokens) stay zero instead of dividing by 0
-    safe = F.when(F.size("__toks") == 0, F.col("__raw")).otherwise(
-        normalize_expr(F.col("__raw"))
+    # all-zero rows (no tokens) stay zero instead of dividing by 0;
+    # null text is NULL out (not an array of dim NULLs), matching the
+    # vectorized hash_embed path's contract exactly
+    safe = (
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<double>"))
+        .when(F.size("__toks") == 0, F.col("__raw"))
+        .otherwise(normalize_expr(F.col("__raw")))
     )
     return staged.withColumn(out_col, safe).drop("__toks", "__buckets", "__raw")
 
@@ -206,6 +210,7 @@ def hash_embed(
     @pandas_udf("array<double>")
     def _embed(texts: pd.Series) -> pd.Series:
         import hashlib
+        import math
 
         import numpy as np
 
@@ -233,7 +238,12 @@ def hash_embed(
                 s = 0.0
                 for v in raw.tolist():
                     s += v * v
-                raw = raw / (s**0.5)
+                # math.sqrt is IEEE-754 correctly rounded on every
+                # platform; s**0.5 routes through libm pow, whose
+                # last-ulp is only guaranteed on recent glibc — the
+                # fold spec uses F.sqrt (Java Math.sqrt, correctly
+                # rounded), so this must match it exactly
+                raw = raw / math.sqrt(s)
             out.append(raw)
         return pd.Series(out)
 

@@ -150,8 +150,9 @@ def test_hash_embed_matches_fold_spec_bitwise(spark):
     fold spec (hash_embed_fold — the form the DuckDB oracles mirror)
     BIT-FOR-BIT: exact float equality, no tolerance. Covers repeated
     tokens (order-dependent bucket accumulation), multi-space runs,
-    empty text (zero vector, unnormalized), single token, unicode, and
-    long docs with many bucket collisions."""
+    empty text (zero vector, unnormalized), single token, unicode,
+    long docs with many bucket collisions, and NULL text (both paths
+    must yield a NULL array, not an array of NULLs)."""
     rows = [
         (0, "a b c a b a"),
         (1, "  leading  and   multi   space  "),
@@ -159,18 +160,20 @@ def test_hash_embed_matches_fold_spec_bitwise(spark):
         (3, "solo"),
         (4, "naïve café 東京 naïve"),
         (5, " ".join(f"tok{i % 7}" for i in range(500))),
+        (6, None),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
     for dim in (8, 64):
         fast = {
-            r.doc_id: list(r.embedding)
+            r.doc_id: None if r.embedding is None else list(r.embedding)
             for r in textops.hash_embed(df, dim, text_col="text").collect()
         }
         spec = {
-            r.doc_id: list(r.embedding)
+            r.doc_id: None if r.embedding is None else list(r.embedding)
             for r in textops.hash_embed_fold(df, dim, text_col="text").collect()
         }
         assert fast == spec  # exact equality, not approx
+        assert fast[6] is None  # NULL text -> NULL array on both paths
 
 
 def test_csv_pipeline_end_to_end(spark):
