@@ -396,6 +396,60 @@ def _banded_sigs(
     )
 
 
+def minhash_band_state(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistable cross-run LSH dedup state: (doc_id, band_id,
+    band_sig) — the banded MinHash table minhash_lsh_pairs joins on,
+    exposed as a first-class artifact so it can be WRITTEN alongside a
+    corpus version and MERGED with later versions' states instead of
+    recomputed (minhash_lsh_incremental's "the corpus band table is
+    built once" cost model made durable across sessions/runs).
+
+    Same constants and recipe as minhash_lsh_pairs (same permutations,
+    same band slicing), so states produced by different runs compose:
+    state(A) UNION state(B) == state(A UNION B) row-for-row — MinHash
+    signatures are per-document, so the merge is a pure append with no
+    recombination step. That identity is what makes the 100 TB story
+    work: each corpus snapshot ships its own band table; a new
+    version's dedup cost is one signature pass over the DELTA plus an
+    append, never a recompute over history."""
+    base = _shingles_and_sig(df, k, n, text_col, id_col)
+    return _banded_sigs(base.select("doc_id", "sig"), bands, k // bands)
+
+
+def band_state_write(state: DataFrame, path: str) -> None:
+    """Persist a band-state table partitionBy(band_id): probes and
+    merges join on (band_id, band_sig), so the band dirs prune a probe
+    to 1/bands of the state before the sig equi-join; appends of later
+    corpus versions land in the same dirs (merge = metadata append,
+    zero shuffle)."""
+    state.write.mode("overwrite").partitionBy("band_id").parquet(path)
+
+
+def band_state_read(spark, path: str) -> DataFrame:
+    """Read a persisted band state; band_id returns as the partition
+    column (int), band_sig/doc_id from the files."""
+    df = spark.read.parquet(path)
+    return df.select("doc_id", F.col("band_id").cast("int").alias("band_id"), "band_sig")
+
+
+def band_state_merge(*states: DataFrame) -> DataFrame:
+    """Merge band states from multiple corpus versions. Pure unionByName
+    — valid because signatures are per-document (see minhash_band_state);
+    dedup across versions (same doc_id re-ingested) is the caller's
+    upsert policy, not the state's."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def minhash_estimator_error(
     df: DataFrame,
     k: int = 16,

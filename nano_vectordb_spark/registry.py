@@ -30,6 +30,7 @@ from nano_vectordb_spark.registry_parts.p12_observability import *  # noqa: F401
 from nano_vectordb_spark.registry_parts.p13_analytics_graph import *  # noqa: F401,F403
 from nano_vectordb_spark.registry_parts.p14_analytics_ops import *  # noqa: F401,F403
 from nano_vectordb_spark.registry_parts.p15_stats_wave import *  # noqa: F401,F403
+from nano_vectordb_spark.registry_parts.p16_r8_wave import *  # noqa: F401,F403
 
 # underscore names tests/tools rely on (star-import skips them)
 from nano_vectordb_spark.registry_parts.p00_base import _FIXTURE_MEMO  # noqa: F401,E402
@@ -573,3 +574,102 @@ def _reorder_registry_r7() -> None:
 
 
 _reorder_registry_r7()
+
+
+# --- Round-8+ standing rotation (r7 VERDICT item 1) -------------------
+# The r3-r7 rotation reached its designed endpoint: 222/222 entries
+# hold an official driver CORRECTNESS row.  From r8 on, the gate window
+# follows one STANDING rule instead of per-round curation:
+#
+#   new registrations first (in registration order), then fill the
+#   50-entry window with re-gates of the entries whose official rows
+#   are OLDEST (ties broken by position within that round's basket).
+#
+# This keeps every official row bounded-stale (~4 rounds at the current
+# registry size) while guaranteeing no entry ever ships ungated: a new
+# entry's first driver row lands the same round it registers.
+
+_BASKET_HISTORY: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (3, GATE_BASKET_R3),
+    (4, GATE_BASKET_R4),
+    (5, GATE_BASKET_R5),
+    (6, GATE_BASKET_R6),
+    (7, GATE_BASKET_R7),
+)
+
+
+def official_rounds() -> dict[str, int]:
+    """Latest official driver round per entry (the driver gates the
+    top-50 window each round; later rounds supersede earlier rows)."""
+    out: dict[str, int] = {}
+    for rnd, basket in _BASKET_HISTORY:
+        for n in basket:
+            out[n] = rnd
+    return out
+
+
+def stale_regate_order() -> list[str]:
+    """The standing re-gate priority: every officially-gated entry,
+    ordered by oldest latest-official round, ties broken by basket
+    position within that round — fully deterministic, so the window is
+    mechanical and tests/test_gate_basket.py can pin it."""
+    rounds = official_rounds()
+    keyed = []
+    for rnd, basket in _BASKET_HISTORY:
+        for pos, name in enumerate(basket):
+            if rounds[name] == rnd:
+                keyed.append((rnd, pos, name))
+    keyed.sort()
+    return [name for _, _, name in keyed]
+
+
+# r8 registrations, in registration order: the two r7-queued entries
+# (r7 VERDICT item 1), the compaction round-trip witness (item 5), and
+# the capability wave (item 6: cross-run dedup state, semantic dedup).
+GATE_BASKET_R8_NEW: tuple[str, ...] = (
+    "multimodal_png_stats",
+    "compact_stats",
+    "dedup_state_merge",
+    "semantic_dedup",
+    "compact_roundtrip_agg",
+)
+
+# 45 re-gate slots by the standing rule: the 23 remaining r3-era rows
+# (incl. topk_f16 / topk_l2 — r7 VERDICT item 7), then the oldest 22
+# r4-era rows in r4 basket order.
+GATE_BASKET_R8_REGATES: tuple[str, ...] = tuple(
+    stale_regate_order()[: 50 - len(GATE_BASKET_R8_NEW)]
+)
+
+GATE_BASKET_R8: tuple[str, ...] = GATE_BASKET_R8_NEW + GATE_BASKET_R8_REGATES
+
+
+def _reorder_registry_r8() -> None:
+    missing = [n for n in GATE_BASKET_R8 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R8 names unknown entries: {missing}")
+    if len(GATE_BASKET_R8) != 50 or len(set(GATE_BASKET_R8)) != 50:
+        raise RuntimeError(
+            f"GATE_BASKET_R8 must be exactly 50 distinct entries, "
+            f"got {len(GATE_BASKET_R8)}"
+        )
+    gated = set(official_rounds())
+    fresh = set(GATE_BASKET_R8_NEW)
+    if fresh & gated:
+        raise RuntimeError(
+            f"GATE_BASKET_R8_NEW repeats verdicted entries: {fresh & gated}"
+        )
+    not_regates = set(GATE_BASKET_R8_REGATES) - gated
+    if not_regates:
+        raise RuntimeError(
+            f"GATE_BASKET_R8_REGATES must re-gate official rows only: {not_regates}"
+        )
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R8}
+    # everything else already holds an official driver row: park at the
+    # tail in existing relative order
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r8()

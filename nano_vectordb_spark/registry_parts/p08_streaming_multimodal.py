@@ -556,19 +556,17 @@ def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(run, schema)
 
 
-# R8 QUEUE (r5 VERDICT item 6): the PNG sibling — identical pixel
-# chain and stats contract, but the payload round-trips through the
-# REAL compressed codec (png_encode: adaptive-filter deflate;
-# _png_decode: CRC-checked inflate + five-filter defilter), closing
-# the compressed-codec boundary with the stdlib zlib. NOT registered
-# yet: the registry is growth-frozen at 220 until the r7 rotation
-# closes (tests/test_gate_basket.py). Register with
-# @register("multimodal_png_stats", oracle=_SQL_MM_PNG) in r8; until
-# then tests/test_multimodal.py::test_multimodal_png_stats_vs_oracle
-# runs the exact driver-gate comparison directly.
+# Registered in r8 (r5 VERDICT item 6 queued it; the growth freeze
+# lifted when the r7 rotation closed the 222/222 record): the PNG
+# sibling — identical pixel chain and stats contract, but the payload
+# round-trips through the REAL compressed codec (png_encode:
+# adaptive-filter deflate; _png_decode: CRC-checked inflate +
+# five-filter defilter), closing the compressed-codec boundary with
+# the stdlib zlib.
 _SQL_MM_PNG = _SQL_MM_PPM
 
 
+@register("multimodal_png_stats", oracle=_SQL_MM_PNG)
 def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG codec path: the same md5-chained RGB pixels as
     multimodal_ppm_stats, but encoded through the real stdlib PNG

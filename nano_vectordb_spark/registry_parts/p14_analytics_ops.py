@@ -1465,13 +1465,10 @@ WHERE sc.query_id = 0
 
 
 
-# R8 QUEUE (small-files compaction witness, r6 VERDICT item 8): the
-# measured 46 s -> 9.15 s streaming-read win at sf100 (PERF.md,
-# sources/compact.py) gets an oracle-witnessed entry. Registration
-# waits for the r7 rotation to close (the r7 window is full at 50);
-# until then tests/test_compact.py::test_compact_stats_entry_vs_oracle
-# runs the exact driver-gate comparison. Register with
-# @register("compact_stats", oracle=_SQL_COMPACT_STATS) in r8.
+# Registered in r8 (r6 VERDICT item 8 queued it; freeze lifted):
+# small-files compaction witness — the measured 46 s -> 9.15 s
+# streaming-read win at sf100 (PERF.md, sources/compact.py),
+# oracle-witnessed.
 _SQL_COMPACT_STATS = """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        TRUE AS rows_preserved,
@@ -1493,6 +1490,7 @@ def _compact_scratch(sf_dir: str) -> str:
     return "/tmp/nvdb_compact_" + hashlib.md5(key.encode()).hexdigest()[:8]
 
 
+@register("compact_stats", oracle=_SQL_COMPACT_STATS)
 def compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction round-trip witness (sources/compact.py —
     the OPTIMIZE/bin-packing step every table-format deployment

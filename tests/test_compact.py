@@ -68,9 +68,9 @@ def test_compact_roundtrip_is_lossless(spark, tmp_path):
 
 
 def test_compact_stats_entry_vs_oracle(spark, duck):
-    """The r8-queued compact_stats registry entry through the exact
-    driver-gate comparison (registration waits for the r7 rotation to
-    close; r6 VERDICT item 8)."""
+    """The compact_stats registry entry through the exact driver-gate
+    comparison (r6 VERDICT item 8 queued it; REGISTERED in r8 inside
+    the gate window, per the standing rotation rule)."""
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.registry_parts.p14_analytics_ops import (
         _SQL_COMPACT_STATS,
@@ -78,7 +78,7 @@ def test_compact_stats_entry_vs_oracle(spark, duck):
     )
     from tests.oracle_harness import compare
 
-    assert "compact_stats" not in registry.REGISTRY
+    assert "compact_stats" in registry.GATE_BASKET_R8_NEW
     df = compact_stats(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_COMPACT_STATS)
     assert ok, msg

@@ -1,5 +1,8 @@
 """Standing guard for the driver-gate basket (round-2 VERDICT items 1+6;
-round-3 VERDICT item 1; round-6 VERDICT items 1+4 — the r7 rotation).
+round-3 VERDICT item 1; round-6 VERDICT items 1+4 — the r7 rotation;
+round-7 VERDICT item 1 — the r8+ standing rotation rule: new
+registrations first, then re-gates of the oldest official rows,
+mechanically ordered by registry.stale_regate_order()).
 
 The driver's correctness gate checks only the FIRST 50 registry entries.
 Rounds 3-6 rotated curated 50-entry windows through the gate
@@ -78,9 +81,33 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R7) == 50
-    assert len(set(registry.GATE_BASKET_R7)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R7)
+    assert len(registry.GATE_BASKET_R8) == 50
+    assert len(set(registry.GATE_BASKET_R8)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R8)
+
+
+def test_r8_window_follows_the_standing_rotation_rule():
+    """r7 VERDICT item 1: with the 222/222 record closed, the window
+    becomes mechanical — new registrations first (their first official
+    row lands the round they register), then re-gate slots spent on the
+    entries whose official rows are OLDEST (round, then basket
+    position).  GATE_BASKET_R8 must be exactly that."""
+    new = registry.GATE_BASKET_R8_NEW
+    regates = registry.GATE_BASKET_R8_REGATES
+    assert list(registry.GATE_BASKET_R8) == list(new) + list(regates)
+    # new entries have NO prior official row; regates ALL do
+    gated = set(registry.official_rounds())
+    assert not set(new) & gated
+    assert set(regates) <= gated
+    # the re-gate list IS the standing priority order, no curation
+    assert list(regates) == registry.stale_regate_order()[: 50 - len(new)]
+    # r7 VERDICT item 7: the two §2 lines parked on r3 rows since their
+    # slots were donated to graph ANN re-gate now
+    assert {"topk_f16", "topk_l2"} <= set(regates)
+    # every remaining r3-era official row is refreshed this round
+    rounds = registry.official_rounds()
+    r3_stale = {n for n, r in rounds.items() if r == 3}
+    assert r3_stale <= set(regates)
 
 
 def test_r7_new_tranches_spend_no_slot_on_verdicted_entries():
@@ -139,7 +166,9 @@ def test_r7_window_closes_the_rotation():
     # topk_dot / topk_i8 which remain in the basket
     assert {"topk_f16", "topk_l2"} & set(regates) == set()
     assert {"topk_dot", "topk_i8"} <= set(regates)
-    # after r7 every registry entry holds an official driver row
+    # after r7 every registry entry held an official driver row; the
+    # entries registered SINCE (the r8 new tranche) are the only ones
+    # outside that closed record
     all_gated = (
         set(registry.GATE_BASKET_R3)
         | set(registry.GATE_BASKET_R4)
@@ -148,7 +177,7 @@ def test_r7_window_closes_the_rotation():
         | set(never)
         | set(graph)
     )
-    assert all_gated == set(registry.REGISTRY)
+    assert all_gated == set(registry.REGISTRY) - set(registry.GATE_BASKET_R8_NEW)
 
 
 def test_top50_all_oracle_backed():
@@ -185,28 +214,27 @@ def test_officially_gated_union_covers_survey_s2():
 
 
 def test_tail_holds_only_officially_gated_entries():
-    """After the r7 reorder every entry outside the window already holds
-    an official driver row (r3-r6); nothing never-gated may hide past
+    """After the r8 reorder every entry outside the window already holds
+    an official driver row (r3-r7); nothing never-gated may hide past
     position 50 where the driver would miss it."""
     names = list(registry.REGISTRY)
-    gated = (
-        set(registry.GATE_BASKET_R3)
-        | set(registry.GATE_BASKET_R4)
-        | set(registry.GATE_BASKET_R5)
-        | set(registry.GATE_BASKET_R6)
-    )
+    gated = set(registry.official_rounds())
     assert set(names[50:]) <= gated, (
-        "never-gated entries parked outside the r7 window: "
+        "never-gated entries parked outside the r8 window: "
         f"{set(names[50:]) - gated}"
     )
 
 
-def test_registry_growth_frozen_until_rotation_closes():
-    """The COVERAGE.md schedule (r5: 50, r6: 50, r7: 20+2) only closes
-    if the registry stays frozen until every entry holds an official
-    driver row.  The one sanctioned r7 addition is the pair of O31
-    graph-ANN entries the r6 VERDICT directed into the window
-    (220 -> 222); both sit INSIDE the r7 gate window, so the freeze's
-    intent — no entry ships unverified — is preserved.  New entries may
-    be added again after r7."""
-    assert len(registry.REGISTRY) == 222
+def test_registry_growth_bounded_by_the_window():
+    """The r3-r7 growth freeze lifted when the rotation closed 222/222.
+    The standing invariant that replaces it: every entry NOT in the
+    current gate window must already hold an official driver row — so
+    registrations per round are bounded by the window's new-entry
+    tranche, and no entry ever ships unverified.  r8 registers 5
+    (222 -> 227): the two r7-queued entries (multimodal_png_stats,
+    compact_stats), the compaction round-trip witness, and the
+    capability wave (dedup_state_merge, semantic_dedup)."""
+    assert len(registry.REGISTRY) == 227
+    gated = set(registry.official_rounds())
+    ungated = set(registry.REGISTRY) - gated
+    assert ungated == set(registry.GATE_BASKET_R8_NEW)

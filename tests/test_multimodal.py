@@ -344,11 +344,10 @@ def test_extract_features_png_decoder(spark):
 
 
 def test_multimodal_png_stats_vs_oracle(spark, duck):
-    """The r8-queued PNG registry entry, run through the exact
-    driver-gate comparison NOW (registration waits for the growth
-    freeze to lift): the compressed round-trip must hash-match the
-    shared pixel-stats oracle, and the registry must not contain it
-    yet."""
+    """The PNG registry entry, run through the exact driver-gate
+    comparison: the compressed round-trip must hash-match the shared
+    pixel-stats oracle (queued in r6-r7; REGISTERED in r8 inside the
+    gate window, per the standing rotation rule)."""
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.registry_parts.p08_streaming_multimodal import (
         _SQL_MM_PNG,
@@ -357,7 +356,7 @@ def test_multimodal_png_stats_vs_oracle(spark, duck):
     from tests.conftest import SF_CORRECT
     from tests.oracle_harness import compare
 
-    assert "multimodal_png_stats" not in registry.REGISTRY
+    assert "multimodal_png_stats" in registry.GATE_BASKET_R8_NEW
     df = multimodal_png_stats(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_MM_PNG)
     assert ok, msg
