@@ -243,11 +243,24 @@ def build_knn_graph(
         )
     vecs_a = idxd.select("idx", F.col("vec").alias("__va"))
     vecs_b = idxd.select(F.col("idx").alias("nbr"), F.col("vec").alias("__vb"))
+    # Broadcast the small sides when they fit the RAM-resident budget:
+    # the candidate-pair tables below reach ~n*(2k)^2 rows per repair
+    # round, and sort-merge-joining them against the n-row vector table
+    # (twice per with_dist) was the r7 build's dominant cost — each
+    # round sorted hundreds of millions of 16-byte pair rows THREE
+    # times (two vector attaches + the anti-join). A broadcast-hash
+    # join streams the pairs unsorted. Values are join-strategy
+    # independent, so output is bit-identical either way; past the
+    # budget the shuffle joins below are the (correct) scale path.
+    dim = int(idxd.select(F.size("vec")).first()[0])
+    bcast_vecs = n * dim * 8 <= MAX_GRAPH_BROADCAST_BYTES
 
     def with_dist(pairs: DataFrame) -> DataFrame:
+        va = F.broadcast(vecs_a) if bcast_vecs else vecs_a
+        vb = F.broadcast(vecs_b) if bcast_vecs else vecs_b
         return (
-            pairs.join(vecs_a, "idx")
-            .join(vecs_b, "nbr")
+            pairs.join(va, "idx")
+            .join(vb, "nbr")
             .select("idx", "nbr", l2sq_expr("__va", "__vb").alias("dist"))
         )
 
@@ -313,19 +326,28 @@ def build_knn_graph(
             .filter(F.col("idx") != F.col("nbr"))
             .select("idx", "nbr")
             .distinct()
-            # only NEW pairs pay a distance computation
-            .join(cur.select("idx", "nbr"), ["idx", "nbr"], "left_anti")
+            # only NEW pairs pay a distance computation; broadcast the
+            # <= n*k current edge set so the anti-join never sorts the
+            # candidate table (same budget gate as with_dist)
+            .join(
+                F.broadcast(cur.select("idx", "nbr"))
+                if n * k * 24 <= MAX_GRAPH_BROADCAST_BYTES
+                else cur.select("idx", "nbr"),
+                ["idx", "nbr"],
+                "left_anti",
+            )
         )
         cur = _topk_per_node(
             with_dist(cand).unionByName(cur), k
         ).localCheckpoint(eager=False)
 
+    idmap_a = idxd.select(F.col("idx"), F.col("id").alias("src_id"))
+    idmap_b = idxd.select(F.col("idx").alias("nbr"), F.col("id").alias("nbr_id"))
+    if n * 24 <= MAX_GRAPH_BROADCAST_BYTES:
+        idmap_a, idmap_b = F.broadcast(idmap_a), F.broadcast(idmap_b)
     out = (
-        cur.join(idxd.select(F.col("idx"), F.col("id").alias("src_id")), "idx")
-        .join(
-            idxd.select(F.col("idx").alias("nbr"), F.col("id").alias("nbr_id")),
-            "nbr",
-        )
+        cur.join(idmap_a, "idx")
+        .join(idmap_b, "nbr")
         .select("src_id", "nbr_id", "dist")
     )
     out = out.localCheckpoint(eager=True)
@@ -385,50 +407,85 @@ def _collect_graph(graph: DataFrame, emb: DataFrame, id_col: str, vec_col: str):
         .agg(F.sort_array(F.collect_set("nbr_id")).alias("nbrs"))
         .toPandas()
     )
-    maxdeg = max((len(x) for x in adj_pdf["nbrs"]), default=0)
-    adj = np.full((n, maxdeg), -1, dtype=np.int32)
-    for s, nbrs in zip(adj_pdf["src_id"], adj_pdf["nbrs"]):
-        i = pos[int(s)]
-        row = [pos[int(x)] for x in nbrs]
-        adj[i, : len(row)] = row
-    return adj, vecs, ids
+    # CSR adjacency (indptr/indices): the padded dense matrix cost every
+    # beam expansion a maxdeg-wide scan (maxdeg = the largest hub's
+    # symmetrized in-degree); CSR scans only the true degree. ids are
+    # ascending (orderBy above), so id -> position is a searchsorted.
+    del pos  # id->position is vectorized below
+    adj_pdf = adj_pdf.sort_values("src_id")
+    counts = np.fromiter(
+        (len(x) for x in adj_pdf["nbrs"]), dtype=np.int64, count=len(adj_pdf)
+    )
+    deg = np.zeros(n, dtype=np.int64)
+    if len(adj_pdf):
+        src_pos = np.searchsorted(ids, adj_pdf["src_id"].to_numpy(dtype=np.int64))
+        deg[src_pos] = counts
+        flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in adj_pdf["nbrs"]]
+        )
+        indices = np.searchsorted(ids, flat).astype(np.int32)
+    else:
+        indices = np.empty(0, dtype=np.int32)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    return indptr, indices, vecs, ids
 
 
-def _beam_search(q, adj, vecs, ef: int, k: int, entries) -> list[tuple[float, int]]:
+def _beam_search(
+    q, indptr, indices, vecs, ef: int, k: int, entries, visited, tag
+) -> list[tuple[float, int]]:
     """hnswlib layer-0 search semantics (searchBaseLayerST): best-first
     expansion with an ef-bounded result heap; stop when the closest
     unexpanded candidate is farther than the worst kept result.
-    Deterministic: all orderings tie-break on node index. Each
-    expansion scores ALL unvisited neighbors in one vectorized NumPy
-    pass (the batched analog of hnswlib's prefetched distance loop);
-    only the heap bookkeeping stays scalar."""
+    Deterministic: all orderings tie-break on node index.
+
+    Adjacency is CSR (indptr/indices) — the r7 dense padded matrix made
+    EVERY expansion scan maxdeg entries (driven by the single largest
+    hub's symmetrized in-degree) through a Python set-membership loop,
+    which is why search time grew 9.8 -> 62.9 s from ef=64 to 128 at
+    200k nodes. Per expansion now: one CSR slice, one vectorized
+    stamp-array visited test, one einsum over the true degree, and a
+    bound prefilter so the scalar heap loop only sees admissible nodes.
+    ``visited`` is a caller-owned int64 stamp array reused across the
+    batch's queries (``tag`` identifies this query) — no per-query
+    allocation. Result-identical to the r7 loop: the prefilter uses the
+    batch-start bound, which only tightens as results improve, and the
+    exact per-element admission test still runs sequentially; heap pop
+    order is insertion-order-independent for distinct keys, and the
+    visited stamp admits each node into ``cand`` at most once."""
     import numpy as np
 
-    visited = set()
     cand: list[tuple[float, int]] = []
     res: list[tuple[float, int]] = []  # max-heap via negated key
 
     def offer(nodes) -> None:
         nv = vecs[nodes] - q
         dvs = np.einsum("ij,ij->i", nv, nv)
-        for v, dv in zip(nodes, dvs.tolist()):
+        if len(res) >= ef:
+            sel = dvs < -res[0][0]
+            nodes = nodes[sel]
+            dvs = dvs[sel]
+        for v, dv in zip(nodes.tolist(), dvs.tolist()):
             if len(res) < ef or dv < -res[0][0]:
                 heapq.heappush(cand, (dv, v))
                 heapq.heappush(res, (-dv, -v))
                 if len(res) > ef:
                     heapq.heappop(res)
 
-    ent = [e for e in dict.fromkeys(int(e) for e in entries)]
-    visited.update(ent)
+    ent = np.asarray(
+        list(dict.fromkeys(int(e) for e in entries)), dtype=np.int64
+    )
+    visited[ent] = tag
     offer(ent)
     while cand:
         d, u = heapq.heappop(cand)
         if len(res) >= ef and d > -res[0][0]:
             break
-        new = [int(v) for v in adj[u] if v >= 0 and int(v) not in visited]
-        if not new:
+        row = indices[indptr[u] : indptr[u + 1]]
+        new = row[visited[row] != tag]
+        if new.size == 0:
             continue
-        visited.update(new)
+        visited[new] = tag
         offer(new)
     ordered = sorted((-nd, -ni) for nd, ni in res)
     return ordered[:k]
@@ -463,10 +520,10 @@ def graph_search(
     fixed spread entries on a ring-init NN-Descent graph vs 0.97+
     with the blocked build plus this coarse zoom-in."""
     spark = emb.sparkSession
-    adj, vecs, ids = _collect_graph(graph, emb, id_col, vec_col)
+    indptr, indices, vecs, ids = _collect_graph(graph, emb, id_col, vec_col)
     n = len(ids)
     stride = max(1, -(-n // coarse))  # ceil(n / coarse)
-    b = spark.sparkContext.broadcast((adj, vecs, ids, stride))
+    b = spark.sparkContext.broadcast((indptr, indices, vecs, ids, stride))
 
     qdf = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
@@ -476,9 +533,11 @@ def graph_search(
         import numpy as np
         import pandas as pd
 
-        adj_, vecs_, ids_, stride_ = b.value
+        indptr_, indices_, vecs_, ids_, stride_ = b.value
         sample_idx = np.arange(0, len(ids_), stride_, dtype=np.int64)
         sample = vecs_[sample_idx]
+        visited = np.zeros(len(ids_), dtype=np.int64)
+        tag = 0
         for pdf in batches:
             out = {"query_id": [], "rank": [], "vec_id": [], "dist": []}
             for qid, qv in zip(pdf["query_id"], pdf["__qv"]):
@@ -489,7 +548,10 @@ def graph_search(
                 # deterministic top-n_entry by (dist, idx)
                 order = np.lexsort((sample_idx, cd))[:n_entry]
                 entries_ = [int(sample_idx[o]) for o in order]
-                hits = _beam_search(q, adj_, vecs_, ef, k, entries_)
+                tag += 1
+                hits = _beam_search(
+                    q, indptr_, indices_, vecs_, ef, k, entries_, visited, tag
+                )
                 for r, (d, i) in enumerate(hits, start=1):
                     out["query_id"].append(qid)
                     out["rank"].append(r)
@@ -754,11 +816,20 @@ def shard_graph_search(
             [] if x is None or x is np.nan or not hasattr(x, "__len__") else x
             for x in right["nbrs"]
         ]
-        maxdeg = max((len(x) for x in nbr_lists), default=0)
-        adj_m = np.full((len(ids), maxdeg), -1, dtype=np.int32)
-        for i, x in enumerate(nbr_lists):
-            row = [pos[int(v)] for v in x if int(v) in pos]
-            adj_m[i, : len(row)] = row
+        # per-shard CSR (same rationale as _collect_graph)
+        rows = [
+            np.asarray(
+                [pos[int(v)] for v in x if int(v) in pos], dtype=np.int32
+            )
+            for x in nbr_lists
+        ]
+        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in rows], out=indptr[1:])
+        indices = (
+            np.concatenate(rows) if rows else np.empty(0, dtype=np.int32)
+        )
+        visited = np.zeros(len(ids), dtype=np.int64)
+        tag = 0
         stride = max(1, -(-len(ids) // coarse))
         sample_idx = np.arange(0, len(ids), stride, dtype=np.int64)
         sample = vecs[sample_idx]
@@ -770,7 +841,10 @@ def shard_graph_search(
             cd = np.einsum("ij,ij->i", diff, diff)
             order = np.lexsort((sample_idx, cd))[:n_entry]
             entries = [int(sample_idx[o]) for o in order]
-            hits = _beam_search(q, adj_m, vecs, ef, k, entries)
+            tag += 1
+            hits = _beam_search(
+                q, indptr, indices, vecs, ef, k, entries, visited, tag
+            )
             for _d, i in hits:
                 out_q.append(int(qid))
                 out_v.append(int(ids[i]))
