@@ -146,13 +146,20 @@ def _block_knn_fn(k_sel: int):
         kk = min(k_sel, n_b - 1)
         if kk <= 0:
             return pd.DataFrame(
-                {"idx": np.array([], dtype=np.int64), "nbr": np.array([], dtype=np.int64)}
+                {
+                    "idx": np.array([], dtype=np.int64),
+                    "nbr": np.array([], dtype=np.int64),
+                    "lo": np.array([], dtype=np.float64),
+                    "hi": np.array([], dtype=np.float64),
+                }
             )
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
         sq = np.einsum("ij,ij->i", mat, mat)
         chunk = max(1, int(4_000_000 // n_b))
         src_out = np.empty(n_b * kk, dtype=np.int64)
         nbr_out = np.empty(n_b * kk, dtype=np.int64)
+        lo_out = np.empty(n_b * kk, dtype=np.float64)
+        hi_out = np.empty(n_b * kk, dtype=np.float64)
         p = 0
         for s in range(0, n_b, chunk):
             e = min(n_b, s + chunk)
@@ -162,10 +169,108 @@ def _block_knn_fn(k_sel: int):
             rows = e - s
             src_out[p : p + rows * kk] = np.repeat(idxs[s:e], kk)
             nbr_out[p : p + rows * kk] = idxs[part.ravel()]
+            # lo/hi: certified bounds on the EXACT sequential-fold
+            # distance (slack >> f64 matmul error incl. cancellation),
+            # so downstream can select a provable superset of each
+            # node's exact top-k before paying the exact fold.
+            dsel = d2[np.repeat(np.arange(rows), kk), part.ravel()]
+            slack = (
+                np.repeat(sq[s:e], kk) + sq[part.ravel()] + 1.0
+            ) * 1e-11
+            lo_out[p : p + rows * kk] = dsel - slack
+            hi_out[p : p + rows * kk] = dsel + slack
             p += rows * kk
-        return pd.DataFrame({"idx": src_out[:p], "nbr": nbr_out[:p]})
+        return pd.DataFrame(
+            {
+                "idx": src_out[:p],
+                "nbr": nbr_out[:p],
+                "lo": lo_out[:p],
+                "hi": hi_out[:p],
+            }
+        )
 
     return fn
+
+
+def _non_candidates_gen(b_vecs, b_bounds):
+    """mapInPandas body for the NN-Descent round: given each pivot's
+    degree-capped neighbor list, enumerate the neighbor-of-neighbor
+    ordered pairs LOCALLY (vectorized batched matmul over the broadcast
+    vector matrix) and emit only pairs whose squared-L2 LOWER BOUND
+    beats the head node's current k-th edge distance.
+
+    The prune is provably lossless: ``d2 - slack`` is a true lower
+    bound on the exact sequential-fold distance (slack is ~1e-11 of
+    the operand magnitude, >> the f64 matmul's ~1e-14 relative error,
+    including the cancellation regime where d2 << ||x||^2), and a pair
+    whose exact distance exceeds the node's k-th CURRENT edge can
+    never enter that node's exact top-k downstream (cur contributes k
+    better rows to the same window). Boundary pairs within the slack
+    are emitted and settled by the exact rescore, so the final edge
+    set is deterministic even though batched-BLAS ulps vary.
+
+    This replaces the r7 self-join + 205M-row distinct + interpreted
+    fold over every candidate (the higher-order-function l2sq fold is
+    CodegenFallback — the dominant build cost at 200k nodes); the
+    exact fold now only prices the few survivors per node."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        V = b_vecs.value.astype(np.float64)
+        sqv = np.einsum("ij,ij->i", V, V)
+        B = b_bounds.value
+        CH = 2048  # pivots per tensor batch: bounds (CH, rd, rd) tensors
+        empty = pd.DataFrame(
+            {
+                "idx": np.array([], dtype=np.int64),
+                "nbr": np.array([], dtype=np.int64),
+            }
+        )
+        for pdf in batches:
+            lists = pdf["__nbrs"].tolist()
+            outs_i, outs_j = [], []
+            for s in range(0, len(lists), CH):
+                grp = lists[s : s + CH]
+                lens = np.fromiter(
+                    (len(x) for x in grp), dtype=np.int64, count=len(grp)
+                )
+                m = int(lens.max()) if len(lens) else 0
+                if m < 2:
+                    continue
+                M = np.zeros((len(grp), m), dtype=np.int64)
+                for r, x in enumerate(grp):
+                    M[r, : len(x)] = x
+                valid = np.arange(m)[None, :] < lens[:, None]
+                X = V[M]  # (P, m, d)
+                sq = sqv[M]  # (P, m)
+                # matmul dispatches to batched BLAS; einsum's generic
+                # C loop is ~10x slower on this shape
+                G = X @ X.transpose(0, 2, 1)
+                pair_sq = sq[:, :, None] + sq[:, None, :]
+                d2 = pair_sq - 2.0 * G
+                slack = (pair_sq + 1.0) * 1e-11
+                keep = (
+                    valid[:, :, None]
+                    & valid[:, None, :]
+                    & (M[:, :, None] != M[:, None, :])
+                    & (d2 - slack <= B[M][:, :, None])
+                )
+                p, i, j = np.nonzero(keep)
+                outs_i.append(M[p, i])
+                outs_j.append(M[p, j])
+            if outs_i:
+                yield pd.DataFrame(
+                    {
+                        "idx": np.concatenate(outs_i),
+                        "nbr": np.concatenate(outs_j),
+                    }
+                )
+            else:
+                yield empty
+
+    return gen
 
 
 def _topk_per_node(pairs: DataFrame, k: int) -> DataFrame:
@@ -228,6 +333,21 @@ def build_knn_graph(
         train_rows_for,
     )
 
+    import os as _os
+    import time as _time
+
+    _prof = _os.environ.get("SPARK_GRAFT_GRAPH_PROFILE") == "1"
+    _t0 = _time.time()
+    _t_last = [_time.time()]
+
+    def _mark(label: str) -> None:
+        if _prof:
+            now = _time.time()
+            print(
+                f"[graph-build] {label}: +{now - _t_last[0]:.1f}s", flush=True
+            )
+            _t_last[0] = now
+
     spark = emb.sparkSession
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     idxd = (
@@ -236,6 +356,7 @@ def build_knn_graph(
         .persist()
     )
     n = idxd.count()
+    _mark("rank+persist")
     if n <= 1:
         idxd.unpersist()
         return spark.createDataFrame(
@@ -253,6 +374,7 @@ def build_knn_graph(
     # independent, so output is bit-identical either way; past the
     # budget the shuffle joins below are the (correct) scale path.
     dim = int(idxd.select(F.size("vec")).first()[0])
+    _mark("dim probe")
     bcast_vecs = n * dim * 8 <= MAX_GRAPH_BROADCAST_BYTES
 
     def with_dist(pairs: DataFrame) -> DataFrame:
@@ -280,6 +402,7 @@ def build_knn_graph(
         cents = [
             lloyd_fit(train, nlist, seed=42 + 1009 * c) for c in range(n_cluster)
         ]
+        _mark("train-sample collect + lloyd fits")
         blocks = idxd.select(
             "idx",
             "vec",
@@ -289,14 +412,79 @@ def build_knn_graph(
     # k+4 selection margin: block selection ranks by a NumPy matmul
     # distance; the exact sequential-fold rescore below owns the final
     # top-k, so near-ties at the boundary never flip the result
-    cand0 = (
-        blocks.groupBy("__cl")
-        .applyInPandas(_block_knn_fn(k + 4), "idx long, nbr long")
-        .dropDuplicates(["idx", "nbr"])
+    def _tick(label: str, df: DataFrame) -> None:
+        if _prof:
+            t0 = _time.time()
+            gap = t0 - _t_last[0]
+            cnt = df.count()
+            print(
+                f"[graph-build] {label}: {cnt} rows in "
+                f"{_time.time() - t0:.1f}s (gap before: {gap:.1f}s)",
+                flush=True,
+            )
+            _t_last[0] = _time.time()
+
+    cand0 = blocks.groupBy("__cl").applyInPandas(
+        _block_knn_fn(k + 4), "idx long, nbr long, lo double, hi double"
     )
-    cur = _topk_per_node(with_dist(cand0), k).localCheckpoint(eager=False)
+    # per-node dedup via a lag over the SAME partitioning the
+    # preselection windows use (one exchange by idx instead of a
+    # hash-distinct by (idx, nbr) plus a second exchange); keeps the
+    # copy with the smallest (hi, lo) — any copy's bounds are valid,
+    # this choice is also deterministic. Dedup BEFORE the k-th-hi
+    # selection is required: a pair duplicated across n_assign x
+    # n_cluster blocks would otherwise crowd the top-k-by-hi ranks
+    # and shrink kth_hi below legitimate contenders.
+    w_dedup = Window.partitionBy("idx").orderBy(
+        F.asc("nbr"), F.asc("hi"), F.asc("lo")
+    )
+    cand0 = (
+        cand0.withColumn("__prev_nbr", F.lag("nbr").over(w_dedup))
+        .filter(
+            F.col("__prev_nbr").isNull()
+            | (F.col("__prev_nbr") != F.col("nbr"))
+        )
+        .drop("__prev_nbr")
+    )
+    # certified-bound preselection: keep rows whose exact distance can
+    # still be in the node's top-k (lo <= k-th smallest hi). Lossless —
+    # a true top-k member t has exact(t) <= kth_hi (else k rows beat it
+    # exactly) and lo(t) <= exact(t); only the provable non-contenders
+    # skip the (interpreted, CodegenFallback) exact fold below.
+    w_idx = Window.partitionBy("idx")
+    w_hi = w_idx.orderBy(F.asc("hi"), F.asc("nbr"))
+    cand0 = (
+        cand0.withColumn("__rn", F.row_number().over(w_hi))
+        .withColumn(
+            "__kth_hi",
+            F.max(F.when(F.col("__rn") <= k, F.col("hi"))).over(w_idx),
+        )
+        .filter(F.col("lo") <= F.col("__kth_hi"))
+        .select("idx", "nbr")
+    )
+    _mark("construct cand0")
+    cand0d = with_dist(cand0)
+    _mark("construct with_dist(cand0)")
+    cur = _topk_per_node(cand0d, k)
+    _mark("construct topk")
+    cur = cur.localCheckpoint(eager=False)
+    _mark("construct checkpoint")
+    _tick("init", cur)
 
     rd = repair_degree if repair_degree is not None else 2 * k
+    # local NoN generation needs the vector matrix broadcast — same
+    # RAM-resident budget gate as with_dist; past it, the self-join
+    # path below is the (shuffle-based) scale fallback.
+    use_local_non = bcast_vecs and repair_rounds > 0
+    if use_local_non:
+        base_pdf = idxd.select("idx", "vec").orderBy("idx").toPandas()
+        vec_mat = np.asarray(
+            [np.asarray(v, dtype=np.float32) for v in base_pdf["vec"]]
+        )
+        del base_pdf
+        b_vecs = spark.sparkContext.broadcast(vec_mat)
+    bcast_edges = n * k * 24 <= MAX_GRAPH_BROADCAST_BYTES
+    changed = None  # None = every pivot (round 1)
     for _ in range(repair_rounds):
         # symmetrize + degree-cap: NN-Descent explores out- AND
         # in-neighbors; the cap bounds the self-join to rd^2 per node.
@@ -305,27 +493,69 @@ def build_knn_graph(
         # the rounds only stitch boundaries, so a reduced per-pivot
         # fan-out (e.g. 12) cuts candidate volume quadratically while
         # keeping the closest — most informative — co-neighbors.
-        u = _degree_cap(
-            cur.select("idx", "nbr", "dist").union(
-                cur.select(
-                    F.col("nbr").alias("idx"),
-                    F.col("idx").alias("nbr"),
-                    "dist",
-                )
-            ),
-            rd,
-        ).select("idx", "nbr")
+        sym_edges = cur.select("idx", "nbr", "dist").union(
+            cur.select(
+                F.col("nbr").alias("idx"),
+                F.col("idx").alias("nbr"),
+                "dist",
+            )
+        )
+        # NN-Descent's new/old pivot restriction (Dong et al. §2.2):
+        # a pivot whose symmetrized capped list is UNCHANGED since the
+        # previous round regenerates only pairs already settled — each
+        # was accepted (it is in cur), rejected by the exact top-k
+        # (the k-th bound only tightens, so still rejected), or pruned
+        # (same monotone bound). Restricting later rounds to changed
+        # pivots is therefore lossless, and it collapses their cost
+        # from full-graph windows to the convergence residue.
+        if use_local_non and changed is not None:
+            sym_edges = sym_edges.join(
+                F.broadcast(changed) if bcast_edges else changed,
+                "idx",
+                "left_semi",
+            )
+        u = _degree_cap(sym_edges, rd).select("idx", "nbr")
         # neighbor-of-neighbor candidates: two neighbors of the same
         # node are candidate neighbors of EACH OTHER
-        cand = (
-            u.select(F.col("idx").alias("__pivot"), F.col("nbr").alias("idx"))
-            .join(
-                u.select(F.col("idx").alias("__pivot"), F.col("nbr").alias("nbr")),
-                "__pivot",
+        if use_local_non:
+            # per-node k-th current edge distance (the prune bound);
+            # +inf where a node holds fewer than k edges. The toPandas
+            # also materializes cur's pending checkpoint, so the
+            # bounds always reflect the finished previous round.
+            bnd_pdf = (
+                cur.groupBy("idx")
+                .agg(F.max("dist").alias("mx"), F.count(F.lit(1)).alias("c"))
+                .toPandas()
             )
-            .filter(F.col("idx") != F.col("nbr"))
-            .select("idx", "nbr")
-            .distinct()
+            bounds = np.full(n, np.inf, dtype=np.float64)
+            bi = bnd_pdf["idx"].to_numpy(dtype=np.int64)
+            full_mask = bnd_pdf["c"].to_numpy(dtype=np.int64) >= k
+            bounds[bi[full_mask]] = bnd_pdf["mx"].to_numpy(
+                dtype=np.float64
+            )[full_mask]
+            b_bnd = spark.sparkContext.broadcast(bounds)
+            raw = (
+                u.groupBy("idx")
+                .agg(F.collect_list("nbr").alias("__nbrs"))
+                .select("__nbrs")
+                .mapInPandas(
+                    _non_candidates_gen(b_vecs, b_bnd), "idx long, nbr long"
+                )
+            )
+        else:
+            raw = (
+                u.select(F.col("idx").alias("__pivot"), F.col("nbr").alias("idx"))
+                .join(
+                    u.select(
+                        F.col("idx").alias("__pivot"), F.col("nbr").alias("nbr")
+                    ),
+                    "__pivot",
+                )
+                .filter(F.col("idx") != F.col("nbr"))
+                .select("idx", "nbr")
+            )
+        cand = (
+            raw.distinct()
             # only NEW pairs pay a distance computation; broadcast the
             # <= n*k current edge set so the anti-join never sorts the
             # candidate table (same budget gate as with_dist)
@@ -337,9 +567,53 @@ def build_knn_graph(
                 "left_anti",
             )
         )
-        cur = _topk_per_node(
-            with_dist(cand).unionByName(cur), k
-        ).localCheckpoint(eager=False)
+        if _prof:
+            _tick("round candidates", cand)
+        # re-rank ONLY the nodes a surviving candidate touches; every
+        # other node's top-k is provably unchanged (cur already holds
+        # its k best and gains no new rows), so the bulk of the edge
+        # set flows through untouched instead of re-sorting n*k rows
+        # per round.
+        affected = cand.select("idx").distinct()
+        if n * 16 <= MAX_GRAPH_BROADCAST_BYTES:
+            affected = F.broadcast(affected)
+        touched = _topk_per_node(
+            with_dist(cand).unionByName(
+                cur.join(affected, "idx", "left_semi")
+            ),
+            k,
+        )
+        prev_cur = cur
+        cur = (
+            cur.join(affected, "idx", "left_anti")
+            .unionByName(touched)
+            .localCheckpoint(eager=False)
+        )
+        if use_local_non:
+            # pivots for the NEXT round: endpoints of edges that were
+            # added or removed this round (both checkpointed sides, so
+            # these anti-joins are two map-side scans at the next
+            # round's semi-join)
+            prev_pairs = prev_cur.select("idx", "nbr")
+            new_pairs = cur.select("idx", "nbr")
+            added = new_pairs.join(
+                F.broadcast(prev_pairs) if bcast_edges else prev_pairs,
+                ["idx", "nbr"],
+                "left_anti",
+            )
+            removed = prev_pairs.join(
+                F.broadcast(new_pairs) if bcast_edges else new_pairs,
+                ["idx", "nbr"],
+                "left_anti",
+            )
+            delta = added.unionByName(removed)
+            changed = (
+                delta.select("idx")
+                .union(delta.select(F.col("nbr").alias("idx")))
+                .distinct()
+            )
+        _mark("construct round merge")
+        _tick("round top-k", cur)
 
     idmap_a = idxd.select(F.col("idx"), F.col("id").alias("src_id"))
     idmap_b = idxd.select(F.col("idx").alias("nbr"), F.col("id").alias("nbr_id"))
@@ -351,6 +625,9 @@ def build_knn_graph(
         .select("src_id", "nbr_id", "dist")
     )
     out = out.localCheckpoint(eager=True)
+    _mark("final id-map + checkpoint")
+    if _prof:
+        print(f"[graph-build] TOTAL in-function: {_time.time() - _t0:.1f}s", flush=True)
     idxd.unpersist()
     return out
 
@@ -491,6 +768,20 @@ def _beam_search(
     return ordered[:k]
 
 
+def graph_collect(
+    graph: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the broadcastable RAM-resident index ONCE (the
+    hnswlib loadIndex analog): CSR symmetrized adjacency + f32 vector
+    matrix + id map, size-guarded by MAX_GRAPH_BROADCAST_{NODES,BYTES}.
+    Pass the result to graph_search(..., index=...) to amortize the
+    collect across ef sweeps and repeated query batches."""
+    return _collect_graph(graph, emb, id_col, vec_col)
+
+
 def graph_search(
     graph: DataFrame,
     emb: DataFrame,
@@ -502,10 +793,17 @@ def graph_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    index=None,
 ) -> DataFrame:
     """ef-bounded kNN over the broadcast graph (reference O31 search,
     nvdb_hnsw_search.cpp:33-57). Returns (query_id, rank, vec_id,
     dist) with rank 1..k best-first. ``ef`` is efSearch.
+
+    ``index`` — a prebuilt ``graph_collect(graph, emb)`` result. The
+    collect + symmetrize + CSR assembly is the per-call fixed cost
+    (~the whole search time at 200k nodes once the beam is CSR-fast);
+    an ef sweep or a repeated query workload should pay it once, the
+    way hnswlib loads an index once and serves many searches.
 
     Entry selection emulates the HNSW HIERARCHY, whose whole job is
     delivering a near-target entry point to the layer-0 beam: upper
@@ -520,7 +818,9 @@ def graph_search(
     fixed spread entries on a ring-init NN-Descent graph vs 0.97+
     with the blocked build plus this coarse zoom-in."""
     spark = emb.sparkSession
-    indptr, indices, vecs, ids = _collect_graph(graph, emb, id_col, vec_col)
+    if index is None:
+        index = _collect_graph(graph, emb, id_col, vec_col)
+    indptr, indices, vecs, ids = index
     n = len(ids)
     stride = max(1, -(-n // coarse))  # ceil(n / coarse)
     b = spark.sparkContext.broadcast((indptr, indices, vecs, ids, stride))

@@ -1885,8 +1885,9 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gt = gt_build(emb, queries, k=10, metric="l2")
     rows = []
+    idx = graphann.graph_collect(g, emb)  # one collect for the ef sweep
     for ef, floor in ((32, 0.85), (64, 0.93)):
-        pred = graphann.graph_search(g, emb, queries, k=10, ef=ef)
+        pred = graphann.graph_search(g, emb, queries, k=10, ef=ef, index=idx)
         pids = pred.groupBy("query_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),

@@ -71,9 +71,12 @@ def main() -> None:
         "query_id", "embedding"
     )
     gt = gt_build(emb, queries, k=10, metric="l2")
+    t0 = time.time()
+    idx = graphann.graph_collect(g, emb)
+    print(f"index collect: {time.time() - t0:.1f}s")
     for ef in (64, 128, 256):
         t0 = time.time()
-        pred = graphann.graph_search(g, emb, queries, k=10, ef=ef)
+        pred = graphann.graph_search(g, emb, queries, k=10, ef=ef, index=idx)
         pids = pred.groupBy("query_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
