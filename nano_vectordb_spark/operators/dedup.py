@@ -709,11 +709,35 @@ def simhash_pairs(
     return ham.filter(F.col("hamming") <= max_hamming)
 
 
+def lsh_auto_params(n_rows: int) -> tuple[int, int]:
+    """(n_planes, bands) for random-hyperplane LSH, scaled to corpus
+    size so expected band-bucket occupancy stays O(2^5)=O(32) instead
+    of growing linearly with N: rows_per_band = ceil(log2 N) - 5
+    (clamped to [4, 16]), so each band hashes into ~N/32 buckets and
+    the candidate-pair count stays ~N * occupancy * bands — LINEAR in
+    N. The r8 sf10 sweep caught the fixed-width cliff this replaces:
+    4-bit band signatures mean 16 buckets per band at ANY scale, so
+    at 200k vectors every band bucket held ~12.5k rows and the
+    "banded" join degenerated to ~N^2/16 candidate dots (billions).
+    Bands grow half as fast as rows_per_band to partially offset the
+    per-band recall decay (collision prob p^rpb per band, p = 1 -
+    theta/pi; the full operating curve is lsh_operating_point's
+    subject). At the gate fixtures (N <= ~512) this lands exactly on
+    the historical (16, 4) point, so official sf0.01 rows are
+    byte-identical. MUST stay importable without Spark — the DuckDB
+    oracle derives the identical literals through this function."""
+    import math
+
+    rpb = min(16, max(4, math.ceil(math.log2(max(n_rows, 2))) - 5))
+    bands = 4 + max(0, (rpb - 4) // 2)
+    return rpb * bands, bands
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int | None = None,
+    bands: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -723,9 +747,16 @@ def embedding_neardup_lsh(
     dots form a signature; docs sharing any of `bands` sign-bands
     become candidates; candidates are exactly verified at threshold.
     Output ⊆ embedding_neardup_pairs (probabilistic recall, exact
-    precision) — the candidate join shuffles on tiny band keys, never
-    N^2."""
+    precision) — the candidate join shuffles on band keys whose
+    signature width scales with log2(N) (lsh_auto_params), so bucket
+    occupancy — and with it candidate-pair work per row — stays
+    bounded at any corpus size, never N^2."""
     import numpy as np
+
+    if n_planes is None or bands is None:
+        auto_planes, auto_bands = lsh_auto_params(df.count())
+        n_planes = auto_planes if n_planes is None else n_planes
+        bands = auto_bands if bands is None else bands
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)

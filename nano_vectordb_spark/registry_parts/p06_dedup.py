@@ -811,9 +811,16 @@ def _lsh_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as papq
 
-    n_planes, bands, seed = 16, 4, 42
-    rpb = n_planes // bands
+    from nano_vectordb_spark.operators.dedup import lsh_auto_params
+
     tbl = papq.read_table(f"{_ORACLE_SF}/embeddings.parquet", columns=["embedding"])
+    # identical parameter derivation to the Spark side (shared
+    # lsh_auto_params, N = the same table's row count), so the seeded
+    # hyperplane literals match at EVERY fixture scale — the r8 sf10
+    # sweep runs this entry at 200k vectors with log-scaled signatures
+    n_planes, bands = lsh_auto_params(tbl.num_rows)
+    seed = 42
+    rpb = n_planes // bands
     dim = len(tbl.column("embedding")[0])
     planes = np.random.default_rng(seed).normal(size=(n_planes, dim))
     values = ",\n    ".join(f"({i}, {_dlist(p)})" for i, p in enumerate(planes))

@@ -275,6 +275,19 @@ def main() -> None:
 
     spark = get_spark(app_name="nvdb-sf1-parity", cpus="32")
     con = duckdb.connect()
+    # an in-memory DuckDB has NO temp_directory by default, which
+    # disables larger-than-memory spill entirely — the r8 sf10 sweep's
+    # OPQ replays (200k-vector rotation + ADC intermediates) died with
+    # "Failed to allocate block" on a box with 100 GB free because of
+    # it. Point spill at disk and cap the budget explicitly.
+    spill = os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "/tmp/nvdb_duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+        + "'"
+    )
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings".split()

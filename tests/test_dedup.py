@@ -56,6 +56,26 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert again == lsh
 
 
+def test_lsh_auto_params_scaling():
+    # gate fixtures (N <= ~512) land exactly on the historical (16, 4)
+    # operating point, so official sf0.01 rows are unchanged
+    assert dedup.lsh_auto_params(200) == (16, 4)
+    assert dedup.lsh_auto_params(512) == (16, 4)
+    # signature width grows with log2(N): bucket occupancy per band is
+    # ~N / 2^rpb and must stay bounded (the r8 sf10 cliff)
+    for n in (2_000, 20_000, 200_000, 2_000_000, 10**9):
+        n_planes, bands = dedup.lsh_auto_params(n)
+        rpb = n_planes // bands
+        assert n_planes == rpb * bands
+        occupancy = n / 2**rpb
+        assert occupancy <= 64 or rpb == 16  # clamped tail
+        assert 4 <= bands <= 10
+    # monotone: more rows never narrows the signature
+    widths = [dedup.lsh_auto_params(n)[0] // dedup.lsh_auto_params(n)[1]
+              for n in (100, 10_000, 10**6, 10**8)]
+    assert widths == sorted(widths)
+
+
 def test_simhash_near_for_near_texts(spark):
     # simhash of a doc and a lightly perturbed copy should be within
     # the hamming threshold, while random doc pairs typically are not
