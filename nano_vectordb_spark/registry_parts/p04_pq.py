@@ -158,14 +158,28 @@ def _sql_pq_core(books, emb_expr: str = "CAST(e.embedding AS DOUBLE[])",
     return f"""
 books(mi, code, v) AS (VALUES
     {values}),
+pq_dists AS MATERIALIZED (
+  -- materialize the flat (vec_id, mi, code, d) table ONCE: the r8
+  -- sf10 sweep showed both windowed argmin (row_number over the
+  -- N x M*2^nbits cross join pins the partition-sorted intermediate,
+  -- OOM at 200k vectors even with spill) and min-over-struct (DuckDB
+  -- allocates untracked per-update state for nested-type min — 70 GB
+  -- RSS past a 32 GB memory_limit) blow up; primitive-typed columns
+  -- + two streaming min() passes stay tracked and spillable
+  SELECT e.vec_id, b.mi, b.code,
+         {_sql_l2(_sql_sub(emb_expr, dsub), 'b.v')} AS d
+  FROM {emb_src} CROSS JOIN books b
+),
 codes AS (
-  SELECT vec_id, mi, code FROM (
-    SELECT e.vec_id, b.mi, b.code,
-           row_number() OVER (PARTITION BY e.vec_id, b.mi
-             ORDER BY {_sql_l2(_sql_sub(emb_expr, dsub), 'b.v')} ASC,
-                      b.code ASC) AS rn
-    FROM {emb_src} CROSS JOIN books b)
-  WHERE rn = 1
+  -- argmin with (d ASC, code ASC) tie-break, value-identical to the
+  -- former row_number formulation: d is computed once in pq_dists so
+  -- the d = md equality is exact
+  SELECT d.vec_id, d.mi, min(d.code) AS code
+  FROM pq_dists d
+  JOIN (SELECT vec_id, mi, min(d) AS md
+        FROM pq_dists GROUP BY vec_id, mi) m
+    ON m.vec_id = d.vec_id AND m.mi = d.mi AND d.d = m.md
+  GROUP BY d.vec_id, d.mi
 ),
 lut AS (
   SELECT q.query_id, b.mi, b.code,
