@@ -788,8 +788,8 @@ def graph_search(
     queries: DataFrame,
     k: int = 10,
     ef: int = 64,
-    n_entry: int = 4,
-    coarse: int = 1024,
+    n_entry: int | None = None,
+    coarse: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -810,18 +810,32 @@ def graph_search(
     layers hold ~n/M^level nodes and greedy-descend to one seed
     (hnswlib searchKnn's level loop). Here the "upper layers" are a
     deterministic stride sample of <= ``coarse`` nodes, brute-forced
-    per query in one vectorized matmul (1024 x d flops — the same
-    order of work as hnswlib's level descent), whose best ``n_entry``
-    hits seed the beam. A flat k-NN graph loses global navigability
-    as n grows, so entry quality matters more with scale: the sf1
-    validation (20k nodes) measured recall@10 0.42-0.54 at ef=64 with
-    fixed spread entries on a ring-init NN-Descent graph vs 0.97+
-    with the blocked build plus this coarse zoom-in."""
+    per query in one vectorized matmul, whose best ``n_entry`` hits
+    seed the beam. When not given, ``coarse`` scales as a RATIO of n
+    (~n/12, the first flat level of an M~12 hierarchy, clamped to
+    [1024, 65536]) — a fixed-size coarse layer loses entry quality
+    exactly when a flat k-NN graph loses global navigability. The r8
+    sf10 measurement on the adversarial near-uniform 200k fixture:
+    fixed coarse=1024/n_entry=4 gives recall@10 0.776/0.855 at
+    ef=32/64; the scaled (16384+, 16+) point gives 0.912/0.937 at
+    identical per-query wall (~the same one matmul + beam). At gate
+    fixtures (n <= 2k) the formula reproduces (1024, 4) exactly, so
+    recorded results are unchanged. The clamp bounds per-query work
+    at 65536 x d flops; beyond ~800k nodes entry quality decays again
+    by design — that regime belongs to shard_graph_search, which has
+    no global index at all. The sf1 validation (20k nodes) measured
+    recall@10 0.42-0.54 at ef=64 with fixed spread entries on a
+    ring-init NN-Descent graph vs 0.97+ with the blocked build plus
+    this coarse zoom-in."""
     spark = emb.sparkSession
     if index is None:
         index = _collect_graph(graph, emb, id_col, vec_col)
     indptr, indices, vecs, ids = index
     n = len(ids)
+    if coarse is None:
+        coarse = min(max(1024, n // 12), 65536)
+    if n_entry is None:
+        n_entry = min(max(4, coarse // 512), 32)
     stride = max(1, -(-n // coarse))  # ceil(n / coarse)
     b = spark.sparkContext.broadcast((indptr, indices, vecs, ids, stride))
 
