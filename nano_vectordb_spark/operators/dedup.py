@@ -733,6 +733,103 @@ def lsh_auto_params(n_rows: int) -> tuple[int, int]:
     return rpb * bands, bands
 
 
+def lsh_fold_bit_expr(vec_col: str, plane: list[float]):
+    """The SPEC for one signature bit: sign of the sequential
+    double-precision left-fold dot of the vector against a hyperplane
+    literal — the exact Catalyst expression the original (pre-r9)
+    signature pass evaluated per plane, kept as the bit-parity
+    reference for lsh_sign_bits (tests/test_dedup.py pins UDF == fold
+    on real fixtures plus adversarial near-zero dots)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(list(plane)).cast("array<double>"),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        > 0
+    ).cast("int")
+
+
+def _make_sign_bits():
+    """Factory for the vectorized sign-bit kernel. A NESTED function so
+    cloudpickle serializes it BY VALUE into the pandas UDF (workers
+    never need nano_vectordb_spark importable — the repo's UDF
+    self-containment convention); the module-level ``lsh_sign_bits``
+    binding is the same code object, so the unit tests and the UDF
+    exercise one implementation."""
+
+    def sign_bits(X, planes):
+        """Sign bits of hyperplane dots for a batch of vectors,
+        BIT-IDENTICAL to the sequential-fold spec (lsh_fold_bit_expr)
+        but computed as one BLAS matmul instead of n_planes interpreted
+        folds per row (the r8 PERF.md sore spot: 848 s of the 2M-vector
+        LSH run was this pass as Catalyst folds).
+
+        Parity argument: the fold evaluates ((0 + x0*h0) + x1*h1) + ...
+        in IEEE754 doubles, so |fold - exact| <= gamma_n * sum|x_i*h_i|
+        with gamma_n ~ n*2^-53; the matmul's error obeys the same
+        bound. Where |matmul dot| > 4*dim*2^-53 * (|x| . |h|) the two
+        signs provably agree; the (measure-zero in practice) ambiguous
+        entries are recomputed with the literal Python left fold, which
+        performs the identical rounding sequence to the Catalyst fold.
+        Returns an int8 matrix of shape (len(X), len(planes))."""
+        import numpy as np
+
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        P = np.ascontiguousarray(planes, dtype=np.float64)
+        fast = X @ P.T
+        bound = (4.0 * X.shape[1] * 2.0**-53) * (np.abs(X) @ np.abs(P).T)
+        bits = fast > bound
+        amb = np.abs(fast) <= bound
+        if amb.any():
+            for r, c in zip(*np.nonzero(amb)):
+                acc = 0.0
+                for x, h in zip(X[r].tolist(), P[c].tolist()):
+                    acc += x * h
+                bits[r, c] = acc > 0.0
+        return bits.astype(np.int8)
+
+    return sign_bits
+
+
+lsh_sign_bits = _make_sign_bits()
+
+
+def _lsh_bits_udf(planes):
+    """Arrow-batched pandas UDF wrapping lsh_sign_bits: one JVM→Python
+    transfer per batch, one matmul for all planes at once. Null vectors
+    map to a null signature (the fold's aggregate-over-null contract)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    impl = _make_sign_bits()  # closure copy: pickled by value
+
+    @pandas_udf("array<int>")
+    def _bits(vecs):  # pd.Series -> pd.Series (scalar UDF)
+        import numpy as np
+        import pandas as pd
+
+        live = [
+            (i, np.asarray(v, dtype=np.float64))
+            for i, v in enumerate(vecs)
+            if v is not None
+        ]
+        out: list = [None] * len(vecs)
+        if live:
+            X = np.stack([v for _, v in live])
+            B = impl(X, P).astype(np.int32)
+            for (i, _), row in zip(live, B):
+                out[i] = row.tolist()
+        return pd.Series(out, dtype=object)
+
+    return _bits
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float,
@@ -741,6 +838,7 @@ def embedding_neardup_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Scale path for cosine near-dup: random-hyperplane LSH blocking,
     then exact verification. Signs of n_planes fixed seeded hyperplane
@@ -750,32 +848,44 @@ def embedding_neardup_lsh(
     precision) — the candidate join shuffles on band keys whose
     signature width scales with log2(N) (lsh_auto_params), so bucket
     occupancy — and with it candidate-pair work per row — stays
-    bounded at any corpus size, never N^2."""
+    bounded at any corpus size, never N^2.
+
+    ``n_planes``/``bands`` must be given together or not at all: mixing
+    one explicit value with one auto-derived value can silently yield
+    1-bit band signatures (the N^2 cliff lsh_auto_params exists to
+    prevent). When both are None they derive from the corpus size —
+    pass ``n_rows`` (e.g. the parquet footer's num_rows) to skip the
+    extra count() action; auto-params assume the UNFILTERED table so
+    the DuckDB oracle (which reads the footer) derives identical
+    literals."""
     import numpy as np
 
-    if n_planes is None or bands is None:
-        auto_planes, auto_bands = lsh_auto_params(df.count())
-        n_planes = auto_planes if n_planes is None else n_planes
-        bands = auto_bands if bands is None else bands
+    if (n_planes is None) != (bands is None):
+        raise ValueError(
+            "pass n_planes and bands together or neither; a lone explicit "
+            "value silently combines with an auto-derived one (ADVICE r8)"
+        )
+    if n_planes is None:
+        n_planes, bands = lsh_auto_params(
+            df.count() if n_rows is None else n_rows
+        )
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col).cast("array<double>"),
-                    F.lit(planes[i].tolist()).cast("array<double>"),
-                    lambda x, h: x * h,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            > 0
-        ).cast("int")
-        for i in range(n_planes)
-    ]
+    # one Arrow-batched signature pass, PERSISTED so the self-join's
+    # two sides read the cached relation instead of re-running the UDF
+    # (and so the band explode + join stay whole-stage-codegen JVM work
+    # over a concrete InMemoryRelation — without this the r9 2M-vector
+    # run stalled re-evaluating the Python stage under the join)
+    sigs = _persist(
+        _spread(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(vec_col).alias("__v"),
+            _lsh_bits_udf(planes)(F.col(vec_col)).alias("__bits"),
+        )
+    )
+    bits = [F.element_at(F.col("__bits"), i + 1) for i in range(n_planes)]
     rows_per_band = n_planes // bands
     band_structs = [
         F.struct(
@@ -790,9 +900,9 @@ def embedding_neardup_lsh(
         )
         for bi in range(bands)
     ]
-    banded = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("__v"),
+    banded = sigs.select(
+        "doc_id",
+        "__v",
         F.explode(F.array(*band_structs)).alias("b"),
     ).select(
         "doc_id",

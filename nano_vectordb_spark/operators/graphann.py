@@ -793,8 +793,15 @@ def graph_entry_params(n: int) -> tuple[int, int]:
     is bounded at any n; at gate fixtures (n <= ~12k) the formula
     reproduces the historical (1024, 4) point exactly."""
     coarse = min(max(1024, n // 12), 65536)
-    n_entry = min(max(4, coarse // 512), 32)
-    return coarse, n_entry
+    return coarse, entry_count_for_coarse(coarse)
+
+
+def entry_count_for_coarse(coarse: int) -> int:
+    """The documented n_entry = coarse/512 relation (clamped [4, 32]),
+    factored out so graph_search derives the auto n_entry from the
+    EFFECTIVE coarse — caller-supplied or auto — never from an
+    independently auto-derived one (ADVICE r8)."""
+    return min(max(4, coarse // 512), 32)
 
 
 def graph_search(
@@ -847,11 +854,15 @@ def graph_search(
         index = _collect_graph(graph, emb, id_col, vec_col)
     indptr, indices, vecs, ids = index
     n = len(ids)
-    auto_coarse, auto_entry = graph_entry_params(n)
     if coarse is None:
-        coarse = auto_coarse
+        coarse, _ = graph_entry_params(n)
     if n_entry is None:
-        n_entry = auto_entry
+        # derive from the EFFECTIVE coarse (caller-supplied or auto),
+        # not from graph_entry_params(n) alone — an explicit coarse
+        # must keep the documented n_entry = coarse/512 relation
+        # (ADVICE r8: coarse=1024 on a 200k graph previously got
+        # n_entry=32 sized for the auto 16384-node sample)
+        n_entry = entry_count_for_coarse(coarse)
     stride = max(1, -(-n // coarse))  # ceil(n / coarse)
     b = spark.sparkContext.broadcast((indptr, indices, vecs, ids, stride))
 

@@ -173,7 +173,12 @@ pq_dists AS MATERIALIZED (
 codes AS (
   -- argmin with (d ASC, code ASC) tie-break, value-identical to the
   -- former row_number formulation: d is computed once in pq_dists so
-  -- the d = md equality is exact
+  -- the d = md equality is exact. PRECONDITION: no NaN embedding
+  -- components — min(d)=NaN never equality-joins back (NaN=NaN is
+  -- false in SQL), so a NaN row would silently drop out of codes
+  -- where the old ORDER BY form still assigned a code. Fixture
+  -- embeddings are finite by construction (TESTDATA.md); guard with
+  -- an isnan filter before ever feeding untrusted vectors here.
   SELECT d.vec_id, d.mi, min(d.code) AS code
   FROM pq_dists d
   JOIN (SELECT vec_id, mi, min(d) AS md

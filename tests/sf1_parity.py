@@ -282,12 +282,11 @@ def main() -> None:
     # it. Point spill at disk and cap the budget explicitly.
     spill = os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "/tmp/nvdb_duck_spill")
     os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    con.execute(
-        "SET memory_limit='"
-        + os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
-        + "'"
-    )
+    # escape quotes rather than interpolating raw env values into SET
+    # statements (ADVICE r8: a path with a single quote broke the SQL)
+    con.execute("SET temp_directory='%s'" % spill.replace("'", "''"))
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")
+    con.execute("SET memory_limit='%s'" % mem.replace("'", "''"))
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings".split()

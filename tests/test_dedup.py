@@ -56,6 +56,61 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert again == lsh
 
 
+def test_lsh_sign_bits_matches_fold_spec_bitwise(spark):
+    # the r9 vectorized signature pass (lsh_sign_bits via pandas UDF)
+    # must reproduce the Catalyst sequential-fold spec bit-for-bit on
+    # real fixture vectors — this is the hash-parity guarantee that
+    # lets the official embedding_neardup_lsh rows stay byte-identical
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n_planes = 16
+    planes = np.random.default_rng(42).normal(size=(n_planes, dim))
+    fold = emb.select(
+        "vec_id",
+        F.array(
+            *[dedup.lsh_fold_bit_expr("embedding", planes[i].tolist())
+              for i in range(n_planes)]
+        ).alias("bits"),
+    )
+    fast = emb.select(
+        "vec_id", dedup._lsh_bits_udf(planes)(F.col("embedding")).alias("bits")
+    )
+    a = {r.vec_id: r.bits for r in fold.collect()}
+    b = {r.vec_id: r.bits for r in fast.collect()}
+    assert a == b
+
+
+def test_lsh_sign_bits_ambiguous_fallback_matches_fold():
+    # adversarial cancellation: exact dot = 1e-17 > 0, but the
+    # sequential fold rounds (1 + 1e-17) -> 1.0 so fold = 0.0 -> bit 0.
+    # A naive matmul could land either side of zero; the bound must
+    # route this through the literal-fold fallback and return 0.
+    import numpy as np
+
+    X = np.array([[1.0, 1e-17, -1.0]])
+    planes = np.array([[1.0, 1.0, 1.0]])
+    assert dedup.lsh_sign_bits(X, planes)[0, 0] == 0
+    # control: a representable residual keeps the bit set on both paths
+    X2 = np.array([[1.0, 1e-12, -1.0]])
+    assert dedup.lsh_sign_bits(X2, planes)[0, 0] == 1
+    # plain unambiguous signs
+    X3 = np.array([[1.0, 2.0, 3.0], [-1.0, -2.0, -3.0]])
+    assert dedup.lsh_sign_bits(X3, planes).tolist() == [[1], [0]]
+
+
+def test_lsh_mixed_explicit_auto_params_rejected(spark):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    with pytest.raises(ValueError, match="together or neither"):
+        dedup.embedding_neardup_lsh(emb, 0.4, n_planes=16)
+    with pytest.raises(ValueError, match="together or neither"):
+        dedup.embedding_neardup_lsh(emb, 0.4, bands=4)
+
+
 def test_lsh_auto_params_scaling():
     # gate fixtures (N <= ~512) land exactly on the historical (16, 4)
     # operating point, so official sf0.01 rows are unchanged

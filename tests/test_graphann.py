@@ -350,3 +350,22 @@ def test_entry_selection_auto_scaling():
     # monotone in n
     cs = [params(n)[0] for n in (1_000, 50_000, 500_000, 10**7)]
     assert cs == sorted(cs)
+
+
+def test_entry_count_follows_effective_coarse():
+    """n_entry derives from the EFFECTIVE coarse (ADVICE r8): an
+    explicit coarse=1024 must yield n_entry=4 regardless of graph
+    size — the documented n_entry = coarse/512 relation — and
+    graph_entry_params itself goes through the same helper."""
+    from nano_vectordb_spark.operators.graphann import (
+        entry_count_for_coarse,
+        graph_entry_params,
+    )
+
+    assert entry_count_for_coarse(1024) == 4
+    assert entry_count_for_coarse(16_384) == 32
+    assert entry_count_for_coarse(65_536) == 32  # clamped
+    assert entry_count_for_coarse(100) == 4  # clamped low
+    for n in (200, 12_288, 200_000, 10**9):
+        c, e = graph_entry_params(n)
+        assert e == entry_count_for_coarse(c)
