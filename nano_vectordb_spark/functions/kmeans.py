@@ -169,6 +169,43 @@ def assign_clusters(
     return df.withColumn(out_col, assign_udf(centroids)(F.col(vec_col)))
 
 
+def multi_assign_udf(centroids: np.ndarray, replicas: int, eps: float):
+    """pandas UDF: embedding -> array of the row's nearest-centroid id
+    plus up to ``replicas - 1`` additional centroid ids whose TRUE L2
+    distance is within (1+eps) of the nearest (compared as squared
+    distances against (1+eps)^2 * d2_min) — SPANN's closure
+    multi-assignment (Chen et al., "SPANN", NeurIPS 2021 §4.1),
+    the boundary-replication rule that lets probed shards contain a
+    query's frontier neighbors.
+
+    The FIRST element is always the single-assignment argmin (ties by
+    cluster_id, same lexsort discipline as assign_udf), so replication
+    is a strict superset of assign_clusters and de-replication is
+    "keep element 0"."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    c_sq = (cent * cent).sum(axis=1)
+    cids = np.arange(cent.shape[0], dtype=np.int64)
+    ratio = (1.0 + eps) ** 2
+
+    @pandas_udf("array<int>")
+    def _massign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="object")
+        d2 = -2.0 * (x @ cent.T) + c_sq[None, :] + (x * x).sum(axis=1)[:, None]
+        np.maximum(d2, 0.0, out=d2)  # clamp matmul round-off below zero
+        out = []
+        for row in d2:
+            order = np.lexsort((cids, row))[:replicas]
+            lim = ratio * row[order[0]]
+            keep = [int(order[0])]
+            keep += [int(o) for o in order[1:] if row[o] <= lim]
+            out.append(keep)
+        return pd.Series(out)
+
+    return _massign
+
+
 def encode_udf(
     codebooks: np.ndarray,
     rotation: np.ndarray | None = None,

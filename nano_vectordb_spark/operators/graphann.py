@@ -1203,6 +1203,21 @@ def shard_graph_search(
         .dropDuplicates(["query_id", "vec_id"])
     )
     pruned_base = index.assigned.filter(probed_filter)
+    if getattr(index, "replicated", False):
+        # distinct ids before rescore: on an ivf_replicate'd index a
+        # boundary vector appears in several probed lists and
+        # exact_rescore's row_number would rank the duplicate too.
+        # Narrow to candidate-matched rows FIRST (broadcast semi join
+        # on the tiny Q x nprobe x k id set) so the dedup shuffle moves
+        # candidates, not the probed partitions; the single-assignment
+        # path keeps its pinned shuffle-free rescore plan.
+        pruned_base = pruned_base.join(
+            F.broadcast(
+                cand.select(F.col("vec_id").alias(id_col)).distinct()
+            ),
+            id_col,
+            "left_semi",
+        ).dropDuplicates([id_col])
     rescored = exact_rescore(
         pruned_base,
         queries,

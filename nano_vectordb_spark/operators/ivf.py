@@ -42,6 +42,10 @@ class IvfIndex:
     # driver-side fit (or lazily collected once for a reloaded index) so
     # probing needs no Spark job — see centroids_matrix().
     centroids_np: object = None
+    # True on an ivf_replicate'd index: assigned holds duplicate
+    # vec_ids (one per boundary replica); searchers must dedup before
+    # exact rescore. Single-assignment consumers must not see one.
+    replicated: bool = False
 
 
 def centroids_matrix(index: IvfIndex):
@@ -94,6 +98,18 @@ def ivf_build(
     )
 
 
+def _require_single_assignment(index: IvfIndex, op: str) -> None:
+    """ivf_replicate'd indexes hold duplicate vec_ids by design; every
+    consumer that assumes one row per vector must refuse them loudly
+    instead of silently emitting duplicate results."""
+    if getattr(index, "replicated", False):
+        raise ValueError(
+            f"{op} requires a single-assignment index; this one is "
+            "boundary-replicated (ivf_replicate). Replicate a frozen "
+            "index only for shard_graph_build/shard_graph_search."
+        )
+
+
 def ivf_add(
     index: IvfIndex, new_rows: DataFrame, vec_col: str = "embedding"
 ) -> IvfIndex:
@@ -108,6 +124,7 @@ def ivf_add(
     the union from the start."""
     from nano_vectordb_spark.functions import kmeans as km
 
+    _require_single_assignment(index, "ivf_add")
     assigned_new = km.assign_clusters(
         new_rows, centroids_matrix(index), vec_col=vec_col
     )
@@ -116,6 +133,52 @@ def ivf_add(
         assigned=index.assigned.unionByName(assigned_new),
         nlist=index.nlist,
         centroids_np=index.centroids_np,
+    )
+
+
+def ivf_replicate(
+    index: IvfIndex,
+    replicas: int = 2,
+    eps: float = 0.2,
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """SPANN-style boundary replication (Chen et al., NeurIPS 2021
+    §4.1): multi-assign every vector to its nearest centroid PLUS up to
+    ``replicas - 1`` further centroids within (1+eps) of the nearest
+    distance, so each probed list already contains the frontier vectors
+    that sit just across its Voronoi boundary. This is the scale path
+    past the broadcast clamp: sharded graph search's recall was capped
+    at the IVF coarse-probe ceiling (a true neighbor in an unprobed
+    list is unreachable no matter how good the per-list graph is);
+    replication puts boundary neighbors INSIDE the probed lists and
+    lifts the ceiling at the cost of ~replication-factor extra storage
+    and per-list build work — the same trade SPANN ships.
+
+    The returned index is for shard_graph_build / shard_graph_search
+    ONLY: ``assigned`` intentionally holds duplicate vec_ids (one per
+    replica), which searchers handle by deduping candidates and
+    rescoring against distinct ids. ivf_search / ivf_add / ivf_pq
+    expect the single-assignment index — replicate AFTER all adds
+    (re-run on a frozen index, the SPANN build order). Element 0 of the
+    multi-assignment is the argmin, so filtering replicas away recovers
+    assign_clusters exactly (pinned in tests/test_graphann.py)."""
+    from nano_vectordb_spark.functions import kmeans as km
+
+    base = index.assigned.drop("cluster_id")
+    assigned = base.withColumn(
+        "cluster_id",
+        F.explode(
+            km.multi_assign_udf(centroids_matrix(index), replicas, eps)(
+                F.col(vec_col)
+            )
+        ),
+    )
+    return IvfIndex(
+        centroids=index.centroids,
+        assigned=assigned,
+        nlist=index.nlist,
+        centroids_np=index.centroids_np,
+        replicated=True,
     )
 
 
@@ -209,6 +272,7 @@ def ivf_search(
     cluster), partially top-k'd per batch, and merged; the final Q x k
     candidates are exact-rescored with the sequential fold so the
     output is bit-identical to the join definition."""
+    _require_single_assignment(index, "ivf_search")
     if strategy == "join":
         probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
         q = F.broadcast(
