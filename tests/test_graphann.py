@@ -223,6 +223,111 @@ def test_shard_search_deterministic(spark, emb, ivf_index, shard_graph):
     assert sorted(a, key=key) == sorted(b, key=key)
 
 
+def test_multi_assign_element0_equals_assign_udf(spark, emb, ivf_index):
+    """multi_assign_udf's FIRST element must be the single-assignment
+    argmin (the de-replication contract in ivf_replicate's docstring):
+    assign_udf orders by the reduced -2x.c + |c|^2 expression and
+    multi_assign by the full distance — mathematically identical
+    orderings; this pins that they agree on the fixture."""
+    from nano_vectordb_spark.functions import kmeans as km
+    from nano_vectordb_spark.operators.ivf import centroids_matrix
+
+    cent = centroids_matrix(ivf_index)
+    both = emb.select(
+        "vec_id",
+        km.assign_udf(cent)(F.col("embedding")).alias("single"),
+        km.multi_assign_udf(cent, 3, 0.25)(F.col("embedding")).alias("multi"),
+    )
+    bad = both.filter(F.col("single") != F.element_at("multi", 1))
+    assert bad.count() == 0
+    # every row keeps >= 1 and <= replicas assignments
+    sizes = both.select(F.size("multi").alias("s"))
+    lo, hi = sizes.agg(F.min("s"), F.max("s")).first()
+    assert lo >= 1 and hi <= 3
+
+
+def test_ivf_replicate_superset_and_guards(spark, emb, ivf_index):
+    """Replicated assignment is a strict superset of single assignment
+    (argmin always kept), and the single-assignment consumers refuse a
+    replicated index loudly."""
+    from nano_vectordb_spark.operators.ivf import ivf_add, ivf_replicate, ivf_search
+
+    rep = ivf_replicate(ivf_index, replicas=2, eps=0.3)
+    assert rep.replicated
+    cols = ["vec_id", "cluster_id"]
+    missing = ivf_index.assigned.select(*cols).exceptAll(
+        rep.assigned.select(*cols)
+    )
+    assert missing.count() == 0
+    # a boundary fixture this size must actually replicate something
+    assert rep.assigned.count() > ivf_index.assigned.count()
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="single-assignment"):
+        ivf_search(rep, queries, nprobe=2, k=5)
+    with pytest.raises(ValueError, match="single-assignment"):
+        ivf_add(rep, emb.limit(1))
+
+
+def test_shard_search_replicated_full_probe_equals_exact(spark, emb, ivf_index):
+    """The full-probe == exact identity must survive replication: with
+    every list probed, duplicates are deduped before rescore and the
+    result still equals the flat exact top-k, one row per (query,
+    rank)."""
+    from nano_vectordb_spark.operators.ivf import ivf_replicate
+
+    rep = ivf_replicate(ivf_index, replicas=3, eps=0.3)
+    g = graphann.shard_graph_build(rep, k=8)
+    queries = emb.limit(30).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    pred = graphann.shard_graph_search(
+        rep, g, queries, k=10, ef=1000, nprobe=8, coarse=1000
+    )
+    # no duplicate ids per query, exactly one row per rank
+    per_q = pred.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("nd"),
+        F.countDistinct("rank").alias("nr"),
+    )
+    assert per_q.filter("n != 10 OR nd != 10 OR nr != 10").count() == 0
+    pred_ids = pred.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+            lambda s: s["vec_id"],
+        ).alias("pred_ids")
+    )
+    diff = gt.join(pred_ids, "query_id").filter(F.col("gt_ids") != F.col("pred_ids"))
+    assert diff.count() == 0
+
+
+def test_shard_search_replicated_recall_not_below_single(spark, emb, ivf_index, shard_graph):
+    """At a fixed LOW nprobe, boundary replication may only help:
+    probed lists are supersets of their single-assignment selves, so
+    recall(replicated) >= recall(single) query-set-wide (the SPANN
+    closure argument, Chen et al. NeurIPS 2021 section 4.1)."""
+    from nano_vectordb_spark.operators.ivf import ivf_replicate
+
+    rep = ivf_replicate(ivf_index, replicas=3, eps=0.4)
+    g_rep = graphann.shard_graph_build(rep, k=8)
+    queries = emb.limit(50).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+
+    def recall(index, g, nprobe):
+        pred = graphann.shard_graph_search(
+            index, g, queries, k=10, ef=256, nprobe=nprobe, coarse=1000
+        )
+        pred_ids = pred.groupBy("query_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                lambda s: s["vec_id"],
+            ).alias("pred_ids")
+        )
+        return recall_at_k(gt, pred_ids, 10).first()["recall_at_k"]
+
+    r_single = recall(ivf_index, shard_graph, 2)
+    r_rep = recall(rep, g_rep, 2)
+    assert r_rep >= r_single - 1e-9, (r_single, r_rep)
+
+
 def test_graph_persist_roundtrip(spark, emb, graph, tmp_path):
     """saveIndex/loadIndex analog: reloaded graph searches identically."""
     path = str(tmp_path / "flat_graph")
