@@ -77,10 +77,46 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+# The load protocol the JSON telemetry exists to witness (PERF.md r8:
+# "the bench runs only after every builder-side batch job has exited
+# and the 1-minute load is < 1") — r8's official run violated it
+# (load_start 2.02), so the harness now ENFORCES it: wait up to
+# SPARK_GRAFT_BENCH_LOAD_WAIT seconds for the 1-min load to drop under
+# the pin, and if it never does, stamp the record protocol_violation
+# so no future round needs a forensic rerun to trust the headline.
+LOAD_PIN = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_PIN", "1.0"))
+LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def _wait_for_idle() -> bool:
+    """Block (bounded) until the 1-min load clears the pin. Returns
+    True if the protocol is violated (still hot at the deadline)."""
+    la = _loadavg()
+    if la is None:  # pragma: no cover - non-unix
+        return False
+    deadline = time.monotonic() + LOAD_WAIT_S
+    while la[0] >= LOAD_PIN:
+        if time.monotonic() >= deadline:
+            print(
+                f"# WARNING load {la} still >= pin {LOAD_PIN} after "
+                f"{LOAD_WAIT_S:.0f}s wait; recording protocol_violation",
+                file=sys.stderr,
+            )
+            return True
+        print(
+            f"# load {la} >= pin {LOAD_PIN}; waiting for idle host",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        la = _loadavg()
+    return False
+
+
 def main() -> None:
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.session import get_spark
 
+    protocol_violation = _wait_for_idle()
     spark = get_spark(app_name="nvdb-bench", cpus=CPUS)
 
     # warmup: prime the file cache + JVM + Python UDF workers (the
@@ -153,6 +189,12 @@ def main() -> None:
                     if load_samples
                     else None
                 ),
+                # r8 VERDICT item 4: the harness now WAITS (bounded)
+                # for the 1-min load to clear load_pin before timing;
+                # True here means the host never went idle and the
+                # headline must be read with that caveat
+                "protocol_violation": protocol_violation,
+                "load_pin": LOAD_PIN,
             }
         )
     )

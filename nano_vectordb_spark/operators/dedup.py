@@ -450,6 +450,29 @@ def band_state_merge(*states: DataFrame) -> DataFrame:
     return out
 
 
+def band_state_compact(
+    state: DataFrame, retired: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Vacuum RETIRED documents out of a band state — the lifecycle
+    complement of band_state_merge: when a corpus version is rolled
+    back or ages out of the training window, its rows leave the state
+    so later probes never surface candidates against dead documents.
+
+    Because signatures are per-document (minhash_band_state), removal
+    is closed under the same identity the merge is:
+    compact(state(A ∪ B), retired=B) == state(A) row-for-row — no
+    recombination, no signature recompute. Implemented as one anti
+    join on the id; the join strategy is left to Catalyst/AQE (a
+    version's id set may be large at scale, so no forced broadcast).
+    The compacted result re-persisted through band_state_write lands
+    back in the band_id-partitioned layout, so the on-disk state stays
+    probe-prunable; history is rewritten only for the bands it
+    actually occupies (a maintenance pass, amortized across the
+    retirement cadence, never on the query path)."""
+    dead = retired.select(F.col(id_col).alias("doc_id")).distinct()
+    return state.join(dead, "doc_id", "left_anti")
+
+
 def minhash_estimator_error(
     df: DataFrame,
     k: int = 16,

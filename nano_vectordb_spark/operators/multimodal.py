@@ -16,13 +16,18 @@ Decoders:
     same (w, h, maxval, RGB pixels) contract — and therefore the same
     integer-exact stats/features — as the PPM path. png_encode is the
     matching deterministic writer (adaptive MSAD filter selection).
+  * ``decoder="jpeg"`` — REAL baseline JPEG (ITU-T T.81 sequential
+    DCT), stdlib+NumPy only: marker walk, stream-defined DQT/DHT,
+    Huffman MCU decode, dequantize + float64 IDCT, BT.601 inverse.
+    jpeg_encode is the matching writer (4:4:4, Annex K tables) — the
+    entropy/DCT-codec slot, closed in r9.
   * ``decoder="fake"`` — deterministic md5 stand-in that keeps the
     Spark-side plumbing (schema, batching, UDF signatures) testable
     independent of any byte format.
-  * ``decoder="real"`` — still raises NotImplementedError: entropy/DCT
-    codecs (JPEG/MP3/H.264) need PIL/libvips/ffmpeg, absent in this
-    container. The wav/ppm/png paths above are the real-codec slot,
-    fully implemented.
+  * ``decoder="real"`` — still raises NotImplementedError: the
+    remaining compressed A/V codecs (MP3/H.264) need libvips/ffmpeg,
+    absent in this container. The wav/ppm/png/jpeg paths above are
+    the real-codec slots, fully implemented.
 
 Scale notes: blobs stay opaque bytes end-to-end (no driver collect);
 feature extraction is a narrow per-partition map with Arrow transfer;
@@ -395,6 +400,459 @@ def _png_decode(blob: bytes):
     return width, height, 255, px
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT), stdlib+NumPy only
+# --------------------------------------------------------------------------
+# The last compressed-codec slot (r8 VERDICT item 6: "decide JPEG"):
+# a from-the-spec baseline codec — 4:4:4 (no subsampling), the Annex K
+# example quantization + Huffman tables, canonical code assignment per
+# Annex C. jpeg_encode writes the DQT/DHT tables it uses, and
+# _jpeg_decode rebuilds its Huffman decoders FROM the stream's DHT
+# segments, so the pair is self-consistent and _jpeg_decode also reads
+# any other baseline 4:4:4 JFIF. Entropy coding is exact; the only
+# lossy steps are the spec's own (quantization + integer rounding), so
+# decode(encode(px)) is deterministic for fixed inputs.
+
+# Annex K.1/K.2 example quantization tables (raster order)
+_JQ_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JQ_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# zigzag scan: _JZZ[k] = raster index of the k-th zigzag coefficient
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_JHT_DC_L = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JHT_DC_C = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JHT_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JHT_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(bits, huffval):
+    """Annex C code assignment: symbol -> (code, length)."""
+    out = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def _jpeg_qtables(quality: int):
+    import numpy as np
+
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    # libjpeg's public quality->scaling convention (jcparam.c shape)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JQ_LUMA, _JQ_CHROMA):
+        t = [(v * scale + 50) // 100 for v in base]
+        out.append(np.array([min(255, max(1, v)) for v in t]).reshape(8, 8))
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (B.1.1.5)
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (F.1.2.3)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def jpeg_encode(width: int, height: int, pixels, quality: int = 90) -> bytes:
+    """Baseline sequential JPEG writer (T.81, 4:4:4, Annex K tables).
+    ``pixels`` is an (H*W, 3) uint8 RGB array. Deterministic: integer
+    YCbCr rounding, float64 DCT with a fixed basis, spec rounding to
+    quantized coefficients."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    # BT.601 full-range forward transform (JFIF §7)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    comps = [
+        np.clip(np.round(c), 0, 255).astype(np.float64) for c in (y, cb, cr)
+    ]
+
+    qt = _jpeg_qtables(quality)
+    m = _jpeg_dct_matrix()
+    bh, bw = -(-height // 8), -(-width // 8)
+    dc_codes = [
+        _jpeg_canonical_codes(*_JHT_DC_L),
+        _jpeg_canonical_codes(*_JHT_DC_C),
+    ]
+    ac_codes = [
+        _jpeg_canonical_codes(*_JHT_AC_L),
+        _jpeg_canonical_codes(*_JHT_AC_C),
+    ]
+
+    # edge-replicate to a multiple of 8 (the spec's recommended pad)
+    padded = []
+    for c in comps:
+        p = np.pad(c, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+        padded.append(p)
+
+    w = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):  # MCU = one 8x8 block per component (4:4:4)
+            for ci in range(3):
+                ti = 0 if ci == 0 else 1
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = m @ (block - 128.0) @ m.T
+                q = np.round(coef / qt[ti]).astype(np.int64)
+                zz = [int(q.flat[_JZZ[k]]) for k in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                cat = _jpeg_category(diff)
+                code, length = dc_codes[ti][cat]
+                w.write(code, length)
+                if cat:
+                    bits = diff if diff > 0 else diff + (1 << cat) - 1
+                    w.write(bits, cat)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, last_nz + 1):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, length = ac_codes[ti][0xF0]  # ZRL
+                        w.write(code, length)
+                        run -= 16
+                    cat = _jpeg_category(v)
+                    code, length = ac_codes[ti][(run << 4) | cat]
+                    w.write(code, length)
+                    bits = v if v > 0 else v + (1 << cat) - 1
+                    w.write(bits, cat)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[ti][0x00]  # EOB
+                    w.write(code, length)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti in range(2):
+        zzq = bytes(int(qt[ti].flat[_JZZ[k]]) for k in range(64))
+        out += seg(0xFFDB, bytes([ti]) + zzq)
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    for tc_th, (bits, vals) in (
+        ((0x00), _JHT_DC_L),
+        ((0x01), _JHT_DC_C),
+        ((0x10), _JHT_AC_L),
+        ((0x11), _JHT_AC_C),
+    ):
+        out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+    sos = bytes([3])
+    for ci in range(3):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += w.buf
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # unstuff
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_receive_extend(r: _JpegBitReader, cat: int) -> int:
+    if cat == 0:
+        return 0
+    v = r.read_bits(cat)
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_decode(blob: bytes):
+    """Baseline sequential JPEG decoder (T.81): marker walk, DQT/DHT
+    from the stream, SOF0 (8-bit, 3 components, 4:4:4 only — the
+    layout jpeg_encode emits), Huffman-decoded MCUs, dequantize,
+    dezigzag, float64 IDCT, BT.601 inverse transform. Returns
+    (width, height, maxval, pixels) — the shared image contract, so
+    stats/features paths apply verbatim. Restart markers and
+    progressive/subsampled streams are out of scope and raise."""
+    import struct
+
+    import numpy as np
+
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scomp = None
+    data = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = struct.unpack_from(">H", blob, pos)[0]
+        if marker == 0xFFD9:
+            break
+        size = struct.unpack_from(">H", blob, pos + 2)[0]
+        body = blob[pos + 4 : pos + 2 + size]
+        if marker == 0xFFDB:
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zzq = list(body[o + 1 : o + 65])
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_JZZ[k]] = zzq[k]
+                qtabs[tq] = tab
+                o += 65
+        elif marker == 0xFFC4:
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                codes = _jpeg_canonical_codes(bits, vals)
+                htabs[(tc, th)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                o += 17 + n
+        elif marker == 0xFFC0:
+            prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 3:
+                raise ValueError("only 8-bit 3-component baseline supported")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (h, w_, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scomp = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            data = blob[pos + 2 + size :]
+            break
+        pos += 2 + size
+    if sof is None or scomp is None or data is None:
+        raise ValueError("missing SOF0/SOS segment")
+    height, width, comps = sof
+    # strip the trailing EOI if present
+    end = data.rfind(b"\xFF\xD9")
+    if end != -1:
+        data = data[:end]
+
+    def decode_sym(r: _JpegBitReader, tab: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | r.read_bit()
+            length += 1
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    m = _jpeg_dct_matrix()
+    bh, bw = -(-height // 8), -(-width // 8)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
+    r = _JpegBitReader(data)
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                _cid, td, ta = scomp[ci]
+                qt = np.array(qtabs[comps[ci][1]]).reshape(8, 8)
+                zz = [0] * 64
+                cat = decode_sym(r, htabs[(0, td)])
+                pred[ci] += _jpeg_receive_extend(r, cat)
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = decode_sym(r, htabs[(1, ta)])
+                    run, size_ = rs >> 4, rs & 0xF
+                    if size_ == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _jpeg_receive_extend(r, size_)
+                    k += 1
+                q = np.zeros(64)
+                for k in range(64):
+                    q[_JZZ[k]] = zz[k]
+                coef = q.reshape(8, 8) * qt
+                block = m.T @ coef @ m + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    y = planes[0][:height, :width]
+    cb = planes[1][:height, :width] - 128.0
+    cr = planes[2][:height, :width] - 128.0
+    # BT.601 full-range inverse (JFIF §7)
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136286 * cb - 0.714136286 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1, 3)
+    return width, height, 255, px
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,
@@ -410,15 +868,16 @@ def extract_features(
     "real" marks the compressed-codec slot (needs external libs)."""
     if decoder == "real":
         raise NotImplementedError(
-            "entropy/DCT-codec decoding (JPEG/MP3/video) requires "
-            "PIL/libvips/ffmpeg, not present in this container — WAV, PPM "
-            "AND PNG payloads are fully supported via decoder='wav' / "
-            "'ppm' / 'png' (PNG's deflate is stdlib zlib)"
+            "generic compressed-codec decoding (MP3/video) requires "
+            "libvips/ffmpeg, not present in this container — WAV, PPM, "
+            "PNG AND baseline JPEG payloads are fully supported via "
+            "decoder='wav' / 'ppm' / 'png' / 'jpeg' (PNG's deflate is "
+            "stdlib zlib; JPEG is the from-the-spec baseline codec above)"
         )
-    if decoder not in ("fake", "wav", "ppm", "png"):
+    if decoder not in ("fake", "wav", "ppm", "png", "jpeg"):
         raise ValueError(
-            f"decoder must be 'real', 'fake', 'wav', 'ppm' or 'png', "
-            f"got {decoder!r}"
+            f"decoder must be 'real', 'fake', 'wav', 'ppm', 'png' or "
+            f"'jpeg', got {decoder!r}"
         )
 
     schema = (
@@ -445,6 +904,9 @@ def extract_features(
                     feat = _ppm_features(pixels, maxval, dim)
                 elif decoder == "png":
                     w, h, maxval, pixels = _png_decode(raw)
+                    feat = _ppm_features(pixels, maxval, dim)
+                elif decoder == "jpeg":
+                    w, h, maxval, pixels = _jpeg_decode(raw)
                     feat = _ppm_features(pixels, maxval, dim)
                 else:
                     w, h, feat = _fake_decode(raw, dim)

@@ -31,6 +31,7 @@ from nano_vectordb_spark.registry_parts.p13_analytics_graph import *  # noqa: F4
 from nano_vectordb_spark.registry_parts.p14_analytics_ops import *  # noqa: F401,F403
 from nano_vectordb_spark.registry_parts.p15_stats_wave import *  # noqa: F401,F403
 from nano_vectordb_spark.registry_parts.p16_r8_wave import *  # noqa: F401,F403
+from nano_vectordb_spark.registry_parts.p17_r9_wave import *  # noqa: F401,F403
 
 # underscore names tests/tools rely on (star-import skips them)
 from nano_vectordb_spark.registry_parts.p00_base import _FIXTURE_MEMO  # noqa: F401,E402
@@ -608,14 +609,27 @@ def official_rounds() -> dict[str, int]:
     return out
 
 
-def stale_regate_order() -> list[str]:
+def stale_regate_order(before_round: int | None = None) -> list[str]:
     """The standing re-gate priority: every officially-gated entry,
     ordered by oldest latest-official round, ties broken by basket
     position within that round — fully deterministic, so the window is
-    mechanical and tests/test_gate_basket.py can pin it."""
-    rounds = official_rounds()
+    mechanical and tests/test_gate_basket.py can pin it.
+
+    ``before_round`` replays the order as of a PAST window: only
+    baskets from rounds < before_round count as official, so each
+    historical window's regate list stays test-pinnable after later
+    rounds append to _BASKET_HISTORY."""
+    history = [
+        (rnd, basket)
+        for rnd, basket in _BASKET_HISTORY
+        if before_round is None or rnd < before_round
+    ]
+    rounds: dict[str, int] = {}
+    for rnd, basket in history:
+        for n in basket:
+            rounds[n] = rnd
     keyed = []
-    for rnd, basket in _BASKET_HISTORY:
+    for rnd, basket in history:
         for pos, name in enumerate(basket):
             if rounds[name] == rnd:
                 keyed.append((rnd, pos, name))
@@ -673,3 +687,59 @@ def _reorder_registry_r8() -> None:
 
 
 _reorder_registry_r8()
+
+# CORRECTNESS_r08 went 50/50 green, so the r8 basket enters the
+# official history — stale_regate_order() now serves the entries r8
+# left oldest (the 27 remaining r4-era rows, then the oldest r5 rows).
+_BASKET_HISTORY = _BASKET_HISTORY + ((8, GATE_BASKET_R8),)
+
+
+# r9 registrations, in registration order (r8 VERDICT items 2, 5, 6):
+# the SPANN boundary-replication witness, the band-state retirement
+# half of the cross-run dedup lifecycle, the quality-bucketed mixture
+# reweighting composition, and the baseline-JPEG codec witness (item 6
+# decided by implementing the codec).
+GATE_BASKET_R9_NEW: tuple[str, ...] = (
+    "graph_ann_replicated",
+    "dedup_state_compact",
+    "mixture_quality_reweight",
+    "multimodal_jpeg_stats",
+)
+
+# 46 re-gate slots by the standing rule.
+GATE_BASKET_R9_REGATES: tuple[str, ...] = tuple(
+    stale_regate_order()[: 50 - len(GATE_BASKET_R9_NEW)]
+)
+
+GATE_BASKET_R9: tuple[str, ...] = GATE_BASKET_R9_NEW + GATE_BASKET_R9_REGATES
+
+
+def _reorder_registry_r9() -> None:
+    missing = [n for n in GATE_BASKET_R9 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R9 names unknown entries: {missing}")
+    if len(GATE_BASKET_R9) != 50 or len(set(GATE_BASKET_R9)) != 50:
+        raise RuntimeError(
+            f"GATE_BASKET_R9 must be exactly 50 distinct entries, "
+            f"got {len(GATE_BASKET_R9)}"
+        )
+    gated = set(official_rounds())
+    fresh = set(GATE_BASKET_R9_NEW)
+    if fresh & gated:
+        raise RuntimeError(
+            f"GATE_BASKET_R9_NEW repeats verdicted entries: {fresh & gated}"
+        )
+    not_regates = set(GATE_BASKET_R9_REGATES) - gated
+    if not_regates:
+        raise RuntimeError(
+            f"GATE_BASKET_R9_REGATES must re-gate official rows only: {not_regates}"
+        )
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R9}
+    # everything else already holds an official driver row: park at the
+    # tail in existing relative order
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r9()

@@ -306,6 +306,30 @@ def test_band_state_merge_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_band_state_compact_equals_live_rebuild(spark, tmp_path):
+    """The retirement identity dedup_state_compact's boolean pins:
+    compact(state(A ∪ B), retired=B) == state(A) row-for-row, and a
+    write/read round-trip of the compacted state preserves it (the
+    vacuum is a pure anti-join — per-document signatures never
+    recombine)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    live = docs.filter(F.col("doc_id") % 3 != 0)
+    retired = docs.filter(F.col("doc_id") % 3 == 0)
+    full = dedup.minhash_band_state(docs)
+    compacted = dedup.band_state_compact(full, retired.select("doc_id"))
+    key = lambda r: (r.doc_id, r.band_id, r.band_sig)
+    got = sorted(map(key, compacted.collect()))
+    want = sorted(map(key, dedup.minhash_band_state(live).collect()))
+    assert got == want and len(got) > 0
+    # round-trip through the partitioned layout
+    path = str(tmp_path / "compacted")
+    dedup.band_state_write(compacted, path)
+    back = sorted(map(key, dedup.band_state_read(spark, path).collect()))
+    assert back == got
+
+
 def test_band_state_layout_partitioned_by_band(spark, tmp_path):
     """The persisted layout is partitionBy(band_id): a single-band probe
     prunes to one band directory (the 100 TB probe cost model)."""

@@ -81,9 +81,32 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R8) == 50
-    assert len(set(registry.GATE_BASKET_R8)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R8)
+    assert len(registry.GATE_BASKET_R9) == 50
+    assert len(set(registry.GATE_BASKET_R9)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R9)
+
+
+def test_r9_window_follows_the_standing_rotation_rule():
+    """Second application of the standing rule (r8 VERDICT item 3):
+    4 new registrations, then 46 re-gate slots on the oldest official
+    rows — which after the r8 basket entered the history are the 27
+    remaining r4-era rows plus the oldest 19 r5-era rows."""
+    new = registry.GATE_BASKET_R9_NEW
+    regates = registry.GATE_BASKET_R9_REGATES
+    assert list(registry.GATE_BASKET_R9) == list(new) + list(regates)
+    gated = set(registry.official_rounds())
+    assert not set(new) & gated
+    assert set(regates) <= gated
+    # the re-gate list IS the standing priority order as of r9
+    assert list(regates) == registry.stale_regate_order(before_round=9)[
+        : 50 - len(new)
+    ]
+    # every remaining r4-era official row is refreshed this round
+    rounds = registry.official_rounds()
+    r4_stale = {n for n, r in rounds.items() if r == 4}
+    assert r4_stale <= set(regates)
+    # staleness bound: nothing in the registry is older than 4 rounds
+    assert min(rounds.values()) >= 4
 
 
 def test_r8_window_follows_the_standing_rotation_rule():
@@ -95,12 +118,17 @@ def test_r8_window_follows_the_standing_rotation_rule():
     new = registry.GATE_BASKET_R8_NEW
     regates = registry.GATE_BASKET_R8_REGATES
     assert list(registry.GATE_BASKET_R8) == list(new) + list(regates)
-    # new entries have NO prior official row; regates ALL do
-    gated = set(registry.official_rounds())
+    # new entries had NO official row AS OF r8; regates ALL did (the
+    # officially-gated set before r8 == the r8 stale order's universe)
+    gated = set(registry.stale_regate_order(before_round=8))
     assert not set(new) & gated
     assert set(regates) <= gated
-    # the re-gate list IS the standing priority order, no curation
-    assert list(regates) == registry.stale_regate_order()[: 50 - len(new)]
+    # the re-gate list IS the standing priority order as of r8 (the
+    # before_round replay keeps this pinned after later rounds append
+    # to the basket history)
+    assert list(regates) == registry.stale_regate_order(before_round=8)[
+        : 50 - len(new)
+    ]
     # r7 VERDICT item 7: the two §2 lines parked on r3 rows since their
     # slots were donated to graph ANN re-gate now
     assert {"topk_f16", "topk_l2"} <= set(regates)
@@ -177,7 +205,11 @@ def test_r7_window_closes_the_rotation():
         | set(never)
         | set(graph)
     )
-    assert all_gated == set(registry.REGISTRY) - set(registry.GATE_BASKET_R8_NEW)
+    assert all_gated == (
+        set(registry.REGISTRY)
+        - set(registry.GATE_BASKET_R8_NEW)
+        - set(registry.GATE_BASKET_R9_NEW)
+    )
 
 
 def test_top50_all_oracle_backed():
@@ -233,8 +265,12 @@ def test_registry_growth_bounded_by_the_window():
     tranche, and no entry ever ships unverified.  r8 registers 5
     (222 -> 227): the two r7-queued entries (multimodal_png_stats,
     compact_stats), the compaction round-trip witness, and the
-    capability wave (dedup_state_merge, semantic_dedup)."""
-    assert len(registry.REGISTRY) == 227
+    capability wave (dedup_state_merge, semantic_dedup).  r9 registers
+    4 (227 -> 231): the SPANN boundary-replication witness, the
+    band-state retirement entry, the quality-bucketed mixture
+    reweighting composition, and the baseline-JPEG codec witness
+    (r8 VERDICT items 2, 5, 6)."""
+    assert len(registry.REGISTRY) == 231
     gated = set(registry.official_rounds())
     ungated = set(registry.REGISTRY) - gated
-    assert ungated == set(registry.GATE_BASKET_R8_NEW)
+    assert ungated == set(registry.GATE_BASKET_R9_NEW)

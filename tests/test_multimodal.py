@@ -360,3 +360,102 @@ def test_multimodal_png_stats_vs_oracle(spark, duck):
     df = multimodal_png_stats(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_MM_PNG)
     assert ok, msg
+
+
+def test_jpeg_roundtrip_quality_and_determinism():
+    """Baseline JPEG (T.81 sequential, 4:4:4, Annex K tables): decoded
+    pixels must be CLOSE (it's the spec's own lossy quantization, not
+    a bug) and the encode/decode pair must be bit-deterministic."""
+    import numpy as np
+
+    for w, h in ((8, 8), (16, 16), (24, 16), (17, 9)):
+        px = _rng_pixels(w, h, seed=w * 100 + h)
+        blob = mm.jpeg_encode(w, h, px, quality=90)
+        gw, gh, maxval, got = mm._jpeg_decode(blob)
+        assert (gw, gh, maxval) == (w, h, 255)
+        err = np.abs(got.astype(np.int64) - px.astype(np.int64)).astype(float)
+        mse = float((err**2).mean())
+        psnr = 10.0 * np.log10(255.0**2 / mse) if mse else float("inf")
+        # worst case for DCT coding is exactly this kind of noise
+        # image; q90 noise lands ~29-31 dB, smooth content ~48 dB
+        assert psnr >= 26.0, (w, h, psnr)
+        assert mm.jpeg_encode(w, h, px, quality=90) == blob
+        assert np.array_equal(mm._jpeg_decode(blob)[3], got)
+
+
+def test_jpeg_quality_ladder_monotone():
+    """Higher quality -> lower reconstruction error (the quant-table
+    scaling contract) and a larger payload."""
+    import numpy as np
+
+    w, h = 16, 16
+    px = _rng_pixels(w, h, seed=11)
+    errs, sizes = [], []
+    for q in (25, 50, 90):
+        blob = mm.jpeg_encode(w, h, px, quality=q)
+        got = mm._jpeg_decode(blob)[3]
+        errs.append(float(np.abs(got.astype(int) - px.astype(int)).mean()))
+        sizes.append(len(blob))
+    assert errs[0] > errs[1] > errs[2]
+    assert sizes[0] < sizes[2]
+
+
+def test_jpeg_smooth_content_high_fidelity():
+    """Gradient content (the DCT's favorable case) must reconstruct
+    near-exactly at q90 — max error within a few levels."""
+    import numpy as np
+
+    w, h = 16, 16
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (xx * 3 + yy * 5) % 256
+    px = (
+        np.stack([base, 255 - base, (base * 2) % 256], axis=-1)
+        .astype(np.uint8)
+        .reshape(-1, 3)
+    )
+    blob = mm.jpeg_encode(w, h, px, quality=90)
+    got = mm._jpeg_decode(blob)[3]
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 4
+
+
+def test_jpeg_malformed_inputs_raise():
+    import numpy as np
+
+    px = _rng_pixels(8, 8)
+    blob = mm.jpeg_encode(8, 8, px)
+    with pytest.raises(ValueError, match="SOI"):
+        mm._jpeg_decode(b"\x00\x01" + blob)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        mm._jpeg_decode(blob[:-20])
+    with pytest.raises(ValueError, match="quality"):
+        mm.jpeg_encode(8, 8, px, quality=0)
+
+
+def test_extract_features_jpeg_decoder(spark):
+    """decoder='jpeg' through the Arrow mapInPandas plumbing."""
+    w, h = 8, 8
+    px = _rng_pixels(w, h, seed=3)
+    blob = mm.jpeg_encode(w, h, px)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    r = mm.extract_features(df, dim=4, decoder="jpeg").collect()[0]
+    assert (r.width, r.height) == (w, h)
+    assert abs(sum(r.features) - 1.0) < 1e-12
+
+
+def test_multimodal_jpeg_stats_vs_oracle(spark, duck):
+    """The JPEG registry entry through the exact driver-gate
+    comparison (registered r9 — closes the last compressed-codec
+    slot, r8 VERDICT item 6)."""
+    from nano_vectordb_spark import registry
+    from nano_vectordb_spark.registry_parts.p17_r9_wave import (
+        _SQL_MM_JPEG,
+        multimodal_jpeg_stats,
+    )
+    from tests.conftest import SF_CORRECT
+    from tests.oracle_harness import compare
+
+    assert "multimodal_jpeg_stats" in registry.GATE_BASKET_R9_NEW
+    df = multimodal_jpeg_stats(spark, SF_CORRECT)
+    ok, msg = compare(df, duck, _SQL_MM_JPEG)
+    assert ok, msg
