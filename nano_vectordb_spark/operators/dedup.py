@@ -925,15 +925,20 @@ def embedding_neardup_lsh(
     ]
     banded = sigs.select(
         "doc_id",
-        "__v",
         F.explode(F.array(*band_structs)).alias("b"),
     ).select(
         "doc_id",
-        "__v",
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_sig").alias("band_sig"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # candidate dedup on BARE id pairs, vectors joined back after: a
+    # band-colliding pair appears once per shared band, so the
+    # pre-distinct candidate stream is several times N x occupancy —
+    # carrying the two embedding arrays through that shuffle moved
+    # ~1 KB/row where 16 bytes suffice (the r9 2M-vector run spent its
+    # wall in exactly this exchange; the DuckDB oracle always had the
+    # narrow shape: DISTINCT ids first, then join embeddings back)
     cand = (
         a.join(
             b,
@@ -944,14 +949,17 @@ def embedding_neardup_lsh(
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.__v").alias("va"),
-            F.col("b.__v").alias("vb"),
         )
         .distinct()
     )
-    return cand.select(
-        "a_id", "b_id", dot_expr("va", "vb").alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    va = sigs.select(F.col("doc_id").alias("a_id"), F.col("__v").alias("va"))
+    vb = sigs.select(F.col("doc_id").alias("b_id"), F.col("__v").alias("vb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def embedding_neardup_pairs(
