@@ -45,6 +45,26 @@ def dot_expr(a: ColumnOrName, b: ColumnOrName) -> Column:
     )
 
 
+def dot_expr_fixed(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:
+    """dot_expr for a KNOWN dimension, unrolled: the identical left-
+    fold rounding sequence (0.0, then += a[i]*b[i] in index order — so
+    bit-identical output, pinned in tests/test_quantize.py) expressed
+    as flat arithmetic instead of zip_with + aggregate. Higher-order
+    functions evaluate interpreted per element; the unrolled form is
+    plain codegen-able expressions, which matters on candidate-verify
+    hot paths that stream hundreds of millions of pairs through the
+    dot (operators/dedup.embedding_neardup_lsh). Emits null when
+    either array is null (the fold's null contract); an array SHORTER
+    than ``dim`` errors under ANSI mode (element_at out of range)
+    where the fold would silently truncate — pass the probed
+    dimension, and prefer the loud failure to a silent wrong dot."""
+    aa, bb = as_double_array(a), as_double_array(b)
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + F.element_at(aa, i) * F.element_at(bb, i)
+    return s
+
+
 def l2sq_expr(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Sequential double-precision squared L2 distance (reference O7,
     apps/nvdb_ivf_eval.cpp:232-240)."""

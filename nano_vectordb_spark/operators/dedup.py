@@ -904,7 +904,13 @@ def embedding_neardup_lsh(
     sigs = _persist(
         _spread(df).select(
             F.col(id_col).alias("doc_id"),
-            F.col(vec_col).alias("__v"),
+            # pre-widen ONCE here: the verify dot references each
+            # element through element_at (dot_expr_fixed), and an
+            # array<float> column would re-run the array<double> cast
+            # at every reference (SimplifyCasts can only elide the
+            # cast when the stored column is already double — without
+            # this the 2M-vector verify spent its wall re-casting)
+            F.col(vec_col).cast("array<double>").alias("__v"),
             _lsh_bits_udf(planes)(F.col(vec_col)).alias("__bits"),
         )
     )
@@ -925,21 +931,31 @@ def embedding_neardup_lsh(
     ]
     banded = sigs.select(
         "doc_id",
+        "__v",
         F.explode(F.array(*band_structs)).alias("b"),
     ).select(
         "doc_id",
+        "__v",
         F.col("b.band_id").alias("band_id"),
         F.col("b.band_sig").alias("band_sig"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    # candidate dedup on BARE id pairs, vectors joined back after: a
-    # band-colliding pair appears once per shared band, so the
-    # pre-distinct candidate stream is several times N x occupancy —
-    # carrying the two embedding arrays through that shuffle moved
-    # ~1 KB/row where 16 bytes suffice (the r9 2M-vector run spent its
-    # wall in exactly this exchange; the DuckDB oracle always had the
-    # narrow shape: DISTINCT ids first, then join embeddings back)
-    cand = (
+    # VERIFY WHILE STREAMING, distinct only the survivors. The band
+    # join's output is sum-over-buckets C(occ, 2) rows — ~750M at 2M
+    # vectors — and the only plan that scales is one where that stream
+    # is NEVER exchanged: the old shape ran DISTINCT before the verify
+    # (materializing the pair stream, with both embedding arrays, into
+    # a shuffle sort that ate the disk at 2M), and a narrow
+    # ids-then-join-back variant just moves the same bytes into the
+    # vector join-back exchanges. Here the exact fold dot + threshold
+    # filter apply INSIDE the join stage (whole-stage streaming, no
+    # materialization), so the only shuffles are the two banded sides
+    # (linear in N x bands) and a distinct over the verified survivors
+    # (~3% of candidates at the gate threshold). A pair sharing
+    # several bands verifies once per shared band — the fold is
+    # deterministic, so the duplicates are value-identical and the
+    # final dropDuplicates collapses them to the oracle's row set.
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -949,16 +965,16 @@ def embedding_neardup_lsh(
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
+            # the fold, not dot_expr_fixed: measured head-to-head at
+            # 2M vectors the unrolled form is SLOWER inside this join
+            # stage (its 129-node tree as a post-join filter defeats
+            # the join's codegen; the fold's two higher-order nodes do
+            # not), while standalone projections show the opposite —
+            # pick per shape, and this shape wants the fold
+            dot_expr(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
         )
-        .distinct()
-    )
-    va = sigs.select(F.col("doc_id").alias("a_id"), F.col("__v").alias("va"))
-    vb = sigs.select(F.col("doc_id").alias("b_id"), F.col("__v").alias("vb"))
-    return (
-        cand.join(va, "a_id")
-        .join(vb, "b_id")
-        .select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

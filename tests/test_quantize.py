@@ -62,3 +62,43 @@ def test_f16_idempotent(spark):
     df2 = df.withColumn("f16b", qz.f16_round_expr("f16"))
     n_diff = df2.filter(F.col("f16") != F.col("f16b")).count()
     assert n_diff == 0
+
+
+def test_dot_expr_fixed_bitwise_equals_fold(spark):
+    """The unrolled known-dim dot (functions/vector.dot_expr_fixed)
+    must be BIT-identical to the sequential fold (dot_expr): same
+    initial 0.0, same index-order rounding sequence — on real fixture
+    vectors (all pairs of the first 40) and on adversarial values
+    (denormals, huge/tiny mixes, exact cancellations, negative
+    zeros)."""
+    from nano_vectordb_spark.functions.vector import dot_expr, dot_expr_fixed
+
+    emb = _emb(spark).orderBy("vec_id").limit(40)
+    dim = len(emb.select("embedding").first()[0])
+    a = emb.select(F.col("vec_id").alias("ai"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("bi"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).select(
+        dot_expr("va", "vb").alias("fold"),
+        dot_expr_fixed("va", "vb", dim).alias("unrolled"),
+    ).collect()
+    import struct
+
+    # bitwise via the IEEE754 byte pattern so -0.0 vs 0.0 or a 1-ulp
+    # slip cannot hide behind == semantics
+    for r in pairs:
+        assert struct.pack("<d", r.fold) == struct.pack("<d", r.unrolled)
+    adversarial = [
+        ([1e308, 1.0, -1e308, 1.0], [1.0, 1e-300, 1.0, 1e-300]),
+        ([5e-324, 5e-324, -5e-324, 0.0], [1.0, 1.0, 1.0, -1.0]),
+        ([0.1, 0.2, 0.3, -0.6], [1.0, 1.0, 1.0, 1.0]),
+        ([-0.0, 0.0, -0.0, 0.0], [1.0, -1.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in adversarial], "va array<double>, vb array<double>"
+    )
+    rows = df.select(
+        dot_expr("va", "vb").alias("fold"),
+        dot_expr_fixed("va", "vb", 4).alias("unrolled"),
+    ).collect()
+    for r in rows:
+        assert struct.pack("<d", r.fold) == struct.pack("<d", r.unrolled), r
