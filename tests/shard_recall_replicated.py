@@ -49,20 +49,35 @@ def main() -> None:
     from nano_vectordb_spark.session import get_spark
 
     spark = get_spark(app_name="nvdb-shard-recall-replicated", cpus="32")
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    per_replica = docs.filter(F.col("doc_id") < _STRIDE).count()
-    n_replicas = -(-N_DOCS // per_replica)  # ceil
-    picked = docs.filter(F.col("doc_id") < n_replicas * _STRIDE)
-
     t0 = time.time()
-    emb = (
-        textops.hash_embed(picked, DIM, text_col="text")
-        .filter(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0)
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
-        .persist()
-    )
-    n = emb.count()
-    print(f"fixture: {n} hash-embedded docs (dim={DIM}) in {time.time()-t0:.1f}s")
+    if os.environ.get("SPARK_GRAFT_SHARD_ADVERSARIAL"):
+        # rotated-replica embeddings (near-uniform, no cluster growth
+        # with n) — the distribution where r6 measured the IVF probe
+        # ceiling (0.530 @ np8); replication must lift THIS case
+        src = os.environ["SPARK_GRAFT_SHARD_ADVERSARIAL"]
+        all_emb = spark.read.parquet(f"{src}/embeddings.parquet")
+        per_replica = all_emb.filter(F.col("vec_id") < _STRIDE).count()
+        n_replicas = -(-N_DOCS // per_replica)
+        emb = (
+            all_emb.filter(F.col("vec_id") < n_replicas * _STRIDE)
+            .select("vec_id", "embedding")
+            .persist()
+        )
+        n = emb.count()
+        print(f"fixture: {n} ADVERSARIAL rotated-replica vectors in {time.time()-t0:.1f}s")
+    else:
+        docs = spark.read.parquet(f"{SRC}/documents.parquet")
+        per_replica = docs.filter(F.col("doc_id") < _STRIDE).count()
+        n_replicas = -(-N_DOCS // per_replica)  # ceil
+        picked = docs.filter(F.col("doc_id") < n_replicas * _STRIDE)
+        emb = (
+            textops.hash_embed(picked, DIM, text_col="text")
+            .filter(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x) > 0)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .persist()
+        )
+        n = emb.count()
+        print(f"fixture: {n} hash-embedded docs (dim={DIM}) in {time.time()-t0:.1f}s")
 
     t0 = time.time()
     idx = ivf_build(emb, nlist=NLIST)
