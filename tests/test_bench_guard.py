@@ -1,0 +1,49 @@
+"""bench.py load-protocol guard (r8 VERDICT item 4): the harness must
+WAIT for the 1-min load to clear the pin before timing, and stamp
+protocol_violation when the host never idles — so a contaminated
+record carries its own caveat (the BENCH_r08 failure mode: load_start
+2.02 against a pinned "< 1" protocol, trustable only after a forensic
+rerun)."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+
+def _bench():
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    return importlib.reload(bench)
+
+
+def test_wait_for_idle_passes_through_when_idle(monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench, "_loadavg", lambda: [0.2, 0.5, 0.5])
+    assert bench._wait_for_idle() is False
+
+
+def test_wait_for_idle_waits_then_clears(monkeypatch):
+    bench = _bench()
+    samples = iter([[2.5, 2.0, 1.0], [1.4, 1.8, 1.0], [0.4, 1.5, 1.0]])
+    monkeypatch.setattr(bench, "_loadavg", lambda: next(samples))
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    assert bench._wait_for_idle() is False
+    assert len(sleeps) == 2  # two hot samples -> two waits -> idle
+
+
+def test_wait_for_idle_stamps_violation_at_deadline(monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench, "_loadavg", lambda: [3.0, 3.0, 3.0])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    # force the deadline to be already past after the first check
+    monkeypatch.setattr(bench, "LOAD_WAIT_S", -1.0)
+    assert bench._wait_for_idle() is True
+
+
+def test_wait_for_idle_best_effort_without_loadavg(monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench, "_loadavg", lambda: None)
+    assert bench._wait_for_idle() is False
