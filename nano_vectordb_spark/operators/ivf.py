@@ -136,6 +136,61 @@ def ivf_add(
     )
 
 
+def replication_eps_for_factor(
+    index: IvfIndex,
+    target_factor: float,
+    replicas: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> float:
+    """Pick the ivf_replicate ``eps`` that lands the replication factor
+    near ``target_factor`` on THIS data. eps is distribution-dependent
+    — the same 0.15 gave factor 2.98 on clustered hash-embedded text
+    and saturated the 8-replica cap (7.99) on near-uniform
+    rotated-replica vectors (PERF.md round-9) — so storage budgeting
+    needs the inverse map factor -> eps, not a magic constant.
+
+    Estimator: over a seeded sample (operators/sample.sample_queries,
+    layout-independent), pool the per-vector distance ratios
+    r_j = d_(j)/d_(1) - 1 for the 2nd..``replicas``-th nearest
+    centroids (true L2, the multi_assign_udf comparison). A vector
+    gains one replica for each r_j <= eps, so the expected factor at
+    eps is 1 + (pooled fraction of ratios <= eps) * (replicas - 1):
+    the eps hitting ``target_factor`` is the
+    (target_factor - 1) / (replicas - 1) quantile of the pooled
+    ratios. Driver-side cost: sample_rows x nlist distances — tiny,
+    independent of table size."""
+    import numpy as np
+
+    from nano_vectordb_spark.operators.sample import sample_queries
+
+    if not 1.0 < target_factor <= replicas:
+        raise ValueError(
+            f"target_factor must be in (1, replicas={replicas}], "
+            f"got {target_factor}"
+        )
+    cent = np.ascontiguousarray(centroids_matrix(index), dtype=np.float64)
+    rows = sample_queries(
+        index.assigned, sample_rows, seed=seed, vec_col=vec_col
+    ).select(vec_col).collect()
+    x = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    d2 = (
+        -2.0 * (x @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+        + (x * x).sum(axis=1)[:, None]
+    )
+    np.maximum(d2, 0.0, out=d2)
+    k = min(replicas, d2.shape[1])
+    part = np.sort(
+        np.partition(d2, k - 1, axis=1)[:, :k], axis=1
+    )
+    base = np.maximum(part[:, :1], 1e-300)  # guard zero-distance rows
+    ratios = np.sqrt(part[:, 1:] / base) - 1.0
+    q = (target_factor - 1.0) / (replicas - 1.0)
+    return float(np.quantile(ratios.ravel(), q))
+
+
 def ivf_replicate(
     index: IvfIndex,
     replicas: int = 2,

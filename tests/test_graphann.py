@@ -299,6 +299,36 @@ def test_shard_search_replicated_full_probe_equals_exact(spark, emb, ivf_index):
     assert diff.count() == 0
 
 
+def test_replication_eps_for_factor_hits_target(spark, emb, ivf_index):
+    """The factor->eps inverse map (operators/ivf.
+    replication_eps_for_factor): replicating with the suggested eps
+    must land the achieved factor near the target (the sample here is
+    the whole fixture, so the estimator's only slack is quantile
+    interpolation + the per-vector replica cap)."""
+    from nano_vectordb_spark.operators.ivf import (
+        ivf_replicate,
+        replication_eps_for_factor,
+    )
+
+    n = ivf_index.assigned.count()
+    for target in (1.5, 2.5):
+        eps = replication_eps_for_factor(
+            ivf_index, target, replicas=8, sample_rows=n
+        )
+        assert eps >= 0.0
+        rep = ivf_replicate(ivf_index, replicas=8, eps=eps)
+        achieved = rep.assigned.count() / n
+        assert abs(achieved - target) <= 0.35, (target, eps, achieved)
+    # monotone: a bigger target needs a bigger eps
+    e1 = replication_eps_for_factor(ivf_index, 1.5, replicas=8, sample_rows=n)
+    e2 = replication_eps_for_factor(ivf_index, 3.0, replicas=8, sample_rows=n)
+    assert e2 >= e1
+    with pytest.raises(ValueError, match="target_factor"):
+        replication_eps_for_factor(ivf_index, 9.0, replicas=8)
+    with pytest.raises(ValueError, match="target_factor"):
+        replication_eps_for_factor(ivf_index, 1.0, replicas=8)
+
+
 def test_shard_search_replicated_recall_not_below_single(spark, emb, ivf_index, shard_graph):
     """At a fixed LOW nprobe, boundary replication may only help:
     probed lists are supersets of their single-assignment selves, so
