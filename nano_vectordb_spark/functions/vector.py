@@ -53,11 +53,14 @@ def dot_expr_fixed(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:
     functions evaluate interpreted per element; the unrolled form is
     plain codegen-able expressions, which matters on candidate-verify
     hot paths that stream hundreds of millions of pairs through the
-    dot (operators/dedup.embedding_neardup_lsh). Emits null when
-    either array is null (the fold's null contract); an array SHORTER
-    than ``dim`` errors under ANSI mode (element_at out of range)
-    where the fold would silently truncate — pass the probed
-    dimension, and prefer the loud failure to a silent wrong dot."""
+    dot (candidate-verify pair streams; measured per shape — inside a
+    join stage the fold can win, see dedup.embedding_neardup_lsh).
+    Emits null when either array is null (the fold's null contract).
+    Length-mismatch contracts differ: an array SHORTER than ``dim``
+    errors here under ANSI mode (element_at out of range), while the
+    fold form yields NULL (zip_with null-pads the shorter side, the
+    null product nulls the sum) — neither silently truncates; pick
+    the loud error or the null propagation per call site (ADVICE r9)."""
     aa, bb = as_double_array(a), as_double_array(b)
     s: Column = F.lit(0.0)
     for i in range(1, dim + 1):

@@ -153,21 +153,31 @@ def replication_eps_for_factor(
 
     Estimator: over a seeded sample (operators/sample.sample_queries,
     layout-independent), pool the per-vector distance ratios
-    r_j = d_(j)/d_(1) - 1 for the 2nd..``replicas``-th nearest
-    centroids (true L2, the multi_assign_udf comparison). A vector
-    gains one replica for each r_j <= eps, so the expected factor at
-    eps is 1 + (pooled fraction of ratios <= eps) * (replicas - 1):
-    the eps hitting ``target_factor`` is the
-    (target_factor - 1) / (replicas - 1) quantile of the pooled
-    ratios. Driver-side cost: sample_rows x nlist distances — tiny,
-    independent of table size."""
+    r_j = d_(j)/d_(1) - 1 for the 2nd..``k``-th nearest centroids,
+    k = min(replicas, nlist) (true L2, the multi_assign_udf
+    comparison). A vector gains one replica for each r_j <= eps and
+    can gain at most k - 1 (nlist caps the achievable factor when it
+    is below the replica budget — ADVICE r9), so the expected factor
+    at eps is 1 + (pooled fraction of ratios <= eps) * (k - 1): the
+    eps hitting ``target_factor`` is the (target_factor - 1) / (k - 1)
+    quantile of the pooled ratios. Driver-side cost: sample_rows x
+    nlist distances — tiny, independent of table size."""
     import numpy as np
 
     from nano_vectordb_spark.operators.sample import sample_queries
 
-    if not 1.0 < target_factor <= replicas:
+    # replicated indexes hold duplicate vec_ids: sampling them would
+    # overweight boundary vectors and bias the pooled ratios (ADVICE r9)
+    _require_single_assignment(index, "replication_eps_for_factor")
+    k_eff = min(replicas, index.nlist)
+    if k_eff < 2:
         raise ValueError(
-            f"target_factor must be in (1, replicas={replicas}], "
+            f"need min(replicas, nlist) >= 2 to replicate, got "
+            f"replicas={replicas}, nlist={index.nlist}"
+        )
+    if not 1.0 < target_factor <= k_eff:
+        raise ValueError(
+            f"target_factor must be in (1, min(replicas, nlist)={k_eff}], "
             f"got {target_factor}"
         )
     cent = np.ascontiguousarray(centroids_matrix(index), dtype=np.float64)
@@ -181,13 +191,12 @@ def replication_eps_for_factor(
         + (x * x).sum(axis=1)[:, None]
     )
     np.maximum(d2, 0.0, out=d2)
-    k = min(replicas, d2.shape[1])
     part = np.sort(
-        np.partition(d2, k - 1, axis=1)[:, :k], axis=1
+        np.partition(d2, k_eff - 1, axis=1)[:, :k_eff], axis=1
     )
     base = np.maximum(part[:, :1], 1e-300)  # guard zero-distance rows
     ratios = np.sqrt(part[:, 1:] / base) - 1.0
-    q = (target_factor - 1.0) / (replicas - 1.0)
+    q = (target_factor - 1.0) / (k_eff - 1.0)
     return float(np.quantile(ratios.ravel(), q))
 
 

@@ -736,9 +736,24 @@ def _jpeg_decode(blob: bytes):
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code in foreign baseline streams — skip them so the
+        # marker byte is read from the right offset (ADVICE r9)
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(blob):
+            break
         marker = struct.unpack_from(">H", blob, pos)[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # standalone markers (TEM, RSTn) carry no length segment;
+            # legal in foreign streams, outside this decoder's scope —
+            # reject cleanly instead of misreading payload as a length
+            raise ValueError(
+                f"standalone marker 0x{marker:04X} unsupported "
+                "(baseline decoder handles DRI-free streams only)"
+            )
         size = struct.unpack_from(">H", blob, pos + 2)[0]
         body = blob[pos + 4 : pos + 2 + size]
         if marker == 0xFFDB:

@@ -60,8 +60,10 @@ def graph_ann_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously capped at the IVF coarse-probe ceiling.
 
     Hashed output is IN-PLAN booleans, deterministic by construction
-    (per-shard beams are run exhaustively: ef and the entry sample
-    cover the largest list):
+    (per-shard beams are run exhaustively: ef, the entry sample AND
+    n_entry all cover the largest list, so every shard node seeds the
+    beam — the invariants do not depend on per-shard graph
+    connectivity; ADVICE r9):
 
     * recall_ok — nprobe=1 recall >= 0.30 and nprobe=2 >= 0.55 (loose
       floors under the measured fixture values); nprobe=8 (= nlist)
@@ -106,7 +108,8 @@ def graph_ann_replicated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def recall(index, g, nprobe):
         pred = graphann.shard_graph_search(
-            index, g, queries, k=10, ef=maxlist, nprobe=nprobe, coarse=maxlist
+            index, g, queries, k=10, ef=maxlist, nprobe=nprobe,
+            coarse=maxlist, n_entry=maxlist,
         )
         pids = pred.groupBy("query_id").agg(
             F.transform(

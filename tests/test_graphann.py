@@ -329,6 +329,40 @@ def test_replication_eps_for_factor_hits_target(spark, emb, ivf_index):
         replication_eps_for_factor(ivf_index, 1.0, replicas=8)
 
 
+def test_replication_eps_nlist_caps_the_factor(spark, emb, ivf_index):
+    """ADVICE r9: when nlist < replicas the achievable factor is capped
+    by nlist, so (a) a target above nlist is rejected up front and (b)
+    the quantile denominator uses k = min(replicas, nlist) — with
+    replicas=16 over nlist=8 lists a target of 2.5 must still land
+    near 2.5, not systematically undershoot."""
+    from nano_vectordb_spark.operators.ivf import (
+        ivf_replicate,
+        replication_eps_for_factor,
+    )
+
+    n = ivf_index.assigned.count()
+    with pytest.raises(ValueError, match="min\\(replicas, nlist\\)"):
+        replication_eps_for_factor(ivf_index, 9.0, replicas=16)
+    eps = replication_eps_for_factor(
+        ivf_index, 2.5, replicas=16, sample_rows=n
+    )
+    achieved = ivf_replicate(ivf_index, replicas=16, eps=eps).assigned.count() / n
+    assert abs(achieved - 2.5) <= 0.35, (eps, achieved)
+
+
+def test_replication_eps_refuses_replicated_index(spark, emb, ivf_index):
+    """ADVICE r9: estimating eps on a replicated index would sample
+    duplicate boundary rows and bias the quantile — refuse loudly."""
+    from nano_vectordb_spark.operators.ivf import (
+        ivf_replicate,
+        replication_eps_for_factor,
+    )
+
+    rep = ivf_replicate(ivf_index, replicas=3, eps=0.4)
+    with pytest.raises(ValueError, match="single-assignment"):
+        replication_eps_for_factor(rep, 1.5)
+
+
 def test_shard_search_replicated_recall_not_below_single(spark, emb, ivf_index, shard_graph):
     """At a fixed LOW nprobe, boundary replication may only help:
     probed lists are supersets of their single-assignment selves, so

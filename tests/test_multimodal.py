@@ -432,6 +432,30 @@ def test_jpeg_malformed_inputs_raise():
         mm.jpeg_encode(8, 8, px, quality=0)
 
 
+def test_jpeg_foreign_stream_marker_forms():
+    """ADVICE r9: foreign baseline streams may pad 0xFF fill bytes
+    before a marker (T.81 B.1.1.2) — the walk must skip them and decode
+    identically; standalone markers (TEM, RSTn) carry no length segment
+    and must be rejected with a CLEAN unsupported-feature error, not a
+    misleading alignment error."""
+    import numpy as np
+
+    px = _rng_pixels(8, 8, seed=7)
+    blob = mm.jpeg_encode(8, 8, px)
+    want = mm._jpeg_decode(blob)[3]
+    # inject fill bytes before the first post-SOI marker (an APP/DQT)
+    padded = blob[:2] + b"\xFF\xFF\xFF" + blob[2:]
+    assert np.array_equal(mm._jpeg_decode(padded)[3], want)
+    # a TEM standalone marker spliced into the header region
+    tem = blob[:2] + b"\xFF\x01" + blob[2:]
+    with pytest.raises(ValueError, match="standalone marker"):
+        mm._jpeg_decode(tem)
+    # an RSTn marker likewise
+    rst = blob[:2] + b"\xFF\xD3" + blob[2:]
+    with pytest.raises(ValueError, match="standalone marker"):
+        mm._jpeg_decode(rst)
+
+
 def test_extract_features_jpeg_decoder(spark):
     """decoder='jpeg' through the Arrow mapInPandas plumbing."""
     w, h = 8, 8
