@@ -112,6 +112,56 @@ def _wait_for_idle() -> bool:
     return False
 
 
+def _calibrate(spark) -> dict:
+    """Single-core calibration microbenchmark (r9 VERDICT item 6): the
+    sandbox alternates between host classes (~2.1 vs ~2.7 GHz nominal)
+    whose uniform ~1.5x wall shift reads as a plan regression in raw
+    cross-round comparison. Fixed-iteration work pins the host's
+    single-thread speed next to the headline so any round's total can
+    be normalized: same plans on a host with calibration_s 1.5x larger
+    SHOULD be ~1.5x slower.
+
+    Two components, both deliberately single-threaded and
+    deterministic-iteration (elementwise NumPy never spawns BLAS
+    threads, unlike matmul; the JVM spin is one codegen task on one
+    partition): numpy_s covers the Arrow/UDF side of the engine,
+    jvm_s the whole-stage-codegen side. min-of-3 each, the same
+    de-noised estimator the timed queries use. Runs AFTER warmup and
+    BEFORE the timed reps, so it never perturbs the protocol."""
+    import numpy as np
+
+    def min3(fn) -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 4)
+
+    # 2M doubles stays L3-cache-resident on both host classes, so the
+    # kernel measures core speed, not memory bandwidth (a 16M-element
+    # variant measured 15-30 s and rep-noisy — bandwidth-bound with
+    # 128 MB temporaries; this one holds ~0.9 s even at loadavg 2.4)
+    x = np.arange(1 << 21, dtype=np.float64) * 1e-6
+
+    def numpy_kernel():
+        y = x
+        acc = 0.0
+        for _ in range(300):
+            y = y * 1.0000001 + 0.5
+            acc += float(y[::65536].sum())
+        return acc
+
+    def jvm_kernel():
+        spark.range(600_000_000, numPartitions=1).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).collect()
+
+    out = {"numpy_s": min3(numpy_kernel), "jvm_s": min3(jvm_kernel)}
+    out["total_s"] = round(out["numpy_s"] + out["jvm_s"], 4)
+    return out
+
+
 def main() -> None:
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.session import get_spark
@@ -128,6 +178,8 @@ def main() -> None:
     spark.range(int(CPUS) * 4, numPartitions=int(CPUS)).mapInPandas(
         lambda it: it, "id long"
     ).count()
+
+    calibration = _calibrate(spark)
 
     # REPS timed runs per query, report the min — the reference harness
     # also loops timed runs per config (apps/nvdb_bench.cpp:332,358);
@@ -177,6 +229,11 @@ def main() -> None:
                 # rotation showed a uniform ~1.25x shift on untouched
                 # queries from a host change alone)
                 "host": _host_fingerprint(),
+                # single-core fixed-iteration microbenchmark: divide a
+                # round's headline by (calibration_s ratio) before
+                # comparing across host classes (r9 VERDICT item 6)
+                "calibration_s": calibration["total_s"],
+                "calibration": calibration,
                 # load telemetry: load_start is the 1/5/15-min loadavg
                 # BEFORE the first timed rep — the contamination signal
                 # (the bench's own 32 threads inflate the 1-min average

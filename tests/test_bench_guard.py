@@ -47,3 +47,32 @@ def test_wait_for_idle_best_effort_without_loadavg(monkeypatch):
     bench = _bench()
     monkeypatch.setattr(bench, "_loadavg", lambda: None)
     assert bench._wait_for_idle() is False
+
+
+def test_calibration_shape_and_determinism(monkeypatch):
+    """r9 VERDICT item 6: the BENCH JSON must carry a single-core
+    calibration microbenchmark so headlines normalize across the two
+    sandbox host classes. Shape: numpy_s + jvm_s = total_s, all
+    positive; the JVM spin must run on ONE partition (single core) —
+    pinned via a fake spark session that records the partition count."""
+    bench = _bench()
+
+    calls: list[int] = []
+
+    class _FakeDF:
+        def selectExpr(self, *_a):
+            return self
+
+        def collect(self):
+            return [(1,)]
+
+    class _FakeSpark:
+        def range(self, _n, numPartitions=None):
+            calls.append(numPartitions)
+            return _FakeDF()
+
+    cal = bench._calibrate(_FakeSpark())
+    assert set(cal) == {"numpy_s", "jvm_s", "total_s"}
+    assert cal["numpy_s"] > 0 and cal["jvm_s"] >= 0
+    assert cal["total_s"] == round(cal["numpy_s"] + cal["jvm_s"], 4)
+    assert calls and all(p == 1 for p in calls)
