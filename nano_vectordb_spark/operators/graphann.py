@@ -94,6 +94,56 @@ MAX_GRAPH_BROADCAST_BYTES = 512 * (1 << 20)
 _BLOCK_TARGET = 2048
 
 
+# --- driver-memory envelope for the broadcast build path (r9 VERDICT
+# item 3). The RAM-resident build holds ~5 simultaneous per-element
+# representations on the driver while staging the NoN broadcast
+# (graphann.py use_local_non): the JVM collect buffer, the Arrow
+# batches, the pandas object column (one ndarray per row), the float32
+# matrix, and the pickled broadcast payload — plus the JVM-side
+# broadcast-hash relations for the two vector attaches and the
+# added/removed edge anti-joins. The 800k x d=64 build passed the
+# 512 MB *executor-side* broadcast gate (409.6 MB of raw doubles) yet
+# aborted the default 8 GB driver heap mid-flight (r9 PERF.md), so the
+# envelope must be checked against the DRIVER heap up front, not
+# discovered by OOM an hour in.
+_DRIVER_BYTES_PER_VEC_ELEM = 40  # ~5 copies x 8 B, the list above
+_DRIVER_BYTES_PER_EDGE = 48      # added+removed pair broadcasts, 24 B each
+_DRIVER_BUDGET_FRACTION = 0.25   # leave headroom for Spark's own driver state
+
+
+def _driver_heap_bytes(spark) -> int:
+    """spark.driver.memory parsed to bytes (JVM size suffixes)."""
+    raw = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if raw and raw[-1] in mult:
+        return int(float(raw[:-1]) * mult[raw[-1]])
+    return int(raw)  # plain bytes
+
+
+def check_build_driver_budget(
+    n: int, dim: int, k: int, heap_bytes: int
+) -> None:
+    """Fail fast when the broadcast (RAM-resident) build's estimated
+    driver working set exceeds the budget fraction of the driver heap,
+    instead of OOM-aborting mid-build. The estimate is deliberately
+    coarse-but-conservative (constants above); at the default 8 GB heap
+    it admits the measured-good 400k x d=64 build (~1.3 GB est) and
+    refuses the measured-fatal 800k (~2.7 GB est against a 2 GB
+    budget). The refusal names the scale path."""
+    est = n * dim * _DRIVER_BYTES_PER_VEC_ELEM + n * k * _DRIVER_BYTES_PER_EDGE
+    budget = int(heap_bytes * _DRIVER_BUDGET_FRACTION)
+    if est > budget:
+        raise ValueError(
+            f"build_knn_graph's RAM-resident path needs ~{est >> 20} MiB "
+            f"of driver working set (n={n}, dim={dim}, k={k}) but the "
+            f"budget is {budget >> 20} MiB ({_DRIVER_BUDGET_FRACTION:.0%} "
+            f"of spark.driver.memory={heap_bytes >> 20} MiB). Raise "
+            "spark.driver.memory, or use the sharded path "
+            "(operators/ivf.ivf_build + shard_graph_build/"
+            "shard_graph_search) which never broadcasts the base."
+        )
+
+
 def _topm_assign_udf(centroids_list, m: int):
     """pandas UDF: vec -> its ``m`` nearest centroid ids under EACH of
     the independent clusterings in ``centroids_list`` (stable-sorted,
@@ -376,6 +426,11 @@ def build_knn_graph(
     dim = int(idxd.select(F.size("vec")).first()[0])
     _mark("dim probe")
     bcast_vecs = n * dim * 8 <= MAX_GRAPH_BROADCAST_BYTES
+    if bcast_vecs:
+        # the executor-side byte gate alone admitted builds the DRIVER
+        # heap cannot stage (800k x d=64 OOM'd at 8 GB): check the
+        # driver envelope up front and refuse loudly (r9 VERDICT item 3)
+        check_build_driver_budget(n, dim, k, _driver_heap_bytes(spark))
 
     def with_dist(pairs: DataFrame) -> DataFrame:
         va = F.broadcast(vecs_a) if bcast_vecs else vecs_a

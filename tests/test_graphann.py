@@ -350,6 +350,50 @@ def test_replication_eps_nlist_caps_the_factor(spark, emb, ivf_index):
     assert abs(achieved - 2.5) <= 0.35, (eps, achieved)
 
 
+def test_build_driver_budget_envelope(spark, emb):
+    """r9 VERDICT item 3: the RAM-resident build must refuse loudly
+    UP FRONT when its estimated driver working set exceeds the budget,
+    naming the sharded path — not OOM mid-build. The estimator must
+    admit the measured-good 400k x d=64 point and refuse the
+    measured-fatal 800k at the default 8 GiB heap."""
+    from nano_vectordb_spark.operators import graphann
+
+    heap_8g = 8 << 30
+    # measured-good point passes, measured-fatal point refuses
+    graphann.check_build_driver_budget(400_000, 64, 16, heap_8g)
+    with pytest.raises(ValueError, match="shard_graph_build"):
+        graphann.check_build_driver_budget(800_000, 64, 16, heap_8g)
+    # end-to-end: a tiny heap makes even the fixture build refuse fast
+    with pytest.raises(ValueError, match="driver working set"):
+        orig = graphann._driver_heap_bytes
+        try:
+            graphann._driver_heap_bytes = lambda _s: 1 << 20
+            graphann.build_knn_graph(emb, k=16, iters=1)
+        finally:
+            graphann._driver_heap_bytes = orig
+    # heap-string parsing covers the JVM suffix forms
+    assert graphann._driver_heap_bytes is orig
+
+
+def test_driver_heap_parse(spark):
+    from nano_vectordb_spark.operators.graphann import _driver_heap_bytes
+
+    class _FakeConf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, _k, _d=None):
+            return self._v
+
+    class _FakeSpark:
+        def __init__(self, v):
+            self.conf = _FakeConf(v)
+
+    assert _driver_heap_bytes(_FakeSpark("8g")) == 8 << 30
+    assert _driver_heap_bytes(_FakeSpark("512M")) == 512 << 20
+    assert _driver_heap_bytes(_FakeSpark("1024")) == 1024
+
+
 def test_replication_eps_refuses_replicated_index(spark, emb, ivf_index):
     """ADVICE r9: estimating eps on a replicated index would sample
     duplicate boundary rows and bias the quantile — refuse loudly."""
