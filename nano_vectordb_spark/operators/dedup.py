@@ -736,7 +736,7 @@ def lsh_auto_params(n_rows: int) -> tuple[int, int]:
     """(n_planes, bands) for random-hyperplane LSH, scaled to corpus
     size so expected band-bucket occupancy stays O(2^5)=O(32) instead
     of growing linearly with N: rows_per_band = ceil(log2 N) - 5
-    (clamped to [4, 16]), so each band hashes into ~N/32 buckets and
+    (clamped to [4, 20]), so each band hashes into ~N/32 buckets and
     the candidate-pair count stays ~N * occupancy * bands — LINEAR in
     N. The r8 sf10 sweep caught the fixed-width cliff this replaces:
     4-bit band signatures mean 16 buckets per band at ANY scale, so
@@ -745,14 +745,19 @@ def lsh_auto_params(n_rows: int) -> tuple[int, int]:
     Bands grow half as fast as rows_per_band to partially offset the
     per-band recall decay (collision prob p^rpb per band, p = 1 -
     theta/pi; the full operating curve is lsh_operating_point's
-    subject). At the gate fixtures (N <= ~512) this lands exactly on
-    the historical (16, 4) point, so official sf0.01 rows are
-    byte-identical. MUST stay importable without Spark — the DuckDB
+    subject), capped at 10. At the gate fixtures (N <= ~512) this
+    lands exactly on the historical (16, 4) point, so official sf0.01
+    rows are byte-identical. The rpb clamp is 20 (r10 — raised from
+    16, which saturated at N = 2^21 and let occupancy, and with it the
+    verified-candidate volume ~Σ C(occ,2), grow linearly past 2M
+    rows); every N <= 2^21 derives identical params under either
+    clamp, so all official rows and the 2M-fixture record are
+    unchanged. MUST stay importable without Spark — the DuckDB
     oracle derives the identical literals through this function."""
     import math
 
-    rpb = min(16, max(4, math.ceil(math.log2(max(n_rows, 2))) - 5))
-    bands = 4 + max(0, (rpb - 4) // 2)
+    rpb = min(20, max(4, math.ceil(math.log2(max(n_rows, 2))) - 5))
+    bands = min(10, 4 + max(0, (rpb - 4) // 2))
     return rpb * bands, bands
 
 
@@ -853,6 +858,191 @@ def _lsh_bits_udf(planes):
     return _bits
 
 
+def _lsh_band_keys_udf(planes, bands: int):
+    """Arrow-batched signature pass emitting PACKED INTEGER band keys
+    as a struct of int64 columns — band key j = Σ_r bit[j*rpb+r] << r
+    over the same lsh_sign_bits sign bits (bit-identical to the fold
+    spec). Fully columnar on both sides: no per-row Python lists out
+    (the r9 array<int> form built a 160-element list per row — a
+    measured chunk of the 2M signature wall), no element_at/concat_ws
+    band construction JVM-side, and the downstream exchange sorts
+    8-byte ints instead of signature strings. The key↔bit-pattern map
+    is bijective, so bucketing by key partitions rows exactly as
+    bucketing by the oracle's sign strings does. Callers must filter
+    null vectors FIRST (they can never produce verified pairs — the
+    old self-join path dropped them via NULL != NULL)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes, dtype=np.float64)
+    impl = _make_sign_bits()  # closure copy: pickled by value
+    n_planes = P.shape[0]
+    rpb = n_planes // bands
+    schema = ", ".join(f"b{i} long" for i in range(bands))
+
+    @pandas_udf(f"struct<{schema.replace(' long', ':long')}>")
+    def _keys(vecs):  # pd.Series -> pd.DataFrame (scalar struct UDF)
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.DataFrame(
+                {f"b{i}": np.array([], dtype=np.int64) for i in range(bands)}
+            )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        B = impl(X, P)  # (n, n_planes) int8 sign bits
+        w = 1 << np.arange(rpb, dtype=np.int64)
+        K = B.reshape(len(X), bands, rpb).astype(np.int64) @ w
+        return pd.DataFrame({f"b{i}": K[:, i] for i in range(bands)})
+
+    return _keys
+
+
+# pair-generation memory bound for the LSH bucket verify: each anchor-
+# block slice materializes ~this many (A, B) pair rows at once — at
+# dim 64 float64 that is ~130 MB transient per slice per task, so 32
+# concurrent tasks stay within a few GB even when every task hits a
+# mega-bucket. A module constant so tests can shrink it to exercise
+# the chunk loop.
+_VERIFY_CHUNK_PAIRS = 1 << 17
+
+
+def _bucket_verify_gen(threshold: float, bands: int):
+    """mapInPandas body for the LSH bucket verify: the input stream is
+    hash-partitioned AND sorted by (band_id, band_key), so each LSH
+    bucket is one contiguous run; for every run the generator forms all
+    i<j pairs (doc_id-ascending — the stream is also sorted by doc_id
+    within the bucket) and computes the EXACT sequential-fold dot,
+    vectorized ACROSS pairs instead of interpreted per pair: products
+    a_d*b_d first (each one IEEE float64 op, bit-identical in any
+    order), then a strict left-fold accumulation over the dimension
+    index — the identical rounding sequence to
+    F.aggregate(zip_with(a,b,*), 0.0, +) (pinned in tests/test_dedup),
+    and the same per-dim trick operators/ivf.probe_ids_np uses for
+    probe parity.
+
+    EXACTLY-ONCE emission: each row carries ALL its band keys, and a
+    surviving pair is emitted only from the FIRST band the two rows
+    share (any pair sharing band b and some j < b is emitted by band
+    j's bucket instead — the same pair, same deterministic dot). The
+    operator therefore needs NO downstream dropDuplicates: at 2M
+    vectors that exchange carried 156M pre-distinct survivor rows
+    (pairs share ~6.9 bands on the near-dup-heavy fixture), and with
+    this check the plan after the one banded exchange is map-only.
+
+    An Arrow batch boundary can split a bucket run, so the trailing
+    (possibly incomplete) run of each batch is carried into the next
+    batch and flushed at iterator end. Pair generation is chunked by
+    anchor-row blocks so a pathological mega-bucket (degenerate data:
+    thousands of identical vectors) bounds MEMORY at ~CHUNK pairs per
+    slice — the wall on such data is inherent to its quadratic true
+    output, but the stage never OOMs."""
+    import numpy as np
+    import pandas as pd
+
+    CHUNK_PAIRS = _VERIFY_CHUNK_PAIRS  # captured at plan time
+
+    def gen(batches):
+        carry_key = None
+        carry_ids = None
+        carry_vecs = None
+        carry_K = None
+
+        def verify_run(ids, V, K, band_id, acc):
+            occ = len(ids)
+            if occ < 2:
+                return
+            bs = max(1, CHUNK_PAIRS // occ)
+            for i0 in range(0, occ - 1, bs):
+                i1 = min(occ, i0 + bs)
+                ii = np.repeat(np.arange(i0, i1), occ)
+                jj = np.tile(np.arange(occ), i1 - i0)
+                m = jj > ii
+                ii, jj = ii[m], jj[m]
+                if ii.size == 0:
+                    continue
+                A, B = V[ii], V[jj]
+                s = np.zeros(ii.size)
+                for d in range(V.shape[1]):
+                    s = s + A[:, d] * B[:, d]  # strict left fold
+                keep = s >= threshold
+                if keep.any() and band_id > 0:
+                    # first-shared-band check: drop pairs an earlier
+                    # band's bucket already emitted
+                    ki, kj = K[ii[keep]], K[jj[keep]]
+                    earlier = (ki[:, :band_id] == kj[:, :band_id]).any(
+                        axis=1
+                    )
+                    keep[np.flatnonzero(keep)[earlier]] = False
+                if keep.any():
+                    acc[0].append(ids[ii[keep]])
+                    acc[1].append(ids[jj[keep]])
+                    acc[2].append(s[keep])
+
+        def to_frame(acc):
+            return pd.DataFrame(
+                {
+                    "a_id": np.concatenate(acc[0]),
+                    "b_id": np.concatenate(acc[1]),
+                    "cos_sim": np.concatenate(acc[2]),
+                }
+            )
+
+        key_cols = [f"b{i}" for i in range(bands)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            K = np.column_stack(
+                [pdf[c].to_numpy(dtype=np.int64) for c in key_cols]
+            )
+            bid = pdf["band_id"].to_numpy()
+            bkey = pdf["band_key"].to_numpy()
+            change = np.empty(len(ids), dtype=bool)
+            change[0] = True
+            change[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], len(ids)]
+            acc: tuple[list, list, list] = ([], [], [])
+            first_key = (int(bid[0]), int(bkey[0]))
+            if carry_key is not None and carry_key == first_key:
+                # the previous batch's trailing run continues here
+                ids0 = np.concatenate([carry_ids, ids[starts[0] : ends[0]]])
+                V0 = np.concatenate([carry_vecs, V[starts[0] : ends[0]]])
+                K0 = np.concatenate([carry_K, K[starts[0] : ends[0]]])
+            else:
+                if carry_key is not None:
+                    verify_run(carry_ids, carry_vecs, carry_K, carry_key[0], acc)
+                ids0 = ids[starts[0] : ends[0]]
+                V0 = V[starts[0] : ends[0]]
+                K0 = K[starts[0] : ends[0]]
+            if len(starts) == 1:
+                # whole batch is one run: keep carrying
+                carry_key, carry_ids, carry_vecs, carry_K = (
+                    first_key, ids0, V0, K0,
+                )
+            else:
+                verify_run(ids0, V0, K0, first_key[0], acc)
+                for s0, e0 in zip(starts[1:-1], ends[1:-1]):
+                    verify_run(
+                        ids[s0:e0], V[s0:e0], K[s0:e0], int(bid[s0]), acc
+                    )
+                carry_key = (int(bid[starts[-1]]), int(bkey[starts[-1]]))
+                carry_ids = ids[starts[-1] : ends[-1]]
+                carry_vecs = V[starts[-1] : ends[-1]]
+                carry_K = K[starts[-1] : ends[-1]]
+            if acc[0]:
+                yield to_frame(acc)
+        if carry_key is not None:
+            acc = ([], [], [])
+            verify_run(carry_ids, carry_vecs, carry_K, carry_key[0], acc)
+            if acc[0]:
+                yield to_frame(acc)
+
+    return gen
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     threshold: float,
@@ -888,93 +1078,86 @@ def embedding_neardup_lsh(
             "pass n_planes and bands together or neither; a lone explicit "
             "value silently combines with an auto-derived one (ADVICE r8)"
         )
+    if n_rows is None:
+        n_rows = df.count()
     if n_planes is None:
-        n_planes, bands = lsh_auto_params(
-            df.count() if n_rows is None else n_rows
-        )
+        n_planes, bands = lsh_auto_params(n_rows)
 
     dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_planes, dim))
-    # one Arrow-batched signature pass, PERSISTED so the self-join's
-    # two sides read the cached relation instead of re-running the UDF
-    # (and so the band explode + join stay whole-stage-codegen JVM work
-    # over a concrete InMemoryRelation — without this the r9 2M-vector
-    # run stalled re-evaluating the Python stage under the join)
-    sigs = _persist(
-        _spread(df).select(
+    # one Arrow-batched signature pass emitting integer band keys as
+    # struct columns (fully columnar — no per-row Python lists and no
+    # element_at/concat_ws band strings, both measured costs at 2M);
+    # a single downstream consumer, so no persist is needed — the UDF
+    # runs exactly once per row in one linear plan. Null vectors are
+    # dropped first: they can never produce verified pairs (the old
+    # self-join path dropped them via NULL != NULL).
+    key_cols = [f"b{i}" for i in range(bands)]
+    sigs = (
+        _spread(df.filter(F.col(vec_col).isNotNull()))
+        .select(
             F.col(id_col).alias("doc_id"),
-            # pre-widen ONCE here: the verify dot references each
-            # element through element_at (dot_expr_fixed), and an
-            # array<float> column would re-run the array<double> cast
-            # at every reference (SimplifyCasts can only elide the
-            # cast when the stored column is already double — without
-            # this the 2M-vector verify spent its wall re-casting)
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            _lsh_bits_udf(planes)(F.col(vec_col)).alias("__bits"),
+            F.col(vec_col).alias("__v"),
+            _lsh_band_keys_udf(planes, bands)(F.col(vec_col)).alias("__k"),
+        )
+        .select(
+            "doc_id", "__v", *[F.col(f"__k.{c}").alias(c) for c in key_cols]
         )
     )
-    bits = [F.element_at(F.col("__bits"), i + 1) for i in range(n_planes)]
-    rows_per_band = n_planes // bands
     band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_id"),
-            F.concat_ws(
-                "",
-                *[
-                    bits[bi * rows_per_band + r].cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("band_sig"),
-        )
+        F.struct(F.lit(bi).alias("band_id"), F.col(key_cols[bi]).alias("band_key"))
         for bi in range(bands)
     ]
     banded = sigs.select(
         "doc_id",
         "__v",
+        *key_cols,
         F.explode(F.array(*band_structs)).alias("b"),
     ).select(
         "doc_id",
         "__v",
+        *key_cols,
         F.col("b.band_id").alias("band_id"),
-        F.col("b.band_sig").alias("band_sig"),
+        F.col("b.band_key").alias("band_key"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    # VERIFY WHILE STREAMING, distinct only the survivors. The band
-    # join's output is sum-over-buckets C(occ, 2) rows — ~750M at 2M
-    # vectors — and the only plan that scales is one where that stream
-    # is NEVER exchanged: the old shape ran DISTINCT before the verify
-    # (materializing the pair stream, with both embedding arrays, into
-    # a shuffle sort that ate the disk at 2M), and a narrow
-    # ids-then-join-back variant just moves the same bytes into the
-    # vector join-back exchanges. Here the exact fold dot + threshold
-    # filter apply INSIDE the join stage (whole-stage streaming, no
-    # materialization), so the only shuffles are the two banded sides
-    # (linear in N x bands) and a distinct over the verified survivors
-    # (~3% of candidates at the gate threshold). A pair sharing
-    # several bands verifies once per shared band — the fold is
-    # deterministic, so the duplicates are value-identical and the
-    # final dropDuplicates collapses them to the oracle's row set.
+    # BUCKET-LOCAL VERIFY, candidates never leave their task and pairs
+    # emit exactly once. The candidate population is sum-over-buckets
+    # C(occ, 2) — ~750M at 2M vectors — and the r9 plan already kept
+    # that stream out of every exchange (verify inside the band
+    # self-join stage), but paid an interpreted sequential fold per
+    # pair (~28 µs·thread; ~650 s of the 790 s wall) plus a distinct
+    # over 156M band-duplicated survivors. This shape removes both:
+    # hash-partition the banded table on (band_id, band_key) and sort
+    # each partition, so every LSH bucket is one contiguous run inside
+    # one task; verify runs in NumPy (_bucket_verify_gen) — exact
+    # left-fold dots vectorized across a bucket's pairs at memory-
+    # bandwidth speed — and each row carries all its band keys, so a
+    # surviving pair is emitted only by its FIRST shared band (no
+    # dropDuplicates stage at all). The single shuffle is the banded
+    # table itself: linear in N x bands, float32 vectors, int64 keys.
+    # Nothing scales with the candidate count. Values are
+    # bit-identical to the Catalyst fold (products then strict left
+    # fold — see _bucket_verify_gen), so oracle hash parity holds.
+    #
+    # Exchange width: the sort buffers whole partitions of vector-
+    # carrying rows, and at 2M x 10 bands the session default (32)
+    # left ~190 MB per sort partition — measured GC thrash in the 8 GB
+    # local heap. Size partitions to ~96 MB of banded payload instead
+    # (floor: the session's shuffle.partitions, so small inputs keep
+    # their default plan and full parallelism).
+    default_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    est_bytes = n_rows * bands * (dim * 4 + 8 * bands + 48)
+    n_parts = max(default_parts, -(-est_bytes // (96 << 20)))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        banded.repartition(int(n_parts), F.col("band_id"), F.col("band_key"))
+        .sortWithinPartitions("band_id", "band_key", "doc_id")
+        .mapInPandas(
+            _bucket_verify_gen(threshold, bands),
+            "a_id long, b_id long, cos_sim double",
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            # the fold, not dot_expr_fixed: measured head-to-head at
-            # 2M vectors the unrolled form is SLOWER inside this join
-            # stage (its 129-node tree as a post-join filter defeats
-            # the join's codegen; the fold's two higher-order nodes do
-            # not), while standalone projections show the opposite —
-            # pick per shape, and this shape wants the fold
-            dot_expr(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["a_id", "b_id"])
     )
 
 

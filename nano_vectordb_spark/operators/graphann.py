@@ -1145,9 +1145,38 @@ def shard_graph_search(
     the beam and the result equals the exact flat top-k (pinned in
     tests) — the full-probe identity IVF search has."""
     from nano_vectordb_spark.operators.ivf import probe_clusters
-    from nano_vectordb_spark.operators.topk import exact_rescore
 
     probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
+    cand, probed_ids = _shard_beam_candidates(
+        index, shard_graph, queries, probes, k, ef, n_entry, coarse,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+    return _rescore_shard_candidates(
+        index, queries, cand, probed_ids, k,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+
+
+def _shard_beam_candidates(
+    index,
+    shard_graph: DataFrame,
+    queries: DataFrame,
+    probes: DataFrame,
+    k: int,
+    ef: int,
+    n_entry: int,
+    coarse: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+):
+    """The routing + per-shard-beam stage of shard_graph_search, taking
+    an EXPLICIT (query_id, cluster_id) probes table so adaptive
+    re-probing (shard_graph_search_adaptive) can drive extra rounds
+    through the identical machinery. Returns (cand, probed_ids): the
+    deduped (query_id, vec_id) candidates and the sorted probed
+    cluster ids (the static partition-prune literals)."""
     routed = probes.join(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -1257,6 +1286,181 @@ def shard_graph_search(
         .applyInPandas(run, "query_id long, vec_id long")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    return cand, probed_ids
+
+
+def shard_graph_search_adaptive(
+    index,
+    shard_graph: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    ef: int = 64,
+    nprobe: int = 8,
+    nprobe_max: int = 32,
+    n_entry: int = 4,
+    coarse: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    return_stats: bool = False,
+):
+    """Query-adaptive re-probe over the sharded graph index — the
+    FAISS/SPANN query-expansion mechanic (r9 VERDICT item 2): probe
+    ``nprobe`` lists and beam as shard_graph_search does, then expand
+    EXACTLY the queries whose result could still provably improve.
+
+    The bound is the triangle inequality against per-list covering
+    radii (operators/ivf.ivf_list_radii): every member x of list L has
+    d(q, x) >= d(q, c_L) - radius_L, so an unprobed list with
+    (max(d(q,c_L) - radius_L, 0))^2 >= the query's current exact k-th
+    distance cannot change the top-k. Queries with a beatable bound
+    (or fewer than k hits) re-probe their nearest such lists up to
+    ``nprobe_max`` total; one expansion round suffices for the
+    guarantee below because a round only SHRINKS k-th distances — a
+    list rejected against the round-1 k-th stays rejected against any
+    later, smaller one.
+
+    Guarantee (pinned in the graph_ann_adaptive_probe gate entry):
+    with exhaustive per-shard beams (ef, coarse, n_entry covering the
+    largest probed list) and ``nprobe_max >= nlist``, the output
+    EQUALS the exact flat top-k — expansion stops only when every
+    unprobed list is provably useless. With a binding ``nprobe_max``
+    the result is best-effort, but never below the static-``nprobe``
+    search (its candidates are a subset, the final exact (dist,
+    vec_id) rank can only improve).
+
+    Scale shape: round-1 is shard_graph_search's plan verbatim; the
+    bound math is Q x nlist driver-side NumPy (the two_phase probing
+    discipline — queries and centroids are already driver-resident,
+    radii are one nlist-row collect); round-2 routes only the expanded
+    (query, list) pairs through the same cogrouped beam; the final
+    exact rescore reads only probed partitions.
+
+    Returns (query_id, rank, vec_id, dist); with ``return_stats=True``
+    returns (df, stats) where stats carries per-query effective probe
+    counts and the expansion rate.
+    """
+    import numpy as np
+
+    from nano_vectordb_spark.operators.ivf import (
+        centroid_d2_np,
+        centroids_matrix,
+        ivf_list_radii,
+        probe_ids_np,
+    )
+    from nano_vectordb_spark.operators.topk import MAX_BROADCAST_QUERIES
+
+    spark = queries.sparkSession
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"adaptive re-probe sizes its bound math driver-side and "
+            f"supports at most {MAX_BROADCAST_QUERIES} queries per batch"
+        )
+    if not qrows:
+        return (
+            (spark.createDataFrame([], "query_id long, rank int, vec_id long, dist double"),
+             {"probes_used": {}, "expanded_queries": 0, "mean_probes": 0.0})
+            if return_stats
+            else spark.createDataFrame(
+                [], "query_id long, rank int, vec_id long, dist double"
+            )
+        )
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    cent = centroids_matrix(index)
+    d2 = centroid_d2_np(cent, qmat)  # (nlist, Q), exact fold parity
+    probes1_list = probe_ids_np(cent, qmat, nprobe)
+    probes1 = spark.createDataFrame(
+        [
+            (int(q), int(c))
+            for q, probed in zip(qids, probes1_list)
+            for c in probed
+        ],
+        "query_id long, cluster_id int",
+    )
+    cand1, probed1 = _shard_beam_candidates(
+        index, shard_graph, queries, probes1, k, ef, n_entry, coarse,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+    r1 = _rescore_shard_candidates(
+        index, queries, cand1, probed1, k,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+    kth_rows = (
+        r1.groupBy("query_id")
+        .agg(F.max("dist").alias("kth"), F.count("*").alias("n"))
+        .collect()
+    )
+    kth = {int(r["query_id"]): (float(r["kth"]), int(r["n"])) for r in kth_rows}
+    radii = ivf_list_radii(index, vec_col=vec_col)
+    budget = min(nprobe_max, index.nlist) - min(nprobe, index.nlist)
+    extra_pairs: list[tuple[int, int]] = []
+    probes_used: dict[int, int] = {}
+    cids = np.arange(index.nlist)
+    for j, qid in enumerate(qids):
+        probed = set(int(c) for c in probes1_list[j])
+        probes_used[int(qid)] = len(probed)
+        if budget <= 0:
+            continue
+        kth_d2, n_hits = kth.get(int(qid), (np.inf, 0))
+        if n_hits < k:
+            kth_d2 = np.inf
+        d_qc = np.sqrt(d2[:, j])
+        lb = np.maximum(d_qc - radii, 0.0)
+        improvable = (lb * lb < kth_d2) & np.isfinite(radii)
+        improvable[list(probed)] = False
+        if not improvable.any():
+            continue
+        order = np.lexsort((cids, d2[:, j]))
+        extras = [int(c) for c in order if improvable[c]][:budget]
+        probes_used[int(qid)] += len(extras)
+        extra_pairs.extend((int(qid), c) for c in extras)
+    stats = {
+        "probes_used": probes_used,
+        "expanded_queries": len({q for q, _ in extra_pairs}),
+        "mean_probes": float(
+            np.mean([v for v in probes_used.values()])
+        ),
+    }
+    if not extra_pairs:
+        return (r1, stats) if return_stats else r1
+    probes2 = spark.createDataFrame(
+        extra_pairs, "query_id long, cluster_id int"
+    )
+    cand2, probed2 = _shard_beam_candidates(
+        index, shard_graph, queries, probes2, k, ef, n_entry, coarse,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+    cand = cand1.unionByName(cand2).dropDuplicates(["query_id", "vec_id"])
+    final = _rescore_shard_candidates(
+        index, queries, cand, sorted(set(probed1) | set(probed2)), k,
+        id_col, vec_col, query_id_col, query_vec_col,
+    )
+    return (final, stats) if return_stats else final
+
+
+def _rescore_shard_candidates(
+    index,
+    queries: DataFrame,
+    cand: DataFrame,
+    probed_ids: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Exact-rescore tail of shard_graph_search: sequential-fold L2
+    over the probed partitions, global (dist, vec_id) rank, top k."""
+    from nano_vectordb_spark.operators.topk import exact_rescore
+
+    probed_filter = F.col("cluster_id").isin(probed_ids)
     pruned_base = index.assigned.filter(probed_filter)
     if getattr(index, "replicated", False):
         # distinct ids before rescore: on an ivf_replicate'd index a

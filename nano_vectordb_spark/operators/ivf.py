@@ -246,6 +246,39 @@ def ivf_replicate(
     )
 
 
+def ivf_list_radii(index: IvfIndex, vec_col: str = "embedding"):
+    """(nlist,) float64 array: per-list covering radius — the max TRUE
+    L2 distance of any member row to the list centroid (on a
+    replicated index, replica rows are searchable members of their
+    host list and are covered too). This is the per-list bound the
+    adaptive re-probe uses (graphann.shard_graph_search_adaptive): by
+    the triangle inequality every member x of list L satisfies
+    d(q, x) >= d(q, c_L) - radius_L, so a list whose bound exceeds the
+    query's current k-th distance provably cannot improve the result.
+
+    One aggregate over the assigned table (broadcast centroid join,
+    shuffle on the nlist-key groupBy) + an nlist-row collect; empty
+    lists get radius -inf (their bound is +inf — never re-probed)."""
+    import numpy as np
+
+    from nano_vectordb_spark.functions.vector import l2sq_expr
+
+    rows = (
+        index.assigned.select("cluster_id", F.col(vec_col).alias("__v"))
+        .join(F.broadcast(index.centroids), "cluster_id")
+        .select(
+            "cluster_id", l2sq_expr("__v", "centroid").alias("__d2")
+        )
+        .groupBy("cluster_id")
+        .agg(F.max("__d2").alias("max_d2"))
+        .collect()
+    )
+    radii = np.full(index.nlist, -np.inf)
+    for r in rows:
+        radii[int(r["cluster_id"])] = float(r["max_d2"]) ** 0.5
+    return radii
+
+
 def ivf_write(index: IvfIndex, path: str) -> None:
     """Persist the index as its physical layout: base partitioned by
     cluster_id (so probing prunes partitions) + a centroids table."""
@@ -263,21 +296,31 @@ def ivf_read(spark: SparkSession, path: str, nlist: int | None = None) -> IvfInd
     return IvfIndex(centroids=centroids, assigned=assigned, nlist=nlist)
 
 
-def probe_ids_np(cent, qmat, nprobe):
-    """Driver-side stage-1 probing: for each query row of ``qmat``
-    (Q, D), the top-nprobe nearest centroids of ``cent`` (nlist, D).
-
-    Replays probe_clusters bit-exactly — per-dim (a-b)*(a-b) terms
-    accumulated left-to-right in float64 (the l2sq_expr sequential
-    fold), ranked by (score asc, cluster_id asc) — so callers that
-    substitute it for the Spark job keep oracle hash-parity. Returns a
-    list of Q int arrays of cluster ids."""
+def centroid_d2_np(cent, qmat):
+    """(nlist, Q) squared centroid distances, replaying the l2sq_expr
+    sequential fold bit-exactly: per-dim (a-b)*(a-b) terms accumulated
+    left-to-right in float64 — the shared arithmetic under
+    probe_ids_np and the adaptive re-probe's bound."""
     import numpy as np
 
     acc = np.zeros((cent.shape[0], qmat.shape[0]))
     for d in range(cent.shape[1]):
         diff = cent[:, d][:, None] - qmat[:, d][None, :]
         acc += diff * diff
+    return acc
+
+
+def probe_ids_np(cent, qmat, nprobe):
+    """Driver-side stage-1 probing: for each query row of ``qmat``
+    (Q, D), the top-nprobe nearest centroids of ``cent`` (nlist, D).
+
+    Replays probe_clusters bit-exactly — centroid_d2_np's sequential
+    fold, ranked by (score asc, cluster_id asc) — so callers that
+    substitute it for the Spark job keep oracle hash-parity. Returns a
+    list of Q int arrays of cluster ids."""
+    import numpy as np
+
+    acc = centroid_d2_np(cent, qmat)
     npb = min(nprobe, cent.shape[0])
     cids = np.arange(cent.shape[0])
     return [

@@ -868,6 +868,143 @@ def _jpeg_decode(blob: bytes):
     return width, height, 255, px
 
 
+# ---------------------------------------------------------------------------
+# MPEG-1 Audio Layer III (MP3) frame-header walk — the r9 VERDICT item 7
+# option taken: a STRUCTURE parser (sync search, header field decode,
+# frame-length walk, ID3v2 skip) over the public ISO/IEC 11172-3 header
+# layout. No entropy decoding — the payload stays opaque, exactly like
+# the reference treats compressed media as byte streams; this parallels
+# the JPEG marker walk and closes the declared-stub codec family at the
+# container-structure level.
+# ---------------------------------------------------------------------------
+
+# public ISO/IEC 11172-3 tables (MPEG-1 Layer III): bitrate index ->
+# kbit/s (0 = "free", 15 = forbidden) and sample-rate index -> Hz
+MP3_BITRATES_V1_L3 = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+MP3_SAMPLE_RATES_V1 = (44100, 48000, 32000)
+MP3_SAMPLES_PER_FRAME_V1_L3 = 1152
+
+
+def mp3_frame_len(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    """Layer III MPEG-1 frame length in bytes (ISO/IEC 11172-3 §2.4.3.1):
+    floor(144 * bitrate / sample_rate) + padding."""
+    return (144 * bitrate_kbps * 1000) // sample_rate + padding
+
+
+def mp3_encode_frames(
+    bitrate_indices,
+    sr_idx: int = 0,
+    pad_rule=lambda f: f % 2,
+    id3_bytes: int = 0,
+    filler: int = 0xA5,
+) -> bytes:
+    """Synthesize a parseable MPEG-1 Layer III frame stream: an
+    optional ID3v2 tag (syncsafe length), then one frame per bitrate
+    index — 4-byte header (sync 0x7FF, MPEG-1, Layer III, no CRC,
+    stereo) + deterministic filler payload sized by mp3_frame_len.
+    The payload carries no audio; this is the structural half the
+    parser walks (the reference's byte-stream treatment of media)."""
+    out = bytearray()
+    if id3_bytes:
+        body = bytes((filler,)) * id3_bytes
+        out += b"ID3" + bytes((4, 0, 0))
+        # syncsafe 28-bit size, 7 bits per byte
+        out += bytes(
+            ((id3_bytes >> s) & 0x7F for s in (21, 14, 7, 0))
+        )
+        out += body
+    sr = MP3_SAMPLE_RATES_V1[sr_idx]
+    for f, bi in enumerate(bitrate_indices):
+        kbps = MP3_BITRATES_V1_L3[bi]
+        if kbps is None:
+            raise ValueError("free-format bitrate (index 0) unsupported")
+        pad = 1 if pad_rule(f) else 0
+        # header: AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM
+        # sync=11x1, B=version(11=MPEG1), C=layer(01=III), D=no-CRC(1)
+        b0 = 0xFF
+        b1 = 0xE0 | (0b11 << 3) | (0b01 << 1) | 1
+        b2 = (bi << 4) | (sr_idx << 2) | (pad << 1)
+        b3 = 0b00 << 6 | 0  # stereo, no mode ext/copyright/original
+        frame_len = mp3_frame_len(kbps, sr, pad)
+        out += bytes((b0, b1, b2, b3))
+        out += bytes((filler,)) * (frame_len - 4)
+    return bytes(out)
+
+
+def mp3_parse(blob: bytes) -> dict:
+    """Walk an MPEG-1 Layer III byte stream: skip a leading ID3v2 tag
+    (syncsafe size), then repeatedly decode the 4-byte frame header
+    (sync check, version/layer check, bitrate + sample-rate tables,
+    padding bit) and hop frame_len bytes. Returns structural stats:
+    n_frames, sample_rate, per-stream bitrate min/max/sum (kbps),
+    is_cbr, duration_ms (n_frames * 1152 / rate), id3_bytes,
+    total_bytes. Raises ValueError on bad sync, reserved fields, or a
+    truncated final frame — malformed streams fail loudly rather than
+    mis-parse."""
+    pos = 0
+    id3 = 0
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            raise ValueError("truncated ID3v2 header")
+        sz = 0
+        for b in blob[6:10]:
+            if b & 0x80:
+                raise ValueError("ID3v2 size bytes must be syncsafe")
+            sz = (sz << 7) | b
+        id3 = sz
+        pos = 10 + sz
+    n_frames = 0
+    rate = None
+    b_min = b_max = None
+    b_sum = 0
+    while pos < len(blob):
+        if pos + 4 > len(blob):
+            raise ValueError(f"truncated frame header at {pos}")
+        b0, b1, b2, _b3 = blob[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at {pos}")
+        if (b1 >> 3) & 0x3 != 0b11 or (b1 >> 1) & 0x3 != 0b01:
+            raise ValueError("only MPEG-1 Layer III supported")
+        bi = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 0x1
+        if bi in (0, 15):
+            raise ValueError("free/forbidden bitrate index")
+        if sr_idx >= len(MP3_SAMPLE_RATES_V1):
+            raise ValueError("reserved sample-rate index")
+        kbps = MP3_BITRATES_V1_L3[bi]
+        sr = MP3_SAMPLE_RATES_V1[sr_idx]
+        if rate is None:
+            rate = sr
+        elif rate != sr:
+            raise ValueError("sample-rate change mid-stream unsupported")
+        flen = mp3_frame_len(kbps, sr, pad)
+        if pos + flen > len(blob):
+            raise ValueError(f"truncated frame payload at {pos}")
+        n_frames += 1
+        b_sum += kbps
+        b_min = kbps if b_min is None else min(b_min, kbps)
+        b_max = kbps if b_max is None else max(b_max, kbps)
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "bitrate_min": b_min,
+        "bitrate_max": b_max,
+        "bitrate_sum": b_sum,
+        "is_cbr": b_min == b_max,
+        "duration_ms": round(
+            n_frames * MP3_SAMPLES_PER_FRAME_V1_L3 * 1000.0 / rate, 3
+        ),
+        "id3_bytes": id3,
+        "total_bytes": len(blob),
+    }
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,

@@ -56,6 +56,54 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert again == lsh
 
 
+def test_lsh_bucket_verify_survives_arrow_batch_splits(spark):
+    """The r10 bucket-verify stage (dedup._bucket_verify_gen) streams
+    sorted bucket runs through mapInPandas; an Arrow batch boundary can
+    cut a run anywhere, and the trailing-run carry must reassemble it.
+    Force pathologically small batches (7 rows — smaller than most
+    buckets) and require the output to be IDENTICAL, pair-for-pair and
+    value-for-value, to the default-batch run."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    want = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup.embedding_neardup_lsh(emb, 0.4).collect()
+    }
+    assert want  # fixture must actually exercise the verify
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        got = {
+            (r.a_id, r.b_id): r.cos_sim
+            for r in dedup.embedding_neardup_lsh(emb, 0.4).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == want
+
+
+def test_lsh_bucket_verify_mega_bucket_chunking(spark, monkeypatch):
+    """Degenerate data (many identical vectors -> one mega-bucket) must
+    flow through the chunked pair generation and emit the full
+    quadratic true-pair set — bounded memory, correct output. The
+    chunk cap is shrunk so the anchor-block loop actually iterates."""
+    import numpy as np
+
+    monkeypatch.setattr(dedup, "_VERIFY_CHUNK_PAIRS", 500)
+    n, dim = 300, 8
+    v = [float(x) for x in (np.arange(dim) + 1) / np.linalg.norm(np.arange(dim) + 1)]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    out = dedup.embedding_neardup_lsh(
+        df, 0.9, n_planes=16, bands=4, n_rows=n
+    )
+    assert out.count() == n * (n - 1) // 2
+
+
 def test_lsh_sign_bits_matches_fold_spec_bitwise(spark):
     # the r9 vectorized signature pass (lsh_sign_bits via pandas UDF)
     # must reproduce the Catalyst sequential-fold spec bit-for-bit on
@@ -117,13 +165,21 @@ def test_lsh_auto_params_scaling():
     assert dedup.lsh_auto_params(200) == (16, 4)
     assert dedup.lsh_auto_params(512) == (16, 4)
     # signature width grows with log2(N): bucket occupancy per band is
-    # ~N / 2^rpb and must stay bounded (the r8 sf10 cliff)
-    for n in (2_000, 20_000, 200_000, 2_000_000, 10**9):
+    # ~N / 2^rpb and must stay bounded (the r8 sf10 cliff). The clamp
+    # moved 16 -> 20 in r10 (the 16 clamp saturated at N=2^21 and let
+    # occupancy grow linearly past 2M rows); everything at or below
+    # 2^21 is identical under either clamp, pinned here so official
+    # rows and the 2M-fixture record stay byte-stable.
+    assert dedup.lsh_auto_params(2_000_000) == (160, 10)
+    assert dedup.lsh_auto_params(1 << 21) == (160, 10)
+    assert dedup.lsh_auto_params((1 << 21) + 1) == (170, 10)
+    assert dedup.lsh_auto_params(4_000_000) == (170, 10)
+    for n in (2_000, 20_000, 200_000, 2_000_000, 32_000_000, 10**9):
         n_planes, bands = dedup.lsh_auto_params(n)
         rpb = n_planes // bands
         assert n_planes == rpb * bands
         occupancy = n / 2**rpb
-        assert occupancy <= 64 or rpb == 16  # clamped tail
+        assert occupancy <= 64 or rpb == 20  # clamped tail
         assert 4 <= bands <= 10
     # monotone: more rows never narrows the signature
     widths = [dedup.lsh_auto_params(n)[0] // dedup.lsh_auto_params(n)[1]

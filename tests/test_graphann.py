@@ -211,6 +211,81 @@ def test_shard_search_recall_monotone_in_nprobe(spark, emb, ivf_index, shard_gra
     assert recalls[8] >= 0.9, recalls
 
 
+def _pred_ids(pred):
+    return pred.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+            lambda s: s["vec_id"],
+        ).alias("pred_ids")
+    )
+
+
+def test_adaptive_probe_exhaustive_equals_exact(spark, emb, ivf_index, shard_graph):
+    """The r10 adaptive re-probe guarantee: with exhaustive per-shard
+    beams and an unbinding nprobe_max, expansion stops only when every
+    unprobed list is provably outside the k-th distance (triangle
+    bound on ivf_list_radii) — so the output EQUALS the exact flat
+    top-k even from nprobe=1, and the stats must show it did NOT
+    blindly probe everything for every query."""
+    queries = emb.limit(50).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    pred, stats = graphann.shard_graph_search_adaptive(
+        ivf_index, shard_graph, queries, k=10, ef=1000, nprobe=1,
+        nprobe_max=8, n_entry=1000, coarse=1000, return_stats=True,
+    )
+    diff = gt.join(_pred_ids(pred), "query_id").filter(
+        F.col("gt_ids") != F.col("pred_ids")
+    )
+    assert diff.count() == 0
+    assert stats["expanded_queries"] >= 1
+    assert all(1 <= v <= 8 for v in stats["probes_used"].values())
+
+
+def test_adaptive_probe_not_below_static(spark, emb, ivf_index, shard_graph):
+    """With a binding nprobe_max the adaptive result is best-effort but
+    never below the static-nprobe search: its candidate set is a
+    superset and the final exact rank can only improve."""
+    queries = emb.limit(50).select(F.col("vec_id").alias("query_id"), "embedding")
+    gt = gt_build(emb, queries, k=10, metric="l2")
+    static = graphann.shard_graph_search(
+        ivf_index, shard_graph, queries, k=10, ef=64, nprobe=1
+    )
+    adaptive, stats = graphann.shard_graph_search_adaptive(
+        ivf_index, shard_graph, queries, k=10, ef=64, nprobe=1,
+        nprobe_max=3, return_stats=True,
+    )
+    r_static = recall_at_k(gt, _pred_ids(static), 10).first()["recall_at_k"]
+    r_adapt = recall_at_k(gt, _pred_ids(adaptive), 10).first()["recall_at_k"]
+    assert r_adapt >= r_static - 1e-12, (r_adapt, r_static)
+    assert all(1 <= v <= 3 for v in stats["probes_used"].values())
+    # deterministic across runs (driver-side NumPy bound math is fixed)
+    again = graphann.shard_graph_search_adaptive(
+        ivf_index, shard_graph, queries, k=10, ef=64, nprobe=1, nprobe_max=3
+    )
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(adaptive.collect(), key=key) == sorted(again.collect(), key=key)
+
+
+def test_ivf_list_radii_cover(spark, emb, ivf_index):
+    """Radii must COVER: no member farther from its centroid than the
+    list radius (the property the triangle bound needs)."""
+    import numpy as np
+
+    from nano_vectordb_spark.functions.vector import l2sq_expr
+    from nano_vectordb_spark.operators.ivf import ivf_list_radii
+
+    radii = ivf_list_radii(ivf_index)
+    assert radii.shape == (ivf_index.nlist,)
+    rows = (
+        ivf_index.assigned.select("cluster_id", F.col("embedding").alias("__v"))
+        .join(F.broadcast(ivf_index.centroids), "cluster_id")
+        .select("cluster_id", l2sq_expr("__v", "centroid").alias("d2"))
+        .collect()
+    )
+    for r in rows:
+        assert float(r["d2"]) ** 0.5 <= radii[int(r["cluster_id"])] + 1e-12
+
+
 def test_shard_search_deterministic(spark, emb, ivf_index, shard_graph):
     queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
     a = graphann.shard_graph_search(

@@ -432,6 +432,57 @@ def test_jpeg_malformed_inputs_raise():
         mm.jpeg_encode(8, 8, px, quality=0)
 
 
+def test_mp3_frame_walk_roundtrip():
+    """mp3_encode_frames -> mp3_parse structural parity: frame count,
+    tables, VBR stats, padding-aware lengths, ID3v2 skip."""
+    blob = mm.mp3_encode_frames([9, 12, 9, 4], sr_idx=0, id3_bytes=17)
+    st = mm.mp3_parse(blob)
+    assert st["n_frames"] == 4
+    assert st["sample_rate"] == 44100
+    assert st["bitrate_min"] == 56 and st["bitrate_max"] == 224
+    assert st["bitrate_sum"] == 128 + 224 + 128 + 56
+    assert st["is_cbr"] is False
+    assert st["id3_bytes"] == 17
+    assert st["total_bytes"] == len(blob)
+    assert st["duration_ms"] == round(4 * 1152 * 1000.0 / 44100, 3)
+    # CBR stream
+    st2 = mm.mp3_parse(mm.mp3_encode_frames([9, 9, 9]))
+    assert st2["is_cbr"] is True and st2["n_frames"] == 3
+    # frame length honors the padding bit: unpadded/padded differ by 1
+    one_pad = mm.mp3_encode_frames([9], pad_rule=lambda f: 1)
+    no_pad = mm.mp3_encode_frames([9], pad_rule=lambda f: 0)
+    assert len(one_pad) == len(no_pad) + 1
+    assert mm.mp3_frame_len(128, 44100, 0) == 417
+
+
+def test_mp3_malformed_streams_raise():
+    good = mm.mp3_encode_frames([9, 9])
+    with pytest.raises(ValueError, match="sync"):
+        mm.mp3_parse(b"\x00\x01" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.mp3_parse(good[:-10])
+    with pytest.raises(ValueError, match="no MPEG audio frames"):
+        mm.mp3_parse(b"")
+    # reserved sample-rate index
+    bad = bytearray(good)
+    bad[2] = (bad[2] & ~0x0C) | (0b11 << 2)
+    with pytest.raises(ValueError, match="sample-rate"):
+        mm.mp3_parse(bytes(bad))
+    # forbidden bitrate index
+    bad = bytearray(good)
+    bad[2] = (bad[2] & 0x0F) | (15 << 4)
+    with pytest.raises(ValueError, match="bitrate"):
+        mm.mp3_parse(bytes(bad))
+    # MPEG-2 version bits rejected
+    bad = bytearray(good)
+    bad[1] = (bad[1] & ~0x18) | (0b10 << 3)
+    with pytest.raises(ValueError, match="MPEG-1"):
+        mm.mp3_parse(bytes(bad))
+    # non-syncsafe ID3 size byte
+    with pytest.raises(ValueError, match="syncsafe"):
+        mm.mp3_parse(b"ID3" + bytes((4, 0, 0, 0x80, 0, 0, 0)) + good)
+
+
 def test_jpeg_foreign_stream_marker_forms():
     """ADVICE r9: foreign baseline streams may pad 0xFF fill bytes
     before a marker (T.81 B.1.1.2) — the walk must skip them and decode
