@@ -32,6 +32,7 @@ from nano_vectordb_spark.registry_parts.p14_analytics_ops import *  # noqa: F401
 from nano_vectordb_spark.registry_parts.p15_stats_wave import *  # noqa: F401,F403
 from nano_vectordb_spark.registry_parts.p16_r8_wave import *  # noqa: F401,F403
 from nano_vectordb_spark.registry_parts.p17_r9_wave import *  # noqa: F401,F403
+from nano_vectordb_spark.registry_parts.p18_r10_wave import *  # noqa: F401,F403
 
 # underscore names tests/tools rely on (star-import skips them)
 from nano_vectordb_spark.registry_parts.p00_base import _FIXTURE_MEMO  # noqa: F401,E402
@@ -743,3 +744,56 @@ def _reorder_registry_r9() -> None:
 
 
 _reorder_registry_r9()
+
+# CORRECTNESS_r09 went 50/50 green, so the r9 basket enters the
+# official history — stale_regate_order() now serves the entries r9
+# left oldest (the 31 remaining r5-era rows, then the oldest r6 rows).
+_BASKET_HISTORY = _BASKET_HISTORY + ((9, GATE_BASKET_R9),)
+
+
+# r10 registrations, in registration order (r9 VERDICT items 2 + 7):
+# the adaptive re-probe witness (exact-termination identity + budgeted
+# not-below-static) and the MPEG-1 Layer III frame-header walk that
+# closes the compressed-codec family at the container-structure level.
+GATE_BASKET_R10_NEW: tuple[str, ...] = (
+    "graph_ann_adaptive_probe",
+    "multimodal_mp3_stats",
+)
+
+# 48 re-gate slots by the standing rule.
+GATE_BASKET_R10_REGATES: tuple[str, ...] = tuple(
+    stale_regate_order()[: 50 - len(GATE_BASKET_R10_NEW)]
+)
+
+GATE_BASKET_R10: tuple[str, ...] = GATE_BASKET_R10_NEW + GATE_BASKET_R10_REGATES
+
+
+def _reorder_registry_r10() -> None:
+    missing = [n for n in GATE_BASKET_R10 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R10 names unknown entries: {missing}")
+    if len(GATE_BASKET_R10) != 50 or len(set(GATE_BASKET_R10)) != 50:
+        raise RuntimeError(
+            f"GATE_BASKET_R10 must be exactly 50 distinct entries, "
+            f"got {len(GATE_BASKET_R10)}"
+        )
+    gated = set(official_rounds())
+    fresh = set(GATE_BASKET_R10_NEW)
+    if fresh & gated:
+        raise RuntimeError(
+            f"GATE_BASKET_R10_NEW repeats verdicted entries: {fresh & gated}"
+        )
+    not_regates = set(GATE_BASKET_R10_REGATES) - gated
+    if not_regates:
+        raise RuntimeError(
+            f"GATE_BASKET_R10_REGATES must re-gate official rows only: {not_regates}"
+        )
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R10}
+    # everything else already holds an official driver row: park at the
+    # tail in existing relative order
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r10()

@@ -81,9 +81,34 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R9) == 50
-    assert len(set(registry.GATE_BASKET_R9)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R9)
+    assert len(registry.GATE_BASKET_R10) == 50
+    assert len(set(registry.GATE_BASKET_R10)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R10)
+
+
+def test_r10_window_follows_the_standing_rotation_rule():
+    """Third application of the standing rule: 2 new registrations
+    (graph_ann_adaptive_probe, multimodal_mp3_stats — r9 VERDICT items
+    2 + 7), then 48 re-gate slots on the oldest official rows — which
+    after the r9 basket entered the history are the 31 remaining
+    r5-era rows plus the oldest 17 r6-era rows."""
+    new = registry.GATE_BASKET_R10_NEW
+    regates = registry.GATE_BASKET_R10_REGATES
+    assert list(registry.GATE_BASKET_R10) == list(new) + list(regates)
+    gated = set(registry.stale_regate_order(before_round=10))
+    assert not set(new) & gated
+    assert set(regates) <= gated
+    assert list(regates) == registry.stale_regate_order(before_round=10)[
+        : 50 - len(new)
+    ]
+    # the window occupies the registry's first 50 positions
+    assert list(registry.REGISTRY)[:50] == list(registry.GATE_BASKET_R10)
+    # every remaining r5-era official row is refreshed this round
+    rounds = registry.official_rounds()
+    r5_stale = {n for n, r in rounds.items() if r == 5}
+    assert r5_stale <= set(regates)
+    # staleness bound: nothing in the registry is older than 5 rounds
+    assert min(rounds.values()) >= 5
 
 
 def test_r9_window_follows_the_standing_rotation_rule():
@@ -94,7 +119,9 @@ def test_r9_window_follows_the_standing_rotation_rule():
     new = registry.GATE_BASKET_R9_NEW
     regates = registry.GATE_BASKET_R9_REGATES
     assert list(registry.GATE_BASKET_R9) == list(new) + list(regates)
-    gated = set(registry.official_rounds())
+    # the before_round replay keeps this pinned after the r9 basket
+    # itself entered the history in r10
+    gated = set(registry.stale_regate_order(before_round=9))
     assert not set(new) & gated
     assert set(regates) <= gated
     # the re-gate list IS the standing priority order as of r9
@@ -209,6 +236,7 @@ def test_r7_window_closes_the_rotation():
         set(registry.REGISTRY)
         - set(registry.GATE_BASKET_R8_NEW)
         - set(registry.GATE_BASKET_R9_NEW)
+        - set(registry.GATE_BASKET_R10_NEW)
     )
 
 
@@ -269,8 +297,10 @@ def test_registry_growth_bounded_by_the_window():
     4 (227 -> 231): the SPANN boundary-replication witness, the
     band-state retirement entry, the quality-bucketed mixture
     reweighting composition, and the baseline-JPEG codec witness
-    (r8 VERDICT items 2, 5, 6)."""
-    assert len(registry.REGISTRY) == 231
+    (r8 VERDICT items 2, 5, 6).  r10 registers 2 (231 -> 233): the
+    adaptive re-probe witness and the MPEG-1 frame-header walk
+    (r9 VERDICT items 2, 7)."""
+    assert len(registry.REGISTRY) == 233
     gated = set(registry.official_rounds())
     ungated = set(registry.REGISTRY) - gated
-    assert ungated == set(registry.GATE_BASKET_R9_NEW)
+    assert ungated == set(registry.GATE_BASKET_R10_NEW)
