@@ -127,12 +127,36 @@ def collect_train_sample(
     the single-file fixtures rows are id-monotone, so this is
     bit-identical to the historical prefix; on directory-layout scale
     fixtures (tests/make_sf1.py) it is what lets the NumPy oracle
-    re-fit reproduce the Spark fit exactly."""
+    re-fit reproduce the Spark fit exactly.
+
+    Two passes so driver traffic is bounded by train_rows TOTAL, not
+    per task: a single TakeOrderedAndProject over (id, vec) returns
+    each task's local top-N — at nlist=512 over a 31-file 2M-row
+    fixture that was 31 x 35 MiB = 1.1 GiB of serialized results,
+    over spark.driver.maxResultSize (measured r10). Pass 1 takes the
+    N smallest IDS (8 B each); pass 2 fetches vectors with a pushed
+    id <= threshold predicate (~N matching rows across all tasks) and
+    trims driver-side. Same rows as the one-pass form whenever ids
+    are unique (every fixture) — and deterministic even under
+    duplicate ids, which TakeOrdered's arbitrary tie-break was not."""
+    from pyspark.sql import functions as F
+
     if id_col in df.columns:
+        ids = [
+            r[0]
+            for r in df.select(id_col).orderBy(id_col).limit(train_rows).collect()
+        ]
+        if not ids:
+            return np.zeros((0, 0), dtype=np.float64)
         rows = (
-            df.select(id_col, vec_col).orderBy(id_col).limit(train_rows).collect()
+            df.select(id_col, vec_col)
+            .filter(F.col(id_col) <= ids[-1])
+            .collect()
         )
-        return np.asarray([r[1] for r in rows], dtype=np.float64)
+        rows.sort(key=lambda r: r[0])
+        return np.asarray(
+            [r[1] for r in rows[:train_rows]], dtype=np.float64
+        )
     rows = df.select(vec_col).limit(train_rows).collect()
     return np.asarray([r[0] for r in rows], dtype=np.float64)
 
