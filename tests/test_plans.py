@@ -342,3 +342,20 @@ def test_two_phase_rank_consumers_stay_partitioned(spark, name):
         f"{name}: expected the two-phase local-rank window partitioned "
         f"by __gr_pid; got:\n{plan[:2000]}"
     )
+
+
+def test_lsh_neardup_single_exchange_map_only_after(spark):
+    """The r10 LSH shape's load-bearing property: ONE exchange total
+    (the banded table, hash-partitioned on (band_id, band_key)) and a
+    map-only plan after it — no self-join, no distinct, nothing that
+    scales with the ~sum C(occ,2) candidate volume. A second exchange
+    appearing here means the exactly-once bucket verify regressed."""
+    from nano_vectordb_spark.operators import dedup as dedup_ops
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    df = dedup_ops.embedding_neardup_lsh(emb, 0.4)
+    n_ex = count_exchanges(df)
+    assert n_ex == 1, physical_plan(df, "simple")
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "HashAggregate" not in plan, plan  # the old dropDuplicates
