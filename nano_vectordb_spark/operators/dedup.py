@@ -298,6 +298,100 @@ def _shingles_and_sig(
     )
 
 
+def _minhash_verify_gen(threshold: float, bands: int, rows: int):
+    """mapInPandas body for the MinHash LSH bucket verify — the r10
+    exactly-once shape (see _bucket_verify_gen / _make_bucket_kit)
+    applied to text: the input stream is hash-partitioned AND sorted by
+    (band_id, band_key, doc_id) with band_key = xxhash64 of the band's
+    signature slice, so every LSH bucket is one contiguous run inside
+    one task. Each row carries its shingles and its FULL signature, so
+    verification is bucket-local (no candidate stream ever enters an
+    exchange, no shingle join-backs) and a pair is emitted only from
+    its FIRST truly-shared band (no downstream distinct — the r9-shape
+    plan carried each near-dup pair through ~all its shared bands and
+    distinct'ed the survivors).
+
+    Because the bucket key is a 64-bit HASH of the band slice, two rows
+    can share a bucket without sharing the band (collision): candidacy
+    is therefore re-checked against the carried signature slices —
+    TRUE band equality at this band_id, no earlier truly-shared band —
+    before the (expensive, Python-set) Jaccard verify runs. The check
+    order also means a pair sharing all `bands` bands pays exactly ONE
+    Jaccard evaluation, where verify-first would pay one per bucket.
+
+    Jaccard itself is exact over the distinct shingle sets:
+    |A ∩ B| / (|A| + |B| - |A ∩ B|) as an int64/int64 float64 division
+    — the identical value the old array_intersect expression and the
+    DuckDB oracle's list_intersect produce, so official rows stay
+    byte-identical."""
+    import numpy as np
+    import pandas as pd
+
+    CHUNK_PAIRS = _VERIFY_CHUNK_PAIRS
+    FLUSH_ROWS = _VERIFY_FLUSH_ROWS
+    pair_chunks, earlier_band, bucket_runs = _make_bucket_kit()
+
+    def extract(pdf):
+        n = len(pdf)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        sig = np.array(pdf["sig"].tolist(), dtype=np.int64)
+        # surplus signature slots beyond bands*rows never form a band
+        Kb = sig[:, : bands * rows].reshape(n, bands, rows)
+        sh = pdf["shingles"].to_numpy()
+        return ids, Kb, sh
+
+    def to_frame(acc):
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(acc[0]),
+                "b_id": np.concatenate(acc[1]),
+                "jaccard": np.concatenate(acc[2]),
+            }
+        )
+
+    def gen(batches):
+        acc: tuple[list, list, list] = ([], [], [])
+        n_acc = 0
+        for band_id, (ids, Kb, sh) in bucket_runs(batches, extract):
+            occ = len(ids)
+            sets = [set(s) for s in sh]
+            lens = np.fromiter(
+                (len(s) for s in sets), dtype=np.int64, count=occ
+            )
+            for ii, jj in pair_chunks(occ, CHUNK_PAIRS):
+                # candidate = TRULY shares THIS band (the bucket key is
+                # a hash; a collision must not fabricate a candidate)
+                # and no earlier band already emitted the pair
+                cand = (Kb[ii, band_id, :] == Kb[jj, band_id, :]).all(
+                    axis=1
+                )
+                if band_id > 0:
+                    cand &= ~earlier_band(Kb, ii, jj, band_id)
+                if not cand.any():
+                    continue
+                ii_c, jj_c = ii[cand], jj[cand]
+                inter = np.fromiter(
+                    (len(sets[i] & sets[j]) for i, j in zip(ii_c, jj_c)),
+                    dtype=np.int64,
+                    count=ii_c.size,
+                )
+                jac = inter / (lens[ii_c] + lens[jj_c] - inter)
+                keep = jac >= threshold
+                if keep.any():
+                    acc[0].append(ids[ii_c[keep]])
+                    acc[1].append(ids[jj_c[keep]])
+                    acc[2].append(jac[keep])
+                    n_acc += int(keep.sum())
+            if n_acc >= FLUSH_ROWS:
+                yield to_frame(acc)
+                acc = ([], [], [])
+                n_acc = 0
+        if acc[0]:
+            yield to_frame(acc)
+
+    return gen
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -307,60 +401,86 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash banded LSH: docs sharing any band of k/bands consecutive
-    signature values become candidates; candidates are verified with
-    exact Jaccard and filtered at threshold. The band join shuffles on
-    the band signature — tiny keys, no N^2."""
+    """MinHash banded LSH near-dup pairs: docs sharing any band of
+    k/bands consecutive signature values become candidates; candidates
+    are verified with exact Jaccard and filtered at threshold.
+
+    Plan shape (r11 — the r10 embedding-LSH redesign ported per that
+    round's VERDICT item 1): ONE exchange total. The fused
+    shingle+signature pass feeds a banded explode that carries each
+    doc's shingles and full signature; the banded table — linear in
+    N x bands, the only thing shuffled — is hash-partitioned on
+    (band_id, band_key) with band_key = xxhash64(signature slice)
+    (8-byte sort keys instead of '_'-joined strings), sorted within
+    partitions, and verified bucket-locally with exactly-once
+    first-shared-band emission (_minhash_verify_gen). Nothing scales
+    with the candidate count: the r9-shape plan's candidate
+    `.distinct()` and its two shingle join-backs — three exchanges
+    sized by candidate volume (the embedding analog measured a 156M-row
+    survivor exchange at 2M items) — are gone, and with one consumer
+    chain the shingle+signature base no longer needs a persist.
+
+    The trade-off is payload width: shingles ride the banded exchange
+    x bands copies. The exchange is therefore sized to ~96 MB of
+    banded payload per sort partition (floor: the session default), as
+    the r10 profile did for vectors.
+
+    Candidate semantics vs the hashed key: TRUE band equality is
+    re-checked inside the bucket against the carried signature slices,
+    so a 64-bit key collision can only waste a comparison, never
+    fabricate a candidate — output remains exactly "shares >= 1 true
+    band AND exact Jaccard >= threshold" (the oracle's definition).
+
+    Reference parity: nano-vectordb has no text dedup; this is
+    north-star extension surface following the reference's staged
+    narrow-then-exact discipline (Performance.md:224-276)."""
     rows = k // bands
-    # One fused shingle+signature pass feeds three plan branches (the
-    # band join's two sides + verification): persist it once, spread
-    # over the cluster parallelism.
-    base = _persist(_shingles_and_sig(_spread(df), k, n, text_col, id_col))
-    sh_cached = base.select("doc_id", "shingles")
-    sig = base.select("doc_id", "sig")
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda bi: F.struct(
-            bi.alias("band_id"),
-            F.concat_ws(
-                "_",
-                F.transform(
-                    F.slice("sig", bi * rows + 1, rows), lambda v: v.cast("string")
-                ),
-            ).alias("band_sig"),
-        ),
-    )
-    banded = sig.select("doc_id", F.explode(band_arr).alias("band")).select(
-        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_sig").alias("band_sig")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    base = _shingles_and_sig(_spread(df), k, n, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias(
+                "band_key"
+            ),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+        for bi in range(bands)
+    ]
+    banded = base.select(
+        "doc_id",
+        "shingles",
+        "sig",
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select(
+        "doc_id",
+        "shingles",
+        "sig",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
     )
-    # verify candidates with exact jaccard over the (cached) shingle sets
-    sh = sh_cached.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
-    j = (
-        cand.join(sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"), F.col("n_sh").alias("na")), "a_id")
-        .join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"), F.col("n_sh").alias("nb")), "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (
-                F.size(F.array_intersect("sa", "sb")).cast("double")
-                / (
-                    F.col("na") + F.col("nb") - F.size(F.array_intersect("sa", "sb"))
-                ).cast("double")
-            ).alias("jaccard"),
+    # size the one exchange so sort partitions hold ~96 MB of banded
+    # payload (shingles dominate: ~3 bytes of shingle text per text
+    # byte — each word opens one 3-gram — plus the 8-byte-per-slot
+    # signature and row overhead); floor at the session default so
+    # small inputs keep their plan and full parallelism
+    stats = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(F.col(text_col))).alias("text_bytes"),
+    ).first()
+    n_docs = int(stats["n_docs"] or 0)
+    text_bytes = int(stats["text_bytes"] or 0)
+    default_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    est_bytes = bands * (n_docs * (8 * k + 72) + 3 * text_bytes)
+    n_parts = max(default_parts, -(-est_bytes // (96 << 20)))
+    return (
+        banded.repartition(int(n_parts), F.col("band_id"), F.col("band_key"))
+        .sortWithinPartitions("band_id", "band_key", "doc_id")
+        .mapInPandas(
+            _minhash_verify_gen(threshold, bands, rows),
+            "a_id long, b_id long, jaccard double",
         )
     )
-    return j.filter(F.col("jaccard") >= threshold)
 
 
 def _banded_sigs(
@@ -678,6 +798,152 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return sums.select("doc_id", val.alias("simhash"))
 
 
+def _hamming_verify_gen(max_hamming: int, n_cols: int, per_col: int, width: int):
+    """mapInPandas body for the SimHash banded verify — the shared
+    exactly-once kit (_make_bucket_kit) with an in-row Hamming check:
+    the input is hash-partitioned AND sorted by (band_id, band_key,
+    doc_id) where band_key is the TRUE band nibble (no hashing — a
+    nibble already fits a long), so bucket co-membership IS band
+    equality and the only in-bucket checks are the first-shared-band
+    emission rule and the Hamming distance itself.
+
+    Hash columns arrive as __h0..__h{n_cols-1} (one 32-bit half for
+    the 32-bit SimHash, two for the 64-bit variant); band_id =
+    col*per_col + band-within-col, matching the JVM-side explode
+    order, and Hamming(pair) = sum over columns of
+    popcount(xor) — computed vectorized with the SWAR popcount
+    (numpy < 2 has no bitwise_count). Values are exact small ints, so
+    parity with the bit_count expression form is trivial."""
+    import numpy as np
+    import pandas as pd
+
+    CHUNK_PAIRS = _VERIFY_CHUNK_PAIRS
+    FLUSH_ROWS = _VERIFY_FLUSH_ROWS
+    pair_chunks, earlier_band, bucket_runs = _make_bucket_kit()
+    u = np.uint64
+    mask = u((1 << width) - 1)
+
+    def popcount64(x):
+        m1 = u(0x5555555555555555)
+        m2 = u(0x3333333333333333)
+        m4 = u(0x0F0F0F0F0F0F0F0F)
+        h01 = u(0x0101010101010101)
+        x = x - ((x >> u(1)) & m1)
+        x = (x & m2) + ((x >> u(2)) & m2)
+        x = (x + (x >> u(4))) & m4
+        return (x * h01) >> u(56)
+
+    def extract(pdf):
+        n = len(pdf)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        H = np.column_stack(
+            [pdf[f"__h{c}"].to_numpy(dtype=np.int64) for c in range(n_cols)]
+        ).astype(np.uint64)
+        # nib tensor in band_id order (col-major over cols, then bands
+        # within the col — the same order the JVM explode emits)
+        nibs = np.empty((n, n_cols * per_col), dtype=np.int64)
+        for c in range(n_cols):
+            for bi in range(per_col):
+                nibs[:, c * per_col + bi] = (
+                    (H[:, c] >> u(bi * width)) & mask
+                ).astype(np.int64)
+        return ids, H, nibs[:, :, None]
+
+    def to_frame(acc):
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(acc[0]),
+                "b_id": np.concatenate(acc[1]),
+                "hamming": np.concatenate(acc[2]),
+            }
+        )
+
+    def gen(batches):
+        acc: tuple[list, list, list] = ([], [], [])
+        n_acc = 0
+        for band_id, (ids, H, Kb) in bucket_runs(batches, extract):
+            for ii, jj in pair_chunks(len(ids), CHUNK_PAIRS):
+                keep = ~earlier_band(Kb, ii, jj, band_id)
+                if not keep.any():
+                    continue
+                ii_k, jj_k = ii[keep], jj[keep]
+                ham = np.zeros(ii_k.size, dtype=np.int64)
+                for c in range(n_cols):
+                    ham += popcount64(H[ii_k, c] ^ H[jj_k, c]).astype(
+                        np.int64
+                    )
+                ok = ham <= max_hamming
+                if ok.any():
+                    acc[0].append(ids[ii_k[ok]])
+                    acc[1].append(ids[jj_k[ok]])
+                    acc[2].append(ham[ok].astype(np.int32))
+                    n_acc += int(ok.sum())
+            if n_acc >= FLUSH_ROWS:
+                yield to_frame(acc)
+                acc = ([], [], [])
+                n_acc = 0
+        if acc[0]:
+            yield to_frame(acc)
+
+    return gen
+
+
+def _simhash_banded_pairs(
+    sh: DataFrame,
+    max_hamming: int,
+    hash_cols: tuple[str, ...],
+    per_col: int,
+    width: int,
+    n_docs_hint: int,
+) -> DataFrame:
+    """The shared SimHash pair plan: explode each hash column into
+    per_col width-bit nibble bands (band_key = the nibble itself, an
+    exact key), hash-partition + sort the banded table on
+    (band_id, band_key, doc_id) — the ONE exchange, linear in
+    N x bands and ~50 bytes/row — and verify bucket-locally with
+    exactly-once first-shared-band emission (_hamming_verify_gen).
+    Replaces the r9-shape banded self-join + candidate `.distinct()`,
+    whose exchanges scaled with candidate volume (r10 VERDICT item 2:
+    verify was already in-row, so the rebuild is strictly a win)."""
+    mask = (1 << width) - 1
+    n_cols = len(hash_cols)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c * per_col + bi).alias("band_id"),
+                F.shiftright(F.col(col), bi * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for c, col in enumerate(hash_cols)
+            for bi in range(per_col)
+        ]
+    )
+    banded = sh.select(
+        "doc_id",
+        *[F.col(col).alias(f"__h{c}") for c, col in enumerate(hash_cols)],
+        F.explode(bands_arr).alias("b"),
+    ).select(
+        "doc_id",
+        *[f"__h{c}" for c in range(n_cols)],
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    default_parts = int(
+        sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    est_bytes = n_docs_hint * n_cols * per_col * (8 * (n_cols + 1) + 48)
+    n_parts = max(default_parts, -(-est_bytes // (96 << 20)))
+    return (
+        banded.repartition(int(n_parts), F.col("band_id"), F.col("band_key"))
+        .sortWithinPartitions("band_id", "band_key", "doc_id")
+        .mapInPandas(
+            _hamming_verify_gen(max_hamming, n_cols, per_col, width),
+            "a_id long, b_id long, hamming int",
+        )
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int,
@@ -685,51 +951,24 @@ def simhash_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """SimHash near-dup pairs (a_id < b_id, hamming <= max_hamming).
-    Pair generation joins on the COARSEST exact banding (pigeonhole:
+    Pair generation buckets on the COARSEST exact banding (pigeonhole:
     two hashes agreeing on no band differ in >= B bits, so B bands are
     exact for max_hamming <= B-1; fewer/wider bands square the bucket
-    count and keep the join out of its quadratic occupancy regime —
-    see simhash64_pairs for the measured sf100 cliff)."""
+    count and keep the bucket verify out of its quadratic occupancy
+    regime — see simhash64_pairs for the measured sf100 cliff). Plan
+    shape: one banded exchange, bucket-local exactly-once verify
+    (_simhash_banded_pairs)."""
     if max_hamming > 7:
-        raise ValueError("band join is exact only for max_hamming <= 7")
+        raise ValueError("banding is exact only for max_hamming <= 7")
     n_bands = next(b for b in (2, 4, 8) if b >= max_hamming + 1)
-    width = 32 // n_bands
-    mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.shiftright(F.col("simhash"), bi * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("nib"),
-            )
-            for bi in range(n_bands)
-        ]
+    return _simhash_banded_pairs(
+        simhash(df, text_col, id_col),
+        max_hamming,
+        ("simhash",),
+        n_bands,
+        32 // n_bands,
+        df.count(),
     )
-    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
-        "doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.nib").alias("nib")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
-    )
-    ham = cand.select(
-        "a_id", "b_id", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
-    )
-    return ham.filter(F.col("hamming") <= max_hamming)
 
 
 def lsh_auto_params(n_rows: int) -> tuple[int, int]:
@@ -892,7 +1131,11 @@ def _lsh_band_keys_udf(planes, bands: int):
         X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
         B = impl(X, P)  # (n, n_planes) int8 sign bits
         w = 1 << np.arange(rpb, dtype=np.int64)
-        K = B.reshape(len(X), bands, rpb).astype(np.int64) @ w
+        # surplus planes beyond bands*rpb never form a band (ADVICE
+        # r10: an indivisible n_planes must not die as an opaque
+        # reshape error inside the executor — the pre-r10 element_at
+        # path ignored the tail, matched here)
+        K = B[:, : bands * rpb].reshape(len(X), bands, rpb).astype(np.int64) @ w
         return pd.DataFrame({f"b{i}": K[:, i] for i in range(bands)})
 
     return _keys
@@ -905,6 +1148,113 @@ def _lsh_band_keys_udf(planes, bands: int):
 # mega-bucket. A module constant so tests can shrink it to exercise
 # the chunk loop.
 _VERIFY_CHUNK_PAIRS = 1 << 17
+
+# rows of verified output buffered inside a bucket-verify generator
+# before a frame is yielded back to Arrow (bounds generator memory on
+# pair-dense data without yielding a tiny frame per bucket run)
+_VERIFY_FLUSH_ROWS = 1 << 18
+
+
+def _make_bucket_kit():
+    """Factory for the shared exactly-once banded-verify kit — the
+    r10 embedding-LSH plan shape (one banded exchange, bucket-local
+    verify, first-shared-band emission) factored so the MinHash and
+    SimHash pair generators run the identical machinery (r10 VERDICT
+    item 6: one kernel, three call sites, no drift).
+
+    NESTED defs so cloudpickle serializes them BY VALUE into the
+    mapInPandas closures (the repo's UDF self-containment convention —
+    workers never need nano_vectordb_spark importable; see
+    _make_sign_bits).
+
+    Returns (pair_chunk_blocks, earlier_shared_band, bucket_runs):
+
+    * pair_chunk_blocks(occ, chunk_pairs) — yields (ii, jj) index
+      arrays enumerating all i<j pairs of a bucket in anchor-block
+      slices of at most ~chunk_pairs pairs, so a pathological
+      mega-bucket (degenerate data: thousands of identical items)
+      bounds MEMORY while its quadratic true output streams out chunk
+      by chunk.
+    * earlier_shared_band(Kb, ii, jj, band_id) — the exactly-once
+      emission predicate: True where a pair already shares a band
+      BEFORE band_id and is therefore that earlier bucket's to emit.
+      Kb is the (n, bands, rpb) int64 band-key tensor; band equality =
+      all rpb slots equal (rpb=1 for scalar keys).
+    * bucket_runs(batches, extract) — segments a mapInPandas batch
+      stream, sorted by (band_id, band_key, doc_id) within its hash
+      partition, into complete bucket runs; yields (band_id, arrays)
+      with arrays = extract(pdf) columns sliced to the run. An Arrow
+      batch boundary can cut a run anywhere, so each batch's trailing
+      run is carried and reassembled (np.concatenate) against the next
+      batch's head. Interior runs of occupancy 1 — the common case in
+      a healthy banding regime — are skipped without materializing a
+      slice."""
+    import numpy as np
+
+    def pair_chunk_blocks(occ, chunk_pairs):
+        bs = max(1, chunk_pairs // occ)
+        for i0 in range(0, occ - 1, bs):
+            i1 = min(occ, i0 + bs)
+            ii = np.repeat(np.arange(i0, i1), occ)
+            jj = np.tile(np.arange(occ), i1 - i0)
+            m = jj > ii
+            ii, jj = ii[m], jj[m]
+            if ii.size:
+                yield ii, jj
+
+    def earlier_shared_band(Kb, ii, jj, band_id):
+        if band_id == 0 or ii.size == 0:
+            return np.zeros(ii.shape, dtype=bool)
+        return (
+            (Kb[ii, :band_id, :] == Kb[jj, :band_id, :])
+            .all(axis=2)
+            .any(axis=1)
+        )
+
+    def bucket_runs(batches, extract):
+        carry_key = None
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bid = pdf["band_id"].to_numpy()
+            bkey = pdf["band_key"].to_numpy()
+            arrays = extract(pdf)
+            n = len(bid)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
+            starts = np.flatnonzero(change)
+            ends = np.r_[starts[1:], n]
+            first_key = (int(bid[0]), int(bkey[0]))
+            if carry_key is not None and carry_key == first_key:
+                head = tuple(
+                    np.concatenate([c, a[starts[0] : ends[0]]])
+                    for c, a in zip(carry, arrays)
+                )
+            else:
+                if carry_key is not None and len(carry[0]) >= 2:
+                    yield carry_key[0], carry
+                head = tuple(a[starts[0] : ends[0]] for a in arrays)
+            if len(starts) == 1:
+                # whole batch is one run: keep carrying
+                carry_key, carry = first_key, head
+            else:
+                if len(head[0]) >= 2:
+                    yield first_key[0], head
+                for s0, e0 in zip(starts[1:-1], ends[1:-1]):
+                    if e0 - s0 >= 2:
+                        yield int(bid[s0]), tuple(a[s0:e0] for a in arrays)
+                carry_key = (int(bid[starts[-1]]), int(bkey[starts[-1]]))
+                carry = tuple(a[starts[-1] : ends[-1]] for a in arrays)
+        if carry_key is not None and len(carry[0]) >= 2:
+            yield carry_key[0], carry
+
+    return pair_chunk_blocks, earlier_shared_band, bucket_runs
+
+
+# module-level bindings of the same code objects, for unit tests
+_pair_chunk_blocks, _earlier_shared_band, _bucket_runs = _make_bucket_kit()
 
 
 def _bucket_verify_gen(threshold: float, bands: int):
@@ -932,35 +1282,41 @@ def _bucket_verify_gen(threshold: float, bands: int):
 
     An Arrow batch boundary can split a bucket run, so the trailing
     (possibly incomplete) run of each batch is carried into the next
-    batch and flushed at iterator end. Pair generation is chunked by
-    anchor-row blocks so a pathological mega-bucket (degenerate data:
-    thousands of identical vectors) bounds MEMORY at ~CHUNK pairs per
-    slice — the wall on such data is inherent to its quadratic true
-    output, but the stage never OOMs."""
+    batch and flushed at iterator end (bucket_runs in the shared kit).
+    Pair generation is chunked by anchor-row blocks so a pathological
+    mega-bucket (degenerate data: thousands of identical vectors)
+    bounds MEMORY at ~CHUNK pairs per slice — the wall on such data is
+    inherent to its quadratic true output, but the stage never OOMs."""
     import numpy as np
     import pandas as pd
 
     CHUNK_PAIRS = _VERIFY_CHUNK_PAIRS  # captured at plan time
+    FLUSH_ROWS = _VERIFY_FLUSH_ROWS
+    pair_chunks, earlier_band, bucket_runs = _make_bucket_kit()
+    key_cols = [f"b{i}" for i in range(bands)]
+
+    def extract(pdf):
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        Kb = np.column_stack(
+            [pdf[c].to_numpy(dtype=np.int64) for c in key_cols]
+        )[:, :, None]
+        return ids, V, Kb
+
+    def to_frame(acc):
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(acc[0]),
+                "b_id": np.concatenate(acc[1]),
+                "cos_sim": np.concatenate(acc[2]),
+            }
+        )
 
     def gen(batches):
-        carry_key = None
-        carry_ids = None
-        carry_vecs = None
-        carry_K = None
-
-        def verify_run(ids, V, K, band_id, acc):
-            occ = len(ids)
-            if occ < 2:
-                return
-            bs = max(1, CHUNK_PAIRS // occ)
-            for i0 in range(0, occ - 1, bs):
-                i1 = min(occ, i0 + bs)
-                ii = np.repeat(np.arange(i0, i1), occ)
-                jj = np.tile(np.arange(occ), i1 - i0)
-                m = jj > ii
-                ii, jj = ii[m], jj[m]
-                if ii.size == 0:
-                    continue
+        acc: tuple[list, list, list] = ([], [], [])
+        n_acc = 0
+        for band_id, (ids, V, Kb) in bucket_runs(batches, extract):
+            for ii, jj in pair_chunks(len(ids), CHUNK_PAIRS):
                 A, B = V[ii], V[jj]
                 s = np.zeros(ii.size)
                 for d in range(V.shape[1]):
@@ -969,76 +1325,19 @@ def _bucket_verify_gen(threshold: float, bands: int):
                 if keep.any() and band_id > 0:
                     # first-shared-band check: drop pairs an earlier
                     # band's bucket already emitted
-                    ki, kj = K[ii[keep]], K[jj[keep]]
-                    earlier = (ki[:, :band_id] == kj[:, :band_id]).any(
-                        axis=1
-                    )
+                    earlier = earlier_band(Kb, ii[keep], jj[keep], band_id)
                     keep[np.flatnonzero(keep)[earlier]] = False
                 if keep.any():
                     acc[0].append(ids[ii[keep]])
                     acc[1].append(ids[jj[keep]])
                     acc[2].append(s[keep])
-
-        def to_frame(acc):
-            return pd.DataFrame(
-                {
-                    "a_id": np.concatenate(acc[0]),
-                    "b_id": np.concatenate(acc[1]),
-                    "cos_sim": np.concatenate(acc[2]),
-                }
-            )
-
-        key_cols = [f"b{i}" for i in range(bands)]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            V = np.array(pdf["__v"].tolist(), dtype=np.float64)
-            K = np.column_stack(
-                [pdf[c].to_numpy(dtype=np.int64) for c in key_cols]
-            )
-            bid = pdf["band_id"].to_numpy()
-            bkey = pdf["band_key"].to_numpy()
-            change = np.empty(len(ids), dtype=bool)
-            change[0] = True
-            change[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
-            starts = np.flatnonzero(change)
-            ends = np.r_[starts[1:], len(ids)]
-            acc: tuple[list, list, list] = ([], [], [])
-            first_key = (int(bid[0]), int(bkey[0]))
-            if carry_key is not None and carry_key == first_key:
-                # the previous batch's trailing run continues here
-                ids0 = np.concatenate([carry_ids, ids[starts[0] : ends[0]]])
-                V0 = np.concatenate([carry_vecs, V[starts[0] : ends[0]]])
-                K0 = np.concatenate([carry_K, K[starts[0] : ends[0]]])
-            else:
-                if carry_key is not None:
-                    verify_run(carry_ids, carry_vecs, carry_K, carry_key[0], acc)
-                ids0 = ids[starts[0] : ends[0]]
-                V0 = V[starts[0] : ends[0]]
-                K0 = K[starts[0] : ends[0]]
-            if len(starts) == 1:
-                # whole batch is one run: keep carrying
-                carry_key, carry_ids, carry_vecs, carry_K = (
-                    first_key, ids0, V0, K0,
-                )
-            else:
-                verify_run(ids0, V0, K0, first_key[0], acc)
-                for s0, e0 in zip(starts[1:-1], ends[1:-1]):
-                    verify_run(
-                        ids[s0:e0], V[s0:e0], K[s0:e0], int(bid[s0]), acc
-                    )
-                carry_key = (int(bid[starts[-1]]), int(bkey[starts[-1]]))
-                carry_ids = ids[starts[-1] : ends[-1]]
-                carry_vecs = V[starts[-1] : ends[-1]]
-                carry_K = K[starts[-1] : ends[-1]]
-            if acc[0]:
+                    n_acc += int(keep.sum())
+            if n_acc >= FLUSH_ROWS:
                 yield to_frame(acc)
-        if carry_key is not None:
-            acc = ([], [], [])
-            verify_run(carry_ids, carry_vecs, carry_K, carry_key[0], acc)
-            if acc[0]:
-                yield to_frame(acc)
+                acc = ([], [], [])
+                n_acc = 0
+        if acc[0]:
+            yield to_frame(acc)
 
     return gen
 
@@ -1077,6 +1376,15 @@ def embedding_neardup_lsh(
         raise ValueError(
             "pass n_planes and bands together or neither; a lone explicit "
             "value silently combines with an auto-derived one (ADVICE r8)"
+        )
+    # id contract (ADVICE r10): the bucket-verify kernel emits a_id/b_id
+    # as int64 — fail fast on non-integral id columns instead of
+    # crashing inside the executor UDF or silently retyping the output
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"embedding_neardup_lsh requires an integral {id_col!r} "
+            f"(emitted as int64 pair ids); got {id_type}"
         )
     if n_rows is None:
         n_rows = df.count()
@@ -1287,68 +1595,29 @@ def simhash64_pairs(
     exact banding (pigeonhole: B bands are exact for hamming <= B-1,
     so the fewest/widest bands that satisfy B >= t+1 win): bucket
     count per band is 2^(64/B), so each halving of B squares the
-    bucket count and divides per-bucket occupancy — and the band
-    join's candidate volume grows ~quadratically in occupancy.  The
+    bucket count and divides per-bucket occupancy — and the bucket
+    verify's candidate volume grows ~quadratically in occupancy. The
     r6 sf100 decade run (5M docs) measured the difference: 8-bit
-    bands (2^8 buckets, ~19.5k docs/bucket) put the join in its
+    bands (2^8 buckets, ~19.5k docs/bucket) put pair generation in its
     quadratic regime (>20 min, killed), while the t=3-exact 16-bit
     bands (2^16 buckets, ~76 docs/bucket) keep candidates near-linear.
     At any corpus size, occupancy = n_docs / 2^(64/B): re-check the
-    regime when n_docs approaches the bucket count."""
+    regime when n_docs approaches the bucket count.
+
+    Plan shape (r11): one banded exchange, bucket-local exactly-once
+    verify via the shared kit (_simhash_banded_pairs) — the r9-shape
+    banded self-join and its candidate `.distinct()` are gone."""
     if max_hamming > 15:
-        raise ValueError("band join is exact only for max_hamming <= 15")
+        raise ValueError("banding is exact only for max_hamming <= 15")
     n_bands = next(b for b in (2, 4, 8, 16) if b >= max_hamming + 1)
     per_half = n_bands // 2  # bands per 32-bit half
-    width = 32 // per_half
-    mask = (1 << width) - 1
-    # the signature table feeds both sides of the self-join: persist so
-    # the pandas-UDF signature pass runs once, not twice
-    sh = _persist(simhash64(df, text_col, id_col))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(half * per_half + bi).alias("band_id"),
-                F.shiftright(F.col(col), bi * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("nib"),
-            )
-            for half, col in ((0, "sim_hi"), (1, "sim_lo"))
-            for bi in range(per_half)
-        ]
+    # one consumer chain now (no self-join), so the pandas-UDF
+    # signature pass runs exactly once with no persist
+    return _simhash_banded_pairs(
+        simhash64(df, text_col, id_col),
+        max_hamming,
+        ("sim_hi", "sim_lo"),
+        per_half,
+        32 // per_half,
+        df.count(),
     )
-    banded = sh.select(
-        "doc_id", "sim_hi", "sim_lo", F.explode(bands).alias("b")
-    ).select(
-        "doc_id",
-        "sim_hi",
-        "sim_lo",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.nib").alias("nib"),
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.sim_hi").alias("ha_hi"),
-            F.col("a.sim_lo").alias("ha_lo"),
-            F.col("b.sim_hi").alias("hb_hi"),
-            F.col("b.sim_lo").alias("hb_lo"),
-        )
-        .distinct()
-    )
-    ham = cand.select(
-        "a_id",
-        "b_id",
-        (
-            F.bit_count(F.col("ha_hi").bitwiseXOR(F.col("hb_hi")))
-            + F.bit_count(F.col("ha_lo").bitwiseXOR(F.col("hb_lo")))
-        ).alias("hamming"),
-    )
-    return ham.filter(F.col("hamming") <= max_hamming)

@@ -85,6 +85,62 @@ def test_lsh_bucket_verify_survives_arrow_batch_splits(spark):
     assert got == want
 
 
+def test_minhash_bucket_verify_survives_arrow_batch_splits(spark):
+    """The r11 minhash port of the bucket-verify kernel must reassemble
+    runs across Arrow batch boundaries exactly like the embedding one
+    (same shared kit, but payload extraction differs) — 7-row batches
+    vs default must be pair- and value-identical."""
+    docs = _docs(spark)
+    want = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, 0.2).collect()
+    }
+    assert want
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        got = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in dedup.minhash_lsh_pairs(docs, 0.2).collect()
+        }
+        got64 = {
+            (r.a_id, r.b_id): r.hamming
+            for r in dedup.simhash64_pairs(docs, 3).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == want
+    want64 = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dedup.simhash64_pairs(docs, 3).collect()
+    }
+    assert want64 and got64 == want64
+
+
+def test_minhash_mega_bucket_exactly_once(spark, monkeypatch):
+    """Degenerate corpus: N identical documents form one mega-bucket in
+    EVERY band. The chunked pair loop must bound memory, the
+    first-shared-band rule must emit each pair exactly once (band 0
+    only — any duplicate emission doubles the count), and jaccard must
+    be exactly 1.0."""
+    monkeypatch.setattr(dedup, "_VERIFY_CHUNK_PAIRS", 500)
+    n = 150
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    rows = dedup.minhash_lsh_pairs(df, 0.9).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r.jaccard == 1.0 for r in rows)
+    ham = dedup.simhash64_pairs(df, 3).collect()
+    assert len(ham) == n * (n - 1) // 2
+    assert all(r.hamming == 0 for r in ham)
+
+
 def test_lsh_bucket_verify_mega_bucket_chunking(spark, monkeypatch):
     """Degenerate data (many identical vectors -> one mega-bucket) must
     flow through the chunked pair generation and emit the full

@@ -359,3 +359,38 @@ def test_lsh_neardup_single_exchange_map_only_after(spark):
     plan = physical_plan(df, "simple")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
     assert "HashAggregate" not in plan, plan  # the old dropDuplicates
+
+
+def test_minhash_lsh_single_exchange_map_only_after(spark):
+    """r11 (r10 VERDICT item 1): minhash_lsh_pairs now runs the same
+    exactly-once bucket-verify shape — ONE hash exchange (the banded
+    table carrying shingles+signature) and a map-only plan after it.
+    The r9-shape plan had THREE candidate-volume exchanges here: the
+    banded self-join, the candidate distinct, and two shingle
+    join-backs. Any join/aggregate reappearing means the port
+    regressed."""
+    from nano_vectordb_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = dedup_ops.minhash_lsh_pairs(docs, 0.2)
+    n_ex = count_exchanges(df)
+    assert n_ex == 1, physical_plan(df, "simple")
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "HashAggregate" not in plan, plan  # the old candidate distinct
+
+
+def test_simhash64_single_exchange_map_only_after(spark):
+    """r11 (r10 VERDICT item 2): simhash64_pairs via the shared banded
+    kernel — one hash exchange (the nibble-banded signature table),
+    bucket-local Hamming verify, first-shared-band emission, no
+    candidate distinct."""
+    from nano_vectordb_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    df = dedup_ops.simhash64_pairs(docs, 3)
+    n_ex = count_exchanges(df)
+    assert n_ex == 1, physical_plan(df, "simple")
+    plan = physical_plan(df, "simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "HashAggregate" not in plan, plan
