@@ -135,10 +135,18 @@ def collect_train_sample(
     fixture that was 31 x 35 MiB = 1.1 GiB of serialized results,
     over spark.driver.maxResultSize (measured r10). Pass 1 takes the
     N smallest IDS (8 B each); pass 2 fetches vectors with a pushed
-    id <= threshold predicate (~N matching rows across all tasks) and
-    trims driver-side. Same rows as the one-pass form whenever ids
-    are unique (every fixture) — and deterministic even under
-    duplicate ids, which TakeOrdered's arbitrary tie-break was not."""
+    id predicate and trims driver-side. A bare ``id <=
+    ids[-1]`` fetch is NOT bounded when ids repeat (degenerate: one id
+    everywhere collects the whole table, reintroducing the driver OOM
+    this fixes — ADVICE r10), so pass 2 fetches in two bounded
+    pieces: rows STRICTLY below the threshold id (provably <=
+    train_rows - 1 of them — every such row is among the N smallest
+    with multiplicity), then threshold-TIED rows under a limit() for
+    the remainder. With unique ids (every real fixture and the vecbin
+    contract) this is the same rows as the one-pass form,
+    deterministically; under duplicate ids the choice among
+    threshold-tied rows is arbitrary (as any first-N-by-id must be),
+    but driver traffic stays bounded by train_rows."""
     from pyspark.sql import functions as F
 
     if id_col in df.columns:
@@ -148,12 +156,20 @@ def collect_train_sample(
         ]
         if not ids:
             return np.zeros((0, 0), dtype=np.float64)
-        rows = (
+        strict = (
             df.select(id_col, vec_col)
-            .filter(F.col(id_col) <= ids[-1])
+            .filter(F.col(id_col) < ids[-1])
             .collect()
         )
-        rows.sort(key=lambda r: r[0])
+        strict.sort(key=lambda r: r[0])
+        need = train_rows - len(strict)
+        tied = (
+            df.select(id_col, vec_col)
+            .filter(F.col(id_col) == ids[-1])
+            .limit(max(need, 0))
+            .collect()
+        )
+        rows = strict + tied
         return np.asarray(
             [r[1] for r in rows[:train_rows]], dtype=np.float64
         )

@@ -112,8 +112,19 @@ _DRIVER_BUDGET_FRACTION = 0.25   # leave headroom for Spark's own driver state
 
 
 def _driver_heap_bytes(spark) -> int:
-    """spark.driver.memory parsed to bytes (JVM size suffixes)."""
-    raw = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+    """spark.driver.memory parsed to bytes (JVM size suffixes). When
+    the conf is UNSET, ask the driver JVM for its actual max heap
+    (Runtime.maxMemory) instead of assuming the 1g default — a driver
+    launched with a larger -Xmx but no explicit conf would otherwise
+    see its budget railed to 256 MiB and refuse modest RAM-resident
+    builds that complete fine (ADVICE r10)."""
+    raw = spark.conf.get("spark.driver.memory", None)
+    if raw is None:
+        try:
+            return int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        except Exception:  # pragma: no cover - gateway unavailable
+            raw = "1g"
+    raw = str(raw).strip().lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if raw and raw[-1] in mult:
         return int(float(raw[:-1]) * mult[raw[-1]])
@@ -1388,6 +1399,13 @@ def shard_graph_search_adaptive(
         index, shard_graph, queries, probes1, k, ef, n_entry, coarse,
         id_col, vec_col, query_id_col, query_vec_col,
     )
+    # pin the round-1 beam output (ADVICE r10): cand1 feeds the kth-
+    # distance collect below AND the returned plan (r1 or the union
+    # rescore) — without this the most expensive stage re-runs 2-3x.
+    # The candidate set is small (<= Q x nprobe x ef rows of two ids),
+    # so an eager localCheckpoint (the module's lineage-pinning idiom)
+    # materializes it once with no unpersist bookkeeping.
+    cand1 = cand1.localCheckpoint(eager=True)
     r1 = _rescore_shard_candidates(
         index, queries, cand1, probed1, k,
         id_col, vec_col, query_id_col, query_vec_col,
