@@ -797,3 +797,57 @@ def _reorder_registry_r10() -> None:
 
 
 _reorder_registry_r10()
+
+# CORRECTNESS_r10 went 50/50 green, so the r10 basket enters the
+# official history — stale_regate_order() now serves the entries r10
+# left oldest (the remaining r6-era rows, then the oldest r7 rows).
+_BASKET_HISTORY = _BASKET_HISTORY + ((10, GATE_BASKET_R10),)
+
+
+# r11 registrations, in registration order: the two LSH observability
+# entries that witness the r11 exactly-once banded-kernel rebuild
+# (r10 VERDICT items 1-2) — the bucket-occupancy regime check and the
+# first-shared-band emission profile whose oracle independently
+# defines the emission rule the kernels implement in-stream.
+GATE_BASKET_R11_NEW: tuple[str, ...] = (
+    "minhash_band_occupancy",
+    "neardup_first_band_profile",
+)
+
+# 48 re-gate slots by the standing rule.
+GATE_BASKET_R11_REGATES: tuple[str, ...] = tuple(
+    stale_regate_order()[: 50 - len(GATE_BASKET_R11_NEW)]
+)
+
+GATE_BASKET_R11: tuple[str, ...] = GATE_BASKET_R11_NEW + GATE_BASKET_R11_REGATES
+
+
+def _reorder_registry_r11() -> None:
+    missing = [n for n in GATE_BASKET_R11 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R11 names unknown entries: {missing}")
+    if len(GATE_BASKET_R11) != 50 or len(set(GATE_BASKET_R11)) != 50:
+        raise RuntimeError(
+            f"GATE_BASKET_R11 must be exactly 50 distinct entries, "
+            f"got {len(GATE_BASKET_R11)}"
+        )
+    gated = set(official_rounds())
+    fresh = set(GATE_BASKET_R11_NEW)
+    if fresh & gated:
+        raise RuntimeError(
+            f"GATE_BASKET_R11_NEW repeats verdicted entries: {fresh & gated}"
+        )
+    not_regates = set(GATE_BASKET_R11_REGATES) - gated
+    if not_regates:
+        raise RuntimeError(
+            f"GATE_BASKET_R11_REGATES must re-gate official rows only: {not_regates}"
+        )
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R11}
+    # everything else already holds an official driver row: park at the
+    # tail in existing relative order
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r11()

@@ -961,3 +961,102 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# r11: LSH observability — the two numbers an operator watches when the
+# near-dup pass scales (both over the SAME banded table the pair
+# generators bucket on, so they diagnose the real plan, not a model)
+# --------------------------------------------------------------------------
+
+
+def _sql_minhash_band_occupancy() -> str:
+    return f"""
+WITH {_sql_minhash_base()},
+occ AS (
+  SELECT band_id, band_sig, count(*) AS c
+  FROM banded GROUP BY band_id, band_sig
+)
+SELECT band_id,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(c) AS BIGINT) AS max_occupancy,
+       CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM occ GROUP BY band_id
+"""
+
+
+@register("minhash_band_occupancy", oracle=_sql_minhash_band_occupancy())
+def minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy profile of the MinHash LSH banding — per band:
+    bucket count, max occupancy, and the candidate-pair volume
+    sum-over-buckets C(occ, 2) the bucket verify will pay. THE
+    quadratic-regime health check the dedup docstrings prescribe
+    ("re-check the regime when n_docs approaches the bucket count"):
+    at 100 TB this one cheap aggregate — two shuffles over the banded
+    table, nothing pairwise — is what says whether the near-dup pass
+    is still in its linear regime BEFORE committing the cluster to it
+    (the r6 sf100 decade run measured the cliff: ~19.5k docs/bucket
+    put pair generation >20 min; ~76 docs/bucket kept it linear)."""
+    state = dedup_ops.minhash_band_state(
+        load_table(spark, sf_dir, "documents")
+    )
+    occ = state.groupBy("band_id", "band_sig").agg(F.count("*").alias("c"))
+    return occ.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("c").alias("max_occupancy"),
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("candidate_pairs"),
+    )
+
+
+def _sql_neardup_first_band_profile() -> str:
+    lsh = _sql_minhash_lsh()
+    return f"""
+WITH kept AS ({lsh}),
+{_sql_minhash_base()},
+shared AS (
+  SELECT v.a_id, v.b_id, ba.band_id
+  FROM kept v
+  JOIN banded ba ON ba.doc_id = v.a_id
+  JOIN banded bb ON bb.doc_id = v.b_id
+   AND bb.band_id = ba.band_id AND bb.band_sig = ba.band_sig
+)
+SELECT first_band, CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT a_id, b_id, min(band_id) AS first_band
+      FROM shared GROUP BY a_id, b_id)
+GROUP BY first_band
+"""
+
+
+@register("neardup_first_band_profile", oracle=_sql_neardup_first_band_profile())
+def neardup_first_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which band EMITS each verified near-dup pair — the declarative
+    witness of the r11 exactly-once emission rule (a pair belongs to
+    its first truly-shared band) and the LSH tuning signal: bands
+    whose first-emission count is ~0 add recall nobody uses, so their
+    slots could widen the remaining bands instead. Computed OUTSIDE
+    the kernel — pairs from the gated generator, first-shared-band by
+    joining the pair set back to the banded state — so the oracle
+    hash-match proves the kernel's in-stream rule coincides with the
+    independent SQL definition. Scale shape: the joins carry only the
+    verified PAIR set (tiny next to the corpus) against the banded
+    state; the pair side is broadcast."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    state = dedup_ops.minhash_band_state(
+        load_table(spark, sf_dir, "documents")
+    )
+    b1 = state.select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_sig"
+    )
+    b2 = state.select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_sig"
+    )
+    shared = F.broadcast(pairs).join(b1, "a_id").join(
+        F.broadcast(b2.join(
+            F.broadcast(pairs.select("b_id").distinct()), "b_id", "left_semi"
+        )),
+        ["b_id", "band_id", "band_sig"],
+    )
+    first = shared.groupBy("a_id", "b_id").agg(
+        F.min("band_id").alias("first_band")
+    )
+    return first.groupBy("first_band").agg(F.count("*").alias("n_pairs"))

@@ -81,9 +81,9 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R10) == 50
-    assert len(set(registry.GATE_BASKET_R10)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R10)
+    assert len(registry.GATE_BASKET_R11) == 50
+    assert len(set(registry.GATE_BASKET_R11)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R11)
 
 
 def test_r10_window_follows_the_standing_rotation_rule():
@@ -101,14 +101,51 @@ def test_r10_window_follows_the_standing_rotation_rule():
     assert list(regates) == registry.stale_regate_order(before_round=10)[
         : 50 - len(new)
     ]
-    # the window occupies the registry's first 50 positions
-    assert list(registry.REGISTRY)[:50] == list(registry.GATE_BASKET_R10)
-    # every remaining r5-era official row is refreshed this round
-    rounds = registry.official_rounds()
-    r5_stale = {n for n, r in rounds.items() if r == 5}
+    # every r5-era official row (as of the r10 window) was refreshed
+    # that round — replayed against the pre-r10 history
+    r5_stale = {
+        n
+        for n, r in _official_rounds_before(10).items()
+        if r == 5
+    }
     assert r5_stale <= set(regates)
+
+
+def _official_rounds_before(round_no: int) -> dict[str, int]:
+    """official_rounds() replayed as of a PAST round (same filter
+    stale_regate_order(before_round=...) applies)."""
+    out: dict[str, int] = {}
+    for rnd, basket in registry._BASKET_HISTORY:
+        if rnd < round_no:
+            for n in basket:
+                out[n] = rnd
+    return out
+
+
+def test_r11_window_follows_the_standing_rotation_rule():
+    """Fourth application of the standing rule: 2 new registrations
+    (minhash_band_occupancy, neardup_first_band_profile — the LSH
+    observability witnesses of the r11 exactly-once kernel rebuild),
+    then 48 re-gate slots on the oldest official rows — after the r10
+    basket entered the history, the 33 remaining r6-era rows plus the
+    oldest 15 r7-era rows."""
+    new = registry.GATE_BASKET_R11_NEW
+    regates = registry.GATE_BASKET_R11_REGATES
+    assert list(registry.GATE_BASKET_R11) == list(new) + list(regates)
+    gated = set(registry.stale_regate_order(before_round=11))
+    assert not set(new) & gated
+    assert set(regates) <= gated
+    assert list(regates) == registry.stale_regate_order(before_round=11)[
+        : 50 - len(new)
+    ]
+    # the window occupies the registry's first 50 positions
+    assert list(registry.REGISTRY)[:50] == list(registry.GATE_BASKET_R11)
+    # every remaining r6-era official row is refreshed this round
+    rounds = registry.official_rounds()
+    r6_stale = {n for n, r in rounds.items() if r == 6}
+    assert r6_stale <= set(regates)
     # staleness bound: nothing in the registry is older than 5 rounds
-    assert min(rounds.values()) >= 5
+    assert min(rounds.values()) >= 6
 
 
 def test_r9_window_follows_the_standing_rotation_rule():
@@ -237,6 +274,7 @@ def test_r7_window_closes_the_rotation():
         - set(registry.GATE_BASKET_R8_NEW)
         - set(registry.GATE_BASKET_R9_NEW)
         - set(registry.GATE_BASKET_R10_NEW)
+        - set(registry.GATE_BASKET_R11_NEW)
     )
 
 
@@ -299,8 +337,10 @@ def test_registry_growth_bounded_by_the_window():
     reweighting composition, and the baseline-JPEG codec witness
     (r8 VERDICT items 2, 5, 6).  r10 registers 2 (231 -> 233): the
     adaptive re-probe witness and the MPEG-1 frame-header walk
-    (r9 VERDICT items 2, 7)."""
-    assert len(registry.REGISTRY) == 233
+    (r9 VERDICT items 2, 7).  r11 registers 2 (233 -> 235): the LSH
+    bucket-occupancy regime check and the first-shared-band emission
+    profile (observability for the r11 exactly-once kernel rebuild)."""
+    assert len(registry.REGISTRY) == 235
     gated = set(registry.official_rounds())
     ungated = set(registry.REGISTRY) - gated
-    assert ungated == set(registry.GATE_BASKET_R10_NEW)
+    assert ungated == set(registry.GATE_BASKET_R11_NEW)
