@@ -298,32 +298,34 @@ def _shingles_and_sig(
     )
 
 
-def _minhash_verify_gen(threshold: float, bands: int, rows: int):
-    """mapInPandas body for the MinHash LSH bucket verify — the r10
-    exactly-once shape (see _bucket_verify_gen / _make_bucket_kit)
-    applied to text: the input stream is hash-partitioned AND sorted by
-    (band_id, band_key, doc_id) with band_key = xxhash64 of the band's
-    signature slice, so every LSH bucket is one contiguous run inside
-    one task. Each row carries its shingles and its FULL signature, so
-    verification is bucket-local (no candidate stream ever enters an
-    exchange, no shingle join-backs) and a pair is emitted only from
-    its FIRST truly-shared band (no downstream distinct — the r9-shape
-    plan carried each near-dup pair through ~all its shared bands and
-    distinct'ed the survivors).
+def _minhash_candidate_gen(bands: int, rows: int):
+    """mapInPandas body for MinHash LSH candidate generation — the
+    exactly-once half of the r10 bucket-verify shape (see
+    _make_bucket_kit): the input stream is hash-partitioned AND sorted
+    by (band_id, band_key, doc_id) with band_key = xxhash64 of the
+    band's signature slice, so every LSH bucket is one contiguous run
+    inside one task, and a pair is emitted only from its FIRST
+    truly-shared band. This is what kills the r9-shape plan's disease:
+    no pair is ever materialized once per shared band (~x bands
+    duplication) and no downstream `.distinct()` exists — the emitted
+    candidate stream is already the UNIQUE band-sharing pair set, the
+    minimum any exact verify must touch.
 
-    Because the bucket key is a 64-bit HASH of the band slice, two rows
-    can share a bucket without sharing the band (collision): candidacy
-    is therefore re-checked against the carried signature slices —
+    Jaccard is NOT computed here: carrying shingle payload through the
+    banded exchange (the literal embedding-LSH port) was measured at
+    1M docs and LOST — string-array payload x bands blew the exchange
+    and the Arrow crossing (217 s warm; executor RPC death under
+    default memory), where this skinny form's exchange measures ~9 s.
+    Candidates leave this kernel as bare (a_id, b_id) pairs and the
+    exact string-set Jaccard runs JVM-side against the shingle table,
+    pruned to candidate docs (minhash_lsh_pairs).
+
+    Because the bucket key is a 64-bit HASH of the band slice, two
+    rows can share a bucket without sharing the band (collision):
+    candidacy is re-checked against the carried signature slices —
     TRUE band equality at this band_id, no earlier truly-shared band —
-    before the (expensive, Python-set) Jaccard verify runs. The check
-    order also means a pair sharing all `bands` bands pays exactly ONE
-    Jaccard evaluation, where verify-first would pay one per bucket.
-
-    Jaccard itself is exact over the distinct shingle sets:
-    |A ∩ B| / (|A| + |B| - |A ∩ B|) as an int64/int64 float64 division
-    — the identical value the old array_intersect expression and the
-    DuckDB oracle's list_intersect produce, so official rows stay
-    byte-identical."""
+    so a collision can only waste a comparison, never fabricate or
+    suppress a candidate."""
     import numpy as np
     import pandas as pd
 
@@ -337,59 +339,92 @@ def _minhash_verify_gen(threshold: float, bands: int, rows: int):
         sig = np.array(pdf["sig"].tolist(), dtype=np.int64)
         # surplus signature slots beyond bands*rows never form a band
         Kb = sig[:, : bands * rows].reshape(n, bands, rows)
-        sh = pdf["shingles"].to_numpy()
-        return ids, Kb, sh
+        return ids, Kb
 
     def to_frame(acc):
         return pd.DataFrame(
-            {
-                "a_id": np.concatenate(acc[0]),
-                "b_id": np.concatenate(acc[1]),
-                "jaccard": np.concatenate(acc[2]),
-            }
+            {"a_id": np.concatenate(acc[0]), "b_id": np.concatenate(acc[1])}
         )
 
     def gen(batches):
-        acc: tuple[list, list, list] = ([], [], [])
+        acc: tuple[list, list] = ([], [])
         n_acc = 0
-        for band_id, (ids, Kb, sh) in bucket_runs(batches, extract):
-            occ = len(ids)
-            sets = [set(s) for s in sh]
-            lens = np.fromiter(
-                (len(s) for s in sets), dtype=np.int64, count=occ
-            )
-            for ii, jj in pair_chunks(occ, CHUNK_PAIRS):
-                # candidate = TRULY shares THIS band (the bucket key is
-                # a hash; a collision must not fabricate a candidate)
-                # and no earlier band already emitted the pair
+        for band_id, (ids, Kb) in bucket_runs(batches, extract):
+            for ii, jj in pair_chunks(len(ids), CHUNK_PAIRS):
                 cand = (Kb[ii, band_id, :] == Kb[jj, band_id, :]).all(
                     axis=1
                 )
                 if band_id > 0:
                     cand &= ~earlier_band(Kb, ii, jj, band_id)
-                if not cand.any():
-                    continue
-                ii_c, jj_c = ii[cand], jj[cand]
-                inter = np.fromiter(
-                    (len(sets[i] & sets[j]) for i, j in zip(ii_c, jj_c)),
-                    dtype=np.int64,
-                    count=ii_c.size,
-                )
-                jac = inter / (lens[ii_c] + lens[jj_c] - inter)
-                keep = jac >= threshold
-                if keep.any():
-                    acc[0].append(ids[ii_c[keep]])
-                    acc[1].append(ids[jj_c[keep]])
-                    acc[2].append(jac[keep])
-                    n_acc += int(keep.sum())
+                if cand.any():
+                    acc[0].append(ids[ii[cand]])
+                    acc[1].append(ids[jj[cand]])
+                    n_acc += int(cand.sum())
             if n_acc >= FLUSH_ROWS:
                 yield to_frame(acc)
-                acc = ([], [], [])
+                acc = ([], [])
                 n_acc = 0
         if acc[0]:
             yield to_frame(acc)
 
     return gen
+
+
+def _occupancy_ge2(banded: DataFrame) -> DataFrame:
+    """Drop rows whose (band_id, band_key) bucket has occupancy 1 —
+    they can never pair — BEFORE the Python crossing. The count window
+    partitions by exactly the keys the caller just repartitioned on
+    and is satisfied by the existing sort prefix, so WindowExec adds
+    NO exchange and NO extra sort: one JVM pass that typically removes
+    the vast majority of banded rows from the Arrow stream (healthy
+    banding = mostly singleton buckets)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        banded.withColumn("__occ", F.count(F.lit(1)).over(w))
+        .filter(F.col("__occ") >= 2)
+        .drop("__occ")
+    )
+
+
+def minhash_lsh_candidates(
+    base: DataFrame, bands: int, rows: int
+) -> DataFrame:
+    """The corpus-scale half of minhash_lsh_pairs, exposed so its plan
+    shape can be pinned: (a_id, b_id) pairs sharing >= 1 signature
+    band, each emitted EXACTLY ONCE (first truly-shared band). ONE
+    hash exchange total — the skinny banded table (doc_id, sig),
+    linear in N x bands — and a map-only plan after it: the occupancy
+    filter reuses the exchange's partitioning (no shuffle, see
+    _occupancy_ge2) and the kernel never materializes a duplicate or
+    needs a downstream distinct. ``base`` is a (doc_id, sig, ...)
+    table from _shingles_and_sig / minhash_signatures."""
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias(
+                "band_key"
+            ),
+        )
+        for bi in range(bands)
+    ]
+    banded = base.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+    return (
+        banded.repartition(F.col("band_id"), F.col("band_key"))
+        .sortWithinPartitions("band_id", "band_key", "doc_id")
+        .transform(_occupancy_ge2)
+        .mapInPandas(
+            _minhash_candidate_gen(bands, rows), "a_id long, b_id long"
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -405,82 +440,83 @@ def minhash_lsh_pairs(
     k/bands consecutive signature values become candidates; candidates
     are verified with exact Jaccard and filtered at threshold.
 
-    Plan shape (r11 — the r10 embedding-LSH redesign ported per that
-    round's VERDICT item 1): ONE exchange total. The fused
-    shingle+signature pass feeds a banded explode that carries each
-    doc's shingles and full signature; the banded table — linear in
-    N x bands, the only thing shuffled — is hash-partitioned on
-    (band_id, band_key) with band_key = xxhash64(signature slice)
-    (8-byte sort keys instead of '_'-joined strings), sorted within
-    partitions, and verified bucket-locally with exactly-once
-    first-shared-band emission (_minhash_verify_gen). Nothing scales
-    with the candidate count: the r9-shape plan's candidate
-    `.distinct()` and its two shingle join-backs — three exchanges
-    sized by candidate volume (the embedding analog measured a 156M-row
-    survivor exchange at 2M items) — are gone, and with one consumer
-    chain the shingle+signature base no longer needs a persist.
+    Plan shape (r11 — the r10 exactly-once emission rule, fitted to
+    text after MEASURING the literal embedding-LSH port): the fused
+    shingle+signature pass feeds a SKINNY banded explode (doc_id +
+    signature; ~200 B/row), hash-partitioned on (band_id, band_key)
+    with band_key = xxhash64(signature slice), sorted within
+    partitions; singleton buckets are dropped JVM-side before the
+    Arrow crossing (_occupancy_ge2 — no extra exchange); the kernel
+    emits each band-sharing pair exactly once from its FIRST
+    truly-shared band (_minhash_candidate_gen — no `.distinct()`, no
+    x bands duplication, which was the r9 plan's candidate-volume
+    disease); exact string-set Jaccard then runs JVM-side
+    (array_intersect — the oracle's own definition) against the
+    shingle table pruned to candidate docs by a broadcast semi join,
+    so the corpus is never re-shuffled for verification.
 
-    The trade-off is payload width: shingles ride the banded exchange
-    x bands copies. The exchange is therefore sized to ~96 MB of
-    banded payload per sort partition (floor: the session default), as
-    the r10 profile did for vectors.
-
-    Candidate semantics vs the hashed key: TRUE band equality is
-    re-checked inside the bucket against the carried signature slices,
-    so a 64-bit key collision can only waste a comparison, never
-    fabricate a candidate — output remains exactly "shares >= 1 true
-    band AND exact Jaccard >= threshold" (the oracle's definition).
+    Why not carry shingles through the exchange (the literal r10
+    embedding recipe)? Measured at 1M docs: the string-array payload
+    x bands blew the exchange and the Arrow crossing (217 s warm,
+    executor RPC death under default memory), while this skinny form's
+    exchange+sort+Arrow measures ~9 s. Vectors are fixed-width and
+    dominate their plan's cost either way; text payload is wide,
+    variable, and only needed for the tiny candidate set. The verify
+    joins move ONLY candidate-scale data (the exactly-once pair set ~
+    output size), the corpus-scale stages are the signature pass and
+    one skinny exchange.
 
     Reference parity: nano-vectordb has no text dedup; this is
     north-star extension surface following the reference's staged
     narrow-then-exact discipline (Performance.md:224-276)."""
     rows = k // bands
-    base = _shingles_and_sig(_spread(df), k, n, text_col, id_col)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band_id"),
-            F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias(
-                "band_key"
+    # the base feeds both the banded explode and the verify side:
+    # persist so the shingle+signature pass runs once
+    base = _persist(_shingles_and_sig(_spread(df), k, n, text_col, id_col))
+    # candidate pairs feed both the id-prune and the verify join:
+    # persist the (small, exactly-once) pair set so the banded kernel
+    # runs once
+    cand = _persist(minhash_lsh_candidates(base, bands, rows))
+    # exact-Jaccard verify over the candidate docs' shingle sets: prune
+    # the (persisted) base to candidate ids with a broadcast semi join
+    # — candidate ids are ~2 x pair count, tiny next to the corpus —
+    # then equi-join the candidate pairs against the pruned sides
+    ids = (
+        cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id"))
+        .distinct()
+    )
+    sh = base.join(F.broadcast(ids), "doc_id", "left_semi").select(
+        "doc_id", "shingles", "n_sh"
+    )
+    j = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("shingles").alias("sa"),
+                F.col("n_sh").alias("na"),
             ),
+            "a_id",
         )
-        for bi in range(bands)
-    ]
-    banded = base.select(
-        "doc_id",
-        "shingles",
-        "sig",
-        F.explode(F.array(*band_structs)).alias("b"),
-    ).select(
-        "doc_id",
-        "shingles",
-        "sig",
-        F.col("b.band_id").alias("band_id"),
-        F.col("b.band_key").alias("band_key"),
-    )
-    # size the one exchange so sort partitions hold ~96 MB of banded
-    # payload (shingles dominate: ~3 bytes of shingle text per text
-    # byte — each word opens one 3-gram — plus the 8-byte-per-slot
-    # signature and row overhead); floor at the session default so
-    # small inputs keep their plan and full parallelism
-    stats = df.select(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length(F.col(text_col))).alias("text_bytes"),
-    ).first()
-    n_docs = int(stats["n_docs"] or 0)
-    text_bytes = int(stats["text_bytes"] or 0)
-    default_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    est_bytes = bands * (n_docs * (8 * k + 72) + 3 * text_bytes)
-    n_parts = max(default_parts, -(-est_bytes // (96 << 20)))
-    return (
-        banded.repartition(int(n_parts), F.col("band_id"), F.col("band_key"))
-        .sortWithinPartitions("band_id", "band_key", "doc_id")
-        .mapInPandas(
-            _minhash_verify_gen(threshold, bands, rows),
-            "a_id long, b_id long, jaccard double",
+        .join(
+            sh.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("shingles").alias("sb"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.size(F.array_intersect("sa", "sb"))
+                ).cast("double")
+            ).alias("jaccard"),
         )
     )
+    return j.filter(F.col("jaccard") >= threshold)
 
 
 def _banded_sigs(
@@ -937,6 +973,7 @@ def _simhash_banded_pairs(
     return (
         banded.repartition(int(n_parts), F.col("band_id"), F.col("band_key"))
         .sortWithinPartitions("band_id", "band_key", "doc_id")
+        .transform(_occupancy_ge2)
         .mapInPandas(
             _hamming_verify_gen(max_hamming, n_cols, per_col, width),
             "a_id long, b_id long, hamming int",
@@ -1611,10 +1648,13 @@ def simhash64_pairs(
         raise ValueError("banding is exact only for max_hamming <= 15")
     n_bands = next(b for b in (2, 4, 8, 16) if b >= max_hamming + 1)
     per_half = n_bands // 2  # bands per 32-bit half
-    # one consumer chain now (no self-join), so the pandas-UDF
-    # signature pass runs exactly once with no persist
+    # the plan is one consumer chain now (no self-join), but the
+    # signature table stays persisted so repeated ACTIONS on the
+    # returned frame (benchmark reps, count-then-collect consumers)
+    # don't re-run the md5 pandas-UDF pass — the measured wall at 1M
+    # docs is ~40 s of signature vs ~8 s for everything after it
     return _simhash_banded_pairs(
-        simhash64(df, text_col, id_col),
+        _persist(simhash64(df, text_col, id_col)),
         max_hamming,
         ("sim_hi", "sim_lo"),
         per_half,

@@ -151,9 +151,10 @@ SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {_JACCARD_T}
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified.
     The oracle runs the identical algorithm (same permutation
-    constants), so candidate sets match exactly. The built plan (with
-    its persisted shingle+signature base) is memoized per sf_dir so
-    repeat invocations reuse one cache instead of stacking persists."""
+    constants), so candidate sets match exactly. The built plan is
+    memoized per sf_dir (since r11 the op is one linear consumer chain
+    with no persist; the memo now just avoids re-running the
+    plan-build-time sizing aggregate)."""
     key = ("minhash_lsh", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = dedup_ops.minhash_lsh_pairs(

@@ -85,14 +85,18 @@ def main() -> None:
     n_single = idx.assigned.count()
     print(f"ivf_build nlist={NLIST}: {time.time()-t0:.1f}s")
 
-    t0 = time.time()
-    rep = ivf_replicate(idx, replicas=REPLICAS, eps=EPS)
-    rep.assigned = rep.assigned.persist()
-    n_rep = rep.assigned.count()
-    print(
-        f"ivf_replicate replicas={REPLICAS} eps={EPS}: factor "
-        f"{n_rep/n_single:.3f} in {time.time()-t0:.1f}s"
-    )
+    single_only = bool(os.environ.get("SPARK_GRAFT_SHARD_SINGLE_ONLY"))
+    if single_only:
+        rep = None
+    else:
+        t0 = time.time()
+        rep = ivf_replicate(idx, replicas=REPLICAS, eps=EPS)
+        rep.assigned = rep.assigned.persist()
+        n_rep = rep.assigned.count()
+        print(
+            f"ivf_replicate replicas={REPLICAS} eps={EPS}: factor "
+            f"{n_rep/n_single:.3f} in {time.time()-t0:.1f}s"
+        )
 
     queries = sample_ops.sample_queries(emb, 100, seed=42).select(
         "query_id", "embedding"
@@ -102,7 +106,10 @@ def main() -> None:
     gt.count()
     print(f"gt_build: {time.time()-t0:.1f}s")
 
-    for label, index in (("single", idx), ("replicated", rep)):
+    variants = (("single", idx),) if single_only else (
+        ("single", idx), ("replicated", rep)
+    )
+    for label, index in variants:
         t0 = time.time()
         g = graphann.shard_graph_build(index, k=K_GRAPH).persist()
         n_edges = g.count()

@@ -361,23 +361,40 @@ def test_lsh_neardup_single_exchange_map_only_after(spark):
     assert "HashAggregate" not in plan, plan  # the old dropDuplicates
 
 
-def test_minhash_lsh_single_exchange_map_only_after(spark):
-    """r11 (r10 VERDICT item 1): minhash_lsh_pairs now runs the same
-    exactly-once bucket-verify shape — ONE hash exchange (the banded
-    table carrying shingles+signature) and a map-only plan after it.
-    The r9-shape plan had THREE candidate-volume exchanges here: the
-    banded self-join, the candidate distinct, and two shingle
-    join-backs. Any join/aggregate reappearing means the port
-    regressed."""
+def test_minhash_lsh_candidates_single_exchange_map_only_after(spark):
+    """r11 (r10 VERDICT item 1): the corpus-scale stage of
+    minhash_lsh_pairs — exactly-once candidate generation — is ONE
+    hash exchange (the skinny banded table) and map-only after it: the
+    occupancy filter's window must reuse the exchange's partitioning
+    (a second exchange appearing here means it stopped aligning) and
+    the kernel needs no join, no distinct, no aggregate. The r9-shape
+    plan had a banded self-join + candidate distinct + two shingle
+    join-backs here — exchanges scaling with the x bands-duplicated
+    candidate stream."""
+    from nano_vectordb_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    base = dedup_ops._shingles_and_sig(docs, 16, 3, "text", "doc_id")
+    cand = dedup_ops.minhash_lsh_candidates(base, 4, 4)
+    n_ex = count_exchanges(cand)
+    assert n_ex == 1, physical_plan(cand, "simple")
+    plan = physical_plan(cand, "simple")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "HashAggregate" not in plan, plan  # the old candidate distinct
+
+
+def test_minhash_lsh_pairs_verify_never_reshuffles_the_corpus(spark):
+    """The verify half of minhash_lsh_pairs moves candidate-scale data
+    only: the shingle table is pruned to candidate docs by a BROADCAST
+    semi join (scan-local on the corpus side — no corpus-wide shuffle
+    for verification; the string payload was measured to kill the
+    banded exchange when carried through it at 1M docs)."""
     from nano_vectordb_spark.operators import dedup as dedup_ops
 
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     df = dedup_ops.minhash_lsh_pairs(docs, 0.2)
-    n_ex = count_exchanges(df)
-    assert n_ex == 1, physical_plan(df, "simple")
     plan = physical_plan(df, "simple")
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
-    assert "HashAggregate" not in plan, plan  # the old candidate distinct
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
 
 
 def test_simhash64_single_exchange_map_only_after(spark):
