@@ -87,6 +87,42 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_for_shingles(df: DataFrame, text_col: str) -> DataFrame:
+    """Byte-aware spread for the shingle+signature pass: the fused
+    pass amplifies each text byte into ~3 bytes of shingle strings
+    (every word opens one 3-gram) plus a 16-slot signature, and the
+    persisted base materializes per-partition cache blocks — so
+    partitions must be sized by the AMPLIFIED payload, not the scan
+    bytes. Measured failure this guards (r11, 5M docs / 36 file
+    partitions / 32 concurrent tasks on an 8 GB local heap): ~400 MB
+    of shingle payload per partition OOM'd the JVM during cache-block
+    build; the same arithmetic holds on a real cluster, where a
+    default 128 MB parquet scan partition amplifies past 400 MB of
+    task working set. Targets ~32 MB of estimated shingle payload per
+    partition (floor: the cluster parallelism, same as _spread), at
+    the cost of one pruned-column aggregate over the input.
+
+    The width check compares against the plan's ACTUAL partition
+    count, not the file listing: Spark packs small files into
+    maxPartitionBytes-sized scan partitions, so a 1000-file fixture
+    still scans as 36 oversized partitions (the measured OOM's exact
+    shape — an inputFiles()-based check silently passed it)."""
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length(F.col(text_col))).alias("tb"),
+    ).first()
+    est = 3 * int(stats["tb"] or 0) + 136 * int(stats["n"] or 0)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(max(target, -(-est // (32 << 20))))
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        current = 0
+    if current >= n_parts:
+        return df
+    return df.repartition(n_parts)
+
+
 def minhash_perms(k: int) -> list[tuple[int, int]]:
     """Fixed, engine-independent permutation constants (embedded
     literally into the oracle SQL as well)."""
@@ -471,8 +507,14 @@ def minhash_lsh_pairs(
     narrow-then-exact discipline (Performance.md:224-276)."""
     rows = k // bands
     # the base feeds both the banded explode and the verify side:
-    # persist so the shingle+signature pass runs once
-    base = _persist(_shingles_and_sig(_spread(df), k, n, text_col, id_col))
+    # persist so the shingle+signature pass runs once; partitions are
+    # sized by the AMPLIFIED shingle payload (measured 5M-doc OOM
+    # otherwise — see _spread_for_shingles)
+    base = _persist(
+        _shingles_and_sig(
+            _spread_for_shingles(df, text_col), k, n, text_col, id_col
+        )
+    )
     # candidate pairs feed both the id-prune and the verify join:
     # persist the (small, exactly-once) pair set so the banded kernel
     # runs once
@@ -575,7 +617,9 @@ def minhash_band_state(
     work: each corpus snapshot ships its own band table; a new
     version's dedup cost is one signature pass over the DELTA plus an
     append, never a recompute over history."""
-    base = _shingles_and_sig(df, k, n, text_col, id_col)
+    base = _shingles_and_sig(
+        _spread_for_shingles(df, text_col), k, n, text_col, id_col
+    )
     return _banded_sigs(base.select("doc_id", "sig"), bands, k // bands)
 
 
