@@ -87,6 +87,13 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+# target bytes of AMPLIFIED shingle payload per partition for the
+# fused shingle+signature pass (see _spread_for_shingles); a module
+# constant so tests can shrink it to exercise the widening path
+# without multi-GB fixtures
+_SHINGLE_PARTITION_BYTES = 32 << 20
+
+
 def _spread_for_shingles(df: DataFrame, text_col: str) -> DataFrame:
     """Byte-aware spread for the shingle+signature pass: the fused
     pass amplifies each text byte into ~3 bytes of shingle strings
@@ -113,7 +120,7 @@ def _spread_for_shingles(df: DataFrame, text_col: str) -> DataFrame:
     ).first()
     est = 3 * int(stats["tb"] or 0) + 136 * int(stats["n"] or 0)
     target = df.sparkSession.sparkContext.defaultParallelism
-    n_parts = int(max(target, -(-est // (32 << 20))))
+    n_parts = int(max(target, -(-est // _SHINGLE_PARTITION_BYTES)))
     try:
         current = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive

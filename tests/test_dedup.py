@@ -121,6 +121,29 @@ def test_minhash_bucket_verify_survives_arrow_batch_splits(spark):
     assert want64 and got64 == want64
 
 
+def test_spread_for_shingles_widens_by_amplified_bytes(spark, monkeypatch):
+    """The 5M-doc OOM's guard: partitions for the shingle+signature
+    pass are sized by the AMPLIFIED payload estimate, and the width
+    check compares against the plan's actual partition count (file
+    listings are defeated by small-file packing — the measured
+    failure's exact shape). Shrink the per-partition target so a small
+    fixture exercises the widening path."""
+    monkeypatch.setattr(dedup, "_SHINGLE_PARTITION_BYTES", 1 << 10)
+    docs = _docs(spark).limit(200)
+    est_rows = 200
+    spread = dedup._spread_for_shingles(docs, "text")
+    n = spread.rdd.getNumPartitions()
+    # ~200 docs x a few hundred chars x 3 amplification >> 1 KiB/part
+    assert n > spark.sparkContext.defaultParallelism, n
+    # and the output is row-identical to the input
+    assert spread.count() == est_rows
+    # wide-enough inputs pass through untouched: with the real 32 MiB
+    # target the same 200 docs stay at the parallelism floor
+    monkeypatch.setattr(dedup, "_SHINGLE_PARTITION_BYTES", 32 << 20)
+    spread2 = dedup._spread_for_shingles(docs.repartition(64), "text")
+    assert spread2.rdd.getNumPartitions() == 64
+
+
 def test_minhash_mega_bucket_exactly_once(spark, monkeypatch):
     """Degenerate corpus: N identical documents form one mega-bucket in
     EVERY band. The chunked pair loop must bound memory, the
