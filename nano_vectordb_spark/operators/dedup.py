@@ -1615,11 +1615,25 @@ def simhash64(
 
     consts = _SIMHASH64_CONSTS
 
+    # per-TASK token-hash memo, shared across the task's Arrow batches
+    # (cloudpickle ships the empty dict by value; each task
+    # deserializes its own copy once): token -> md5-derived 28-bit
+    # hash, so md5 runs once per distinct token per task. The
+    # per-batch distinctness then runs on the NUMERIC hashes
+    # (np.unique over int64 — a machine sort) instead of the object
+    # strings (an O(n log n) Python-string sort per batch, which was
+    # the signature pass's wall once the bit matrix stopped being
+    # widened). Two tokens colliding at 28 bits collapse into one
+    # unique row — identical semantics, the bits depend only on the
+    # hash.
+    vocab: dict = {}
+
     @pandas_udf("struct<sim_hi:long,sim_lo:long>")
     def _sig(texts):  # pd.Series -> pd.DataFrame (scalar struct UDF)
         # One flattened pass over the whole Arrow batch: md5 each
-        # DISTINCT token once, then segment-sum the unpacked bit matrix
-        # per document with add.reduceat — no per-document Python loop.
+        # DISTINCT token once (per task), then segment-sum the gathered
+        # bit rows per document with add.reduceat — no per-document
+        # Python loop.
         tok_lists = [
             [t for t in (text or "").split(" ") if t] for text in texts
         ]
@@ -1630,19 +1644,23 @@ def simhash64(
             return pd.DataFrame(
                 {"sim_hi": [None] * n_docs, "sim_lo": [None] * n_docs}
             )
-        flat = np.array(
-            [t for ts in tok_lists for t in ts], dtype=object
-        )
-        uniq, inv = np.unique(flat, return_inverse=True)
-        uh = np.fromiter(
-            (
-                int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
-                for t in uniq
-            ),
+        vget = vocab.get
+
+        def tok_hash(t):
+            h = vget(t)
+            if h is None:
+                h = vocab[t] = int(
+                    hashlib.md5(t.encode()).hexdigest()[:7], 16
+                )
+            return h
+
+        total = int(lens.sum())
+        hs_tok = np.fromiter(
+            (tok_hash(t) for ts in tok_lists for t in ts),
             dtype=np.int64,
-            count=len(uniq),
+            count=total,
         )
-        hs = uh[inv]  # (total_tokens,)
+        uh, inv = np.unique(hs_tok, return_inverse=True)
         # segment offsets over the nonempty docs only (reduceat needs
         # strictly valid starts; empty docs are filled with None below)
         seg_lens = lens[nonempty]
@@ -1651,12 +1669,21 @@ def simhash64(
         out = {}
         shifts = np.arange(32, dtype=np.uint64)
         for name, (c1, c2) in zip(("sim_hi", "sim_lo"), consts):
-            h32 = ((hs * c1 + c2) % 4_294_967_296).astype(np.uint32)
-            bits = np.unpackbits(
-                h32.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
-            )  # (total_tokens, 32), column j = bit j
+            # rehash + unpack per DISTINCT token, then GATHER the uint8
+            # bit rows per token occurrence: the old per-occurrence form
+            # materialized an int64 (total_tokens, 32) matrix (~200 MB
+            # per Arrow batch per half — measured as ~10x the cost of
+            # the minhash signature pass at 1M docs); the gather stays
+            # uint8 (~25 MB) and reduceat accumulates in int64 without
+            # materializing the widened input. Identical integer math,
+            # bit-identical output.
+            hu32 = ((uh * c1 + c2) % 4_294_967_296).astype(np.uint32)
+            bits_u = np.unpackbits(
+                hu32.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+            )  # (n_uniq, 32), column j = bit j
+            bits = bits_u[inv]  # (total_tokens, 32) uint8 gather
             ones = np.add.reduceat(
-                bits.astype(np.int64), offsets, axis=0
+                bits, offsets, axis=0, dtype=np.int64
             )  # (n_nonempty, 32)
             positive = (2 * ones - seg_lens[:, None]) > 0  # +/-1 sums
             vals = (positive.astype(np.uint64) << shifts[None, :]).sum(axis=1)
