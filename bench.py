@@ -87,6 +87,23 @@ def _loadavg() -> list[float] | None:
 LOAD_PIN = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_PIN", "1.0"))
 LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
 
+# Mid-run contamination guard (r11 VERDICT finding 1): _wait_for_idle
+# gates only the START of the run, so contention arriving mid-run was
+# recorded (load_reps_max_1m) but never FLAGGED — BENCH_r11 shipped a
+# 19.06 s headline with load_reps_max_1m 6.61 and protocol_violation
+# false, and adjudicating it took a forensic rerun. The ceiling
+# separates the bench's own load from foreign load: measured idle runs
+# peak at 2.13 (r10 official) and 3.52 (r11 judge idle rerun) 1-min
+# load from the bench's own bursts; the contaminated run hit 6.61.
+SELF_LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_SELF_LOAD", "5.0"))
+
+
+def _mid_run_violation(load_samples: list[list[float]]) -> bool:
+    """True when any per-rep 1-min load exceeded what the bench's own
+    32 threads produce on an idle host — i.e. another job shared the
+    machine DURING the timed reps and the headline is contaminated."""
+    return bool(load_samples) and max(s[0] for s in load_samples) > SELF_LOAD_CEILING
+
 
 def _wait_for_idle() -> bool:
     """Block (bounded) until the 1-min load clears the pin. Returns
@@ -166,7 +183,9 @@ def main() -> None:
     from nano_vectordb_spark import registry
     from nano_vectordb_spark.session import get_spark
 
-    protocol_violation = _wait_for_idle()
+    violations: list[str] = []
+    if _wait_for_idle():
+        violations.append("start_wait_timeout")
     spark = get_spark(app_name="nvdb-bench", cpus=CPUS)
 
     # warmup: prime the file cache + JVM + Python UDF workers (the
@@ -207,6 +226,13 @@ def main() -> None:
             rep_times[name] = [round(t, 4) for t in ts]
         if release_between:
             registry.release_caches()
+    if _mid_run_violation(load_samples):
+        print(
+            f"# WARNING mid-run 1-min load exceeded the bench self-load "
+            f"ceiling {SELF_LOAD_CEILING}; recording protocol_violation",
+            file=sys.stderr,
+        )
+        violations.append("mid_run_load")
     total = round(sum(timings.values()), 4)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
@@ -246,12 +272,16 @@ def main() -> None:
                     if load_samples
                     else None
                 ),
-                # r8 VERDICT item 4: the harness now WAITS (bounded)
-                # for the 1-min load to clear load_pin before timing;
-                # True here means the host never went idle and the
-                # headline must be read with that caveat
-                "protocol_violation": protocol_violation,
+                # r8 VERDICT item 4 + r11 finding 1: True when the
+                # host never went idle before the run OR foreign load
+                # arrived mid-run (1-min load above the bench's own
+                # idle-host ceiling during timed reps) — either way the
+                # headline must be read with that caveat, and
+                # violation_reasons says which gate tripped
+                "protocol_violation": bool(violations),
+                "violation_reasons": violations,
                 "load_pin": LOAD_PIN,
+                "self_load_ceiling": SELF_LOAD_CEILING,
             }
         )
     )

@@ -27,6 +27,8 @@ including the same MinHash permutation constants.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +36,13 @@ from nano_vectordb_spark.functions.text import token_hash_expr, tokens_expr
 from nano_vectordb_spark.functions.vector import dot_expr
 
 MINHASH_P = 2_147_483_647
+
+# Cap on the per-task token->hash memo in the signature UDFs: ~4M
+# entries is ~0.5 GB of dict at worst-case token sizes — large enough
+# that realistic vocabularies never hit it, small enough that an
+# adversarial all-distinct-token stream can't grow a long-lived task's
+# memory without bound.
+_VOCAB_MEMO_CAP = 4_000_000
 
 
 # Every persist this module takes is tracked here so long-lived
@@ -116,7 +125,10 @@ def _spread_for_shingles(df: DataFrame, text_col: str) -> DataFrame:
     shape — an inputFiles()-based check silently passed it)."""
     stats = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.length(F.col(text_col))).alias("tb"),
+        # octet_length, not length: the OOM model is in BYTES and
+        # multi-byte UTF-8 text undercounts by up to 4x under a
+        # character count, eroding the per-partition headroom
+        F.sum(F.octet_length(F.col(text_col))).alias("tb"),
     ).first()
     est = 3 * int(stats["tb"] or 0) + 136 * int(stats["n"] or 0)
     target = df.sparkSession.sparkContext.defaultParallelism
@@ -511,7 +523,12 @@ def minhash_lsh_pairs(
 
     Reference parity: nano-vectordb has no text dedup; this is
     north-star extension surface following the reference's staged
-    narrow-then-exact discipline (Performance.md:224-276)."""
+    narrow-then-exact discipline (Performance.md:224-276).
+
+    NOTE: building the plan runs one EAGER count+byte aggregate over
+    the input at construction time (_spread_for_shingles sizes the
+    shingle pass by amplified payload bytes — the measured 5M-doc OOM
+    guard). Callers composing lazily should build once and reuse."""
     rows = k // bands
     # the base feeds both the banded explode and the verify side:
     # persist so the shingle+signature pass runs once; partitions are
@@ -991,9 +1008,22 @@ def _simhash_banded_pairs(
     exactly-once first-shared-band emission (_hamming_verify_gen).
     Replaces the r9-shape banded self-join + candidate `.distinct()`,
     whose exchanges scaled with candidate volume (r10 VERDICT item 2:
-    verify was already in-row, so the rebuild is strictly a win)."""
+    verify was already in-row, so the rebuild is strictly a win).
+
+    Null hash columns are dropped HERE, where the kernel's int64
+    contract lives: a null band_key would otherwise bucket together
+    under the occupancy window's SQL null-equality (unlike the old
+    banded self-join, where null never matched) and then crash the
+    kernel's to_numpy(int64). Unreachable from the public simhash*
+    entry points (they filter zero-token docs before signing) — this
+    enforces the invariant for any future direct caller."""
     mask = (1 << width) - 1
     n_cols = len(hash_cols)
+    sh = sh.filter(
+        functools.reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in hash_cols]
+        )
+    )
     bands_arr = F.array(
         *[
             F.struct(
@@ -1037,6 +1067,7 @@ def simhash_pairs(
     max_hamming: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs (a_id < b_id, hamming <= max_hamming).
     Pair generation buckets on the COARSEST exact banding (pigeonhole:
@@ -1045,7 +1076,13 @@ def simhash_pairs(
     count and keep the bucket verify out of its quadratic occupancy
     regime — see simhash64_pairs for the measured sf100 cliff). Plan
     shape: one banded exchange, bucket-local exactly-once verify
-    (_simhash_banded_pairs)."""
+    (_simhash_banded_pairs).
+
+    NOTE: building the plan sizes the banded exchange from the doc
+    count — when ``n_docs_hint`` is None this runs one EAGER df.count()
+    Spark job at construction time. Callers composing plans lazily (or
+    who already know N) pass the hint to keep construction action-free.
+    """
     if max_hamming > 7:
         raise ValueError("banding is exact only for max_hamming <= 7")
     n_bands = next(b for b in (2, 4, 8) if b >= max_hamming + 1)
@@ -1055,7 +1092,7 @@ def simhash_pairs(
         ("simhash",),
         n_bands,
         32 // n_bands,
-        df.count(),
+        df.count() if n_docs_hint is None else int(n_docs_hint),
     )
 
 
@@ -1625,7 +1662,11 @@ def simhash64(
     # the signature pass's wall once the bit matrix stopped being
     # widened). Two tokens colliding at 28 bits collapse into one
     # unique row — identical semantics, the bits depend only on the
-    # hash.
+    # hash. BOUNDED: an adversarial all-distinct-token corpus would
+    # otherwise grow a long-lived task's memo without limit, so once
+    # the memo passes _VOCAB_MEMO_CAP entries it is reset (correctness
+    # is unaffected — the memo is a pure cache over a deterministic
+    # hash; the reset only costs re-hashing tokens seen before it).
     vocab: dict = {}
 
     @pandas_udf("struct<sim_hi:long,sim_lo:long>")
@@ -1644,6 +1685,8 @@ def simhash64(
             return pd.DataFrame(
                 {"sim_hi": [None] * n_docs, "sim_lo": [None] * n_docs}
             )
+        if len(vocab) > _VOCAB_MEMO_CAP:
+            vocab.clear()
         vget = vocab.get
 
         def tok_hash(t):
@@ -1704,6 +1747,7 @@ def simhash64_pairs(
     max_hamming: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash near-dup pairs (a_id < b_id, hamming <=
     max_hamming). Band width adapts to the threshold via the COARSEST
@@ -1721,7 +1765,13 @@ def simhash64_pairs(
 
     Plan shape (r11): one banded exchange, bucket-local exactly-once
     verify via the shared kit (_simhash_banded_pairs) — the r9-shape
-    banded self-join and its candidate `.distinct()` are gone."""
+    banded self-join and its candidate `.distinct()` are gone.
+
+    NOTE: building the plan sizes the banded exchange from the doc
+    count — when ``n_docs_hint`` is None this runs one EAGER df.count()
+    Spark job at construction time. Callers composing plans lazily (or
+    who already know N) pass the hint to keep construction action-free.
+    """
     if max_hamming > 15:
         raise ValueError("banding is exact only for max_hamming <= 15")
     n_bands = next(b for b in (2, 4, 8, 16) if b >= max_hamming + 1)
@@ -1737,5 +1787,5 @@ def simhash64_pairs(
         ("sim_hi", "sim_lo"),
         per_half,
         32 // per_half,
-        df.count(),
+        df.count() if n_docs_hint is None else int(n_docs_hint),
     )

@@ -152,9 +152,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4-band LSH candidates, exact-Jaccard verified.
     The oracle runs the identical algorithm (same permutation
     constants), so candidate sets match exactly. The built plan is
-    memoized per sf_dir (since r11 the op is one linear consumer chain
-    with no persist; the memo now just avoids re-running the
-    plan-build-time sizing aggregate)."""
+    memoized per sf_dir: the op persists TWO frames (the shingle+
+    signature base and the verified pair set), so the memo is
+    load-bearing twice over — it avoids stacking persists per
+    invocation AND re-running the plan-build-time sizing aggregate."""
     key = ("minhash_lsh", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = dedup_ops.minhash_lsh_pairs(

@@ -76,3 +76,23 @@ def test_calibration_shape_and_determinism(monkeypatch):
     assert cal["numpy_s"] > 0 and cal["jvm_s"] >= 0
     assert cal["total_s"] == round(cal["numpy_s"] + cal["jvm_s"], 4)
     assert calls and all(p == 1 for p in calls)
+
+
+def test_mid_run_violation_flags_foreign_load():
+    """r11 VERDICT finding 1: BENCH_r11 recorded load_reps_max_1m 6.61
+    with protocol_violation false — mid-run contention must now trip
+    the flag. The ceiling separates the bench's own idle-host load
+    (measured peaks 2.13 / 3.52) from foreign load (6.61)."""
+    bench = _bench()
+    idle_run = [[1.8, 1.0, 0.5], [3.5, 2.0, 1.0], [2.1, 2.2, 1.1]]
+    assert bench._mid_run_violation(idle_run) is False
+    contaminated = idle_run + [[6.61, 4.0, 2.0]]
+    assert bench._mid_run_violation(contaminated) is True
+    assert bench._mid_run_violation([]) is False
+
+
+def test_mid_run_ceiling_env_override(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SELF_LOAD", "2.0")
+    bench = _bench()
+    assert bench.SELF_LOAD_CEILING == 2.0
+    assert bench._mid_run_violation([[3.0, 1.0, 1.0]]) is True

@@ -478,3 +478,48 @@ def test_band_state_layout_partitioned_by_band(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     # partition pruning: the scan reads one of four band dirs
     assert one.count() > 0
+
+
+def test_simhash_banded_pairs_drops_null_hash_rows(spark):
+    """r12 ADVICE: a null hash column must be dropped at the kernel
+    boundary (null band keys would bucket together under the window's
+    SQL null-equality and then crash the kernel's int64 cast) — direct
+    callers of _simhash_banded_pairs get silence, not a crash."""
+    sh = spark.createDataFrame(
+        [(1, 5, 7), (2, 5, 7), (3, None, None), (4, None, None)],
+        "doc_id long, sim_hi long, sim_lo long",
+    )
+    pairs = dedup._simhash_banded_pairs(sh, 3, ("sim_hi", "sim_lo"), 2, 16, 4)
+    got = {(p.a_id, p.b_id) for p in pairs.collect()}
+    assert got == {(1, 2)}  # null-hash docs pair with nothing, no crash
+
+
+def test_simhash64_vocab_memo_reset_preserves_hashes(spark, monkeypatch):
+    """The per-task token-hash memo cap: force the reset path on every
+    batch (cap=0 clears an already-populated memo) and pin that the
+    signatures are unchanged — the memo is a pure cache."""
+    docs = _docs(spark).limit(50)
+    base = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64(docs).collect()}
+    monkeypatch.setattr(dedup, "_VOCAB_MEMO_CAP", -1)
+    capped = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64(docs).collect()}
+    assert base == capped
+
+
+def test_simhash_pairs_n_docs_hint_matches_eager_count(spark):
+    """n_docs_hint only sizes the banded exchange — pairs must be
+    byte-identical with and without it (and with a WRONG-but-positive
+    hint, since the hint is a sizing input, not a semantic one)."""
+    docs = _docs(spark).limit(200)
+    base = sorted(
+        (p.a_id, p.b_id, p.hamming)
+        for p in dedup.simhash64_pairs(docs, 3).collect()
+    )
+    hinted = sorted(
+        (p.a_id, p.b_id, p.hamming)
+        for p in dedup.simhash64_pairs(docs, 3, n_docs_hint=200).collect()
+    )
+    rough = sorted(
+        (p.a_id, p.b_id, p.hamming)
+        for p in dedup.simhash64_pairs(docs, 3, n_docs_hint=10_000).collect()
+    )
+    assert base == hinted == rough
