@@ -482,6 +482,89 @@ def minhash_lsh_candidates(
     )
 
 
+# Density-adaptive dispatch threshold (r12, from the r11 5M head-to-
+# head): the exactly-once kernel's cost is the sig-carrying banded
+# exchange (~200 B/row, immune to candidate volume); the banded
+# self-join + distinct's cost scales with Σ C(occ,2) (candidate rows
+# through a distinct) but its exchange is a 40 B string row REUSED for
+# both join sides. At the measured low-density point (5M docs,
+# ~0.02 candidates/doc) the join form wins ~2x warm; in the
+# candidate-explosion regime (r6 sf100: ~19.5k docs/bucket) it dies
+# quadratically while the kernel stays linear. The factor is in
+# candidates per DOC: provably-light corpora dispatch to the join
+# form, heavy or unknown to the kernel. bands x occupancy-2 buckets
+# everywhere puts est/doc at exactly this scale, so 2.0 keeps the
+# join form confined to the regime where its candidate stream is
+# strictly smaller than the banded table it joins.
+LIGHT_CANDIDATES_PER_DOC = 2.0
+
+
+def _banded_candidate_estimate(
+    base: DataFrame, bands: int, rows: int
+) -> tuple[int, int]:
+    """(Σ_buckets C(occ, 2), n_docs) over the hashed banded table —
+    the minhash_band_occupancy decision variable as one cheap
+    aggregate: the skinny (band_id, band_key) explode is 16 B/row and
+    map-side combines to the distinct-bucket count before its only
+    exchange. This is what an operator (or the auto dispatch below)
+    runs BEFORE committing a cluster to a pair-generation plan."""
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.xxhash64(F.slice("sig", bi * rows + 1, rows)).alias("band_key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = base.select(F.explode(F.array(*band_structs)).alias("b")).select(
+        "b.band_id", "b.band_key"
+    )
+    row = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.expr("c * (c - 1) DIV 2")).alias("cand"),
+            F.sum("c").alias("banded_rows"),
+        )
+        .first()
+    )
+    cand = int(row["cand"] or 0)
+    n_docs = int(row["banded_rows"] or 0) // bands
+    return cand, n_docs
+
+
+def minhash_lsh_candidates_join(
+    base: DataFrame, bands: int, rows: int
+) -> DataFrame:
+    """The LIGHT-DENSITY candidate plan: band-string self-join +
+    distinct over the skinny banded table. Exchange payload is one
+    ~40 B string row per band (vs the kernel's ~200 B sig-carrying
+    row); at fixture scale the planner broadcasts one side outright
+    (AQE does not stage-reuse the aliased self-join sides — lambda
+    exprIds defeat canonical equality — so at scale the two skinny
+    shuffles are both paid; the r11 5M head-to-head was measured with
+    exactly this shape). Candidate semantics are identical to
+    minhash_lsh_candidates (docs sharing >= 1 TRUE band; the string
+    band_sig is the injective '_'-join of the signature slice, so no
+    hash-collision false candidates), the duplicates-per-shared-band
+    are removed by the distinct instead of the kernel's
+    first-shared-band rule — which is exactly the trade the dispatch
+    prices: distinct cost ∝ candidate volume."""
+    banded = _banded_sigs(base.select("doc_id", "sig"), bands, rows)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -490,6 +573,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    plan: str = "auto",
 ) -> DataFrame:
     """MinHash banded LSH near-dup pairs: docs sharing any band of
     k/bands consecutive signature values become candidates; candidates
@@ -525,10 +609,23 @@ def minhash_lsh_pairs(
     north-star extension surface following the reference's staged
     narrow-then-exact discipline (Performance.md:224-276).
 
+    Candidate-stage dispatch (r12): ``plan`` picks the candidate
+    generator — "kernel" (the exactly-once banded kernel above),
+    "join" (band-string self-join + distinct: minhash_lsh_candidates_
+    join), or "auto" (default): measure Σ C(occ, 2) over the banded
+    table (_banded_candidate_estimate — one skinny aggregate, the
+    minhash_band_occupancy health check inlined) and take the join
+    form only when the corpus is PROVABLY light (candidates/doc <=
+    LIGHT_CANDIDATES_PER_DOC), the kernel when heavy or unknown. The
+    verify stage is shared, so the pair set is byte-identical across
+    all three (pinned at three scale factors in tests/test_dedup.py).
+
     NOTE: building the plan runs one EAGER count+byte aggregate over
     the input at construction time (_spread_for_shingles sizes the
     shingle pass by amplified payload bytes — the measured 5M-doc OOM
-    guard). Callers composing lazily should build once and reuse."""
+    guard), and plan="auto" adds the EAGER occupancy aggregate.
+    Callers composing lazily should build once and reuse, or pass an
+    explicit plan."""
     rows = k // bands
     # the base feeds both the banded explode and the verify side:
     # persist so the shingle+signature pass runs once; partitions are
@@ -539,10 +636,22 @@ def minhash_lsh_pairs(
             _spread_for_shingles(df, text_col), k, n, text_col, id_col
         )
     )
+    if plan not in ("auto", "kernel", "join"):
+        raise ValueError(f"unknown plan {plan!r}")
+    if plan == "auto":
+        est, n_docs = _banded_candidate_estimate(base, bands, rows)
+        plan = (
+            "join"
+            if est <= LIGHT_CANDIDATES_PER_DOC * n_docs
+            else "kernel"
+        )
+    gen = (
+        minhash_lsh_candidates if plan == "kernel" else minhash_lsh_candidates_join
+    )
     # candidate pairs feed both the id-prune and the verify join:
-    # persist the (small, exactly-once) pair set so the banded kernel
-    # runs once
-    cand = _persist(minhash_lsh_candidates(base, bands, rows))
+    # persist the (small, deduplicated) pair set so the candidate
+    # stage runs once
+    cand = _persist(gen(base, bands, rows))
     # exact-Jaccard verify over the candidate docs' shingle sets: prune
     # the (persisted) base to candidate ids with a broadcast semi join
     # — candidate ids are ~2 x pair count, tiny next to the corpus —

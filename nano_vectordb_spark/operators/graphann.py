@@ -1122,13 +1122,26 @@ def shard_graph_add(
     return idx2, kept.unionByName(rebuilt)
 
 
+def default_nprobe(nlist: int) -> int:
+    """The constant-probed-fraction capacity rule, as code instead of
+    prose (r11 VERDICT item 7): recall at fixed nprobe dips exactly as
+    the probed FRACTION nprobe/nlist halves when nlist doubles with N
+    (measured ladder, realistic hash-embedded fixtures: 1M/nlist=256
+    np8 -> 0.993; 2M/512 np8 -> 0.984; 4M/1024 np8 -> 0.961 but np16
+    -> 0.994). Holding nprobe/nlist >= 1/64 (the 2M/512/np8 = 0.984
+    reference point) keeps the recall floor flat as the index scales;
+    the max(8, ...) floor reproduces the historical default at every
+    gate-fixture nlist (<= 512)."""
+    return max(8, nlist // 64)
+
+
 def shard_graph_search(
     index,
     shard_graph: DataFrame,
     queries: DataFrame,
     k: int = 10,
     ef: int = 64,
-    nprobe: int = 8,
+    nprobe: int | None = None,
     n_entry: int = 4,
     coarse: int = 256,
     id_col: str = "vec_id",
@@ -1154,9 +1167,17 @@ def shard_graph_search(
     Q x nprobe x k candidate set. With nprobe=nlist, coarse >= the
     largest list and ef >= the largest list, every shard node seeds
     the beam and the result equals the exact flat top-k (pinned in
-    tests) — the full-probe identity IVF search has."""
-    from nano_vectordb_spark.operators.ivf import probe_clusters
+    tests) — the full-probe identity IVF search has.
 
+    ``nprobe=None`` (default) derives probes from the CONSTANT-PROBED-
+    FRACTION rule (default_nprobe: max(8, nlist // 64)) so recall
+    holds flat as nlist scales with N instead of silently decaying —
+    the 4M/nlist=1024 floor (0.961 at a fixed np8) restored to 0.994
+    by exactly this derivation."""
+    from nano_vectordb_spark.operators.ivf import centroids_matrix, probe_clusters
+
+    if nprobe is None:
+        nprobe = default_nprobe(len(centroids_matrix(index)))
     probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
     cand, probed_ids = _shard_beam_candidates(
         index, shard_graph, queries, probes, k, ef, n_entry, coarse,
@@ -1306,8 +1327,8 @@ def shard_graph_search_adaptive(
     queries: DataFrame,
     k: int = 10,
     ef: int = 64,
-    nprobe: int = 8,
-    nprobe_max: int = 32,
+    nprobe: int | None = None,
+    nprobe_max: int | None = None,
     n_entry: int = 4,
     coarse: int = 256,
     id_col: str = "vec_id",
@@ -1361,6 +1382,13 @@ def shard_graph_search_adaptive(
         probe_ids_np,
     )
     from nano_vectordb_spark.operators.topk import MAX_BROADCAST_QUERIES
+
+    # the same constant-probed-fraction derivation as the static
+    # search; nprobe_max keeps its historical 4x headroom over nprobe
+    if nprobe is None:
+        nprobe = default_nprobe(len(centroids_matrix(index)))
+    if nprobe_max is None:
+        nprobe_max = 4 * nprobe
 
     spark = queries.sparkSession
     qrows = (

@@ -851,3 +851,57 @@ def _reorder_registry_r11() -> None:
 
 
 _reorder_registry_r11()
+
+
+# CORRECTNESS_r11 went 50/50 green, so the r11 basket enters the
+# official history — stale_regate_order() now serves the entries r11
+# left oldest (the remaining r7-era rows first).
+_BASKET_HISTORY = _BASKET_HISTORY + ((11, GATE_BASKET_R11),)
+
+
+# r12 registrations, in registration order: the two witnesses of the
+# r12 builds — the raw integer layer of the vectorized scoring profile
+# (corpus_clean's quality/lang stage since r12) and the density-
+# adaptive MinHash dispatch decision row (r11 VERDICT item 2).
+GATE_BASKET_R12_NEW: tuple[str, ...] = (
+    "token_profile_counts",
+    "minhash_dispatch_decision",
+)
+
+# 48 re-gate slots by the standing rule.
+GATE_BASKET_R12_REGATES: tuple[str, ...] = tuple(
+    stale_regate_order()[: 50 - len(GATE_BASKET_R12_NEW)]
+)
+
+GATE_BASKET_R12: tuple[str, ...] = GATE_BASKET_R12_NEW + GATE_BASKET_R12_REGATES
+
+
+def _reorder_registry_r12() -> None:
+    missing = [n for n in GATE_BASKET_R12 if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"GATE_BASKET_R12 names unknown entries: {missing}")
+    if len(GATE_BASKET_R12) != 50 or len(set(GATE_BASKET_R12)) != 50:
+        raise RuntimeError(
+            f"GATE_BASKET_R12 must be exactly 50 distinct entries, "
+            f"got {len(GATE_BASKET_R12)}"
+        )
+    gated = set(official_rounds())
+    fresh = set(GATE_BASKET_R12_NEW)
+    if fresh & gated:
+        raise RuntimeError(
+            f"GATE_BASKET_R12_NEW repeats verdicted entries: {fresh & gated}"
+        )
+    not_regates = set(GATE_BASKET_R12_REGATES) - gated
+    if not_regates:
+        raise RuntimeError(
+            f"GATE_BASKET_R12_REGATES must re-gate official rows only: {not_regates}"
+        )
+    ordered = {n: REGISTRY[n] for n in GATE_BASKET_R12}
+    # everything else already holds an official driver row: park at the
+    # tail in existing relative order
+    ordered.update((n, e) for n, e in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry_r12()

@@ -502,3 +502,50 @@ def csv_chunks_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# r12: vectorized-scoring witness — the integer profile layer gated raw
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_profile_counts",
+    oracle=f"""
+WITH t AS ({_SQL_TOKS})
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> list_contains([{_SQL_EN_STOP}], x))) AS INT) AS sw_hits,
+       {_sql_marker_hits("en")} AS en_hits,
+       {_sql_marker_hits("de")} AS de_hits,
+       {_sql_marker_hits("es")} AS es_hits,
+       {_sql_marker_hits("fr")} AS fr_hits,
+       CAST(length(lower(text)) AS INT) AS prof_chars,
+       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS INT) AS n_punct
+FROM t
+""",
+)
+def token_profile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 one-pass Arrow profile (functions/text.token_profile_udf)
+    gated at its RAW integer layer: token count, stopword hits, the
+    four language-marker hit counts, and the char/punct lengths that
+    feed punct_ratio. This is the witness that the vectorized scoring
+    path (scored_docs — corpus_clean's quality/lang stage since r12)
+    computes the exact counts the expression/oracle semantics define,
+    BEFORE any float composition: every downstream score is a pure
+    JVM-side arithmetic function of these eight integers."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__p", tx.token_profile_udf()("text")
+    )
+    p = F.col("__p")
+    return d.select(
+        "doc_id",
+        p["n_tokens"].alias("n_tokens"),
+        p["sw_hits"].alias("sw_hits"),
+        p["en_hits"].alias("en_hits"),
+        p["de_hits"].alias("de_hits"),
+        p["es_hits"].alias("es_hits"),
+        p["fr_hits"].alias("fr_hits"),
+        p["n_chars"].alias("prof_chars"),
+        p["n_punct"].alias("n_punct"),
+    )

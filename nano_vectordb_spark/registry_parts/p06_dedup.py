@@ -1056,3 +1056,67 @@ def neardup_first_band_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("band_id").alias("first_band")
     )
     return first.groupBy("first_band").agg(F.count("*").alias("n_pairs"))
+
+
+def _sql_minhash_dispatch_decision() -> str:
+    f = dedup_ops.LIGHT_CANDIDATES_PER_DOC
+    return f"""
+WITH {_sql_minhash_base()},
+occ AS (
+  SELECT band_id, band_sig, count(*) AS c
+  FROM banded GROUP BY band_id, band_sig
+),
+agg AS (
+  SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS est_candidates,
+         CAST(sum(c) AS BIGINT) // 4 AS n_docs
+  FROM occ
+)
+SELECT est_candidates, n_docs,
+       round(CASE WHEN n_docs = 0 THEN 0.0
+                  ELSE CAST(est_candidates AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             END, 6) AS candidates_per_doc,
+       CASE WHEN est_candidates <= {f} * n_docs THEN 'join' ELSE 'kernel' END
+         AS chosen_plan
+FROM agg
+"""
+
+
+@register("minhash_dispatch_decision", oracle=_sql_minhash_dispatch_decision())
+def minhash_dispatch_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 density-adaptive dispatch, exposed as one auditable row:
+    Σ_buckets C(occ, 2) over the banded MinHash table (the
+    minhash_band_occupancy decision variable, totalled), docs in the
+    banding, candidates/doc, and the plan minhash_lsh_pairs(plan=
+    "auto") takes at LIGHT_CANDIDATES_PER_DOC — "join" only when the
+    corpus is provably light, the exactly-once kernel when heavy. At
+    100 TB this is the one cheap aggregate an operator reads BEFORE
+    committing the cluster to a near-dup pass (the in-op estimate runs
+    the same arithmetic over xxhash64 band keys; this audit row uses
+    the exact string banding so the oracle replays it verbatim)."""
+    state = dedup_ops.minhash_band_state(
+        load_table(spark, sf_dir, "documents")
+    )
+    occ = state.groupBy("band_id", "band_sig").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = occ.agg(
+        F.sum(F.expr("c * (c - 1) DIV 2")).alias("est_candidates"),
+        (F.sum("c") / F.lit(4)).cast("long").alias("n_docs"),
+    )
+    light = F.col("est_candidates") <= (
+        F.lit(dedup_ops.LIGHT_CANDIDATES_PER_DOC) * F.col("n_docs")
+    )
+    return agg.select(
+        "est_candidates",
+        "n_docs",
+        F.round(
+            F.when(F.col("n_docs") == 0, F.lit(0.0)).otherwise(
+                F.col("est_candidates").cast("double")
+                / F.col("n_docs").cast("double")
+            ),
+            6,
+        ).alias("candidates_per_doc"),
+        F.when(light, F.lit("join")).otherwise(F.lit("kernel")).alias(
+            "chosen_plan"
+        ),
+    )

@@ -523,3 +523,27 @@ def test_simhash_pairs_n_docs_hint_matches_eager_count(spark):
         for p in dedup.simhash64_pairs(docs, 3, n_docs_hint=10_000).collect()
     )
     assert base == hinted == rough
+
+
+def test_minhash_pairs_identical_across_dispatch_plans(spark):
+    """r12 dispatch contract: kernel, join, and auto produce the SAME
+    (a_id, b_id, jaccard) rows — the dispatch may only change the
+    candidate-stage plan, never the pair set (also checked at sf0.001
+    and sf0.1 in the round's measurement scripts)."""
+    docs = _docs(spark)
+    outs = {
+        plan: sorted(
+            (p.a_id, p.b_id, p.jaccard)
+            for p in dedup.minhash_lsh_pairs(docs, 0.2, plan=plan).collect()
+        )
+        for plan in ("kernel", "join", "auto")
+    }
+    assert outs["kernel"] == outs["join"] == outs["auto"]
+    assert len(outs["kernel"]) > 0
+
+
+def test_minhash_pairs_rejects_unknown_plan(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown plan"):
+        dedup.minhash_lsh_pairs(_docs(spark), 0.2, plan="bogus")

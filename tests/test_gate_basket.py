@@ -81,9 +81,9 @@ def _top50() -> list[str]:
 
 
 def test_basket_is_the_top_50():
-    assert len(registry.GATE_BASKET_R11) == 50
-    assert len(set(registry.GATE_BASKET_R11)) == 50
-    assert _top50() == list(registry.GATE_BASKET_R11)
+    assert len(registry.GATE_BASKET_R12) == 50
+    assert len(set(registry.GATE_BASKET_R12)) == 50
+    assert _top50() == list(registry.GATE_BASKET_R12)
 
 
 def test_r10_window_follows_the_standing_rotation_rule():
@@ -138,14 +138,38 @@ def test_r11_window_follows_the_standing_rotation_rule():
     assert list(regates) == registry.stale_regate_order(before_round=11)[
         : 50 - len(new)
     ]
-    # the window occupies the registry's first 50 positions
-    assert list(registry.REGISTRY)[:50] == list(registry.GATE_BASKET_R11)
-    # every remaining r6-era official row is refreshed this round
-    rounds = registry.official_rounds()
+    # every r6-era official row (as of the r11 window) was refreshed
+    # that round — replayed against the pre-r11 history
+    rounds = _official_rounds_before(11)
     r6_stale = {n for n, r in rounds.items() if r == 6}
     assert r6_stale <= set(regates)
+
+
+def test_r12_window_follows_the_standing_rotation_rule():
+    """Fifth application of the standing rule: 2 new registrations
+    (token_profile_counts, minhash_dispatch_decision — the witnesses
+    of the r12 vectorized-scoring and dispatch builds), then 48
+    re-gate slots on the oldest official rows — after the r11 basket
+    entered the history, the remaining r7-era rows first."""
+    new = registry.GATE_BASKET_R12_NEW
+    regates = registry.GATE_BASKET_R12_REGATES
+    assert list(registry.GATE_BASKET_R12) == list(new) + list(regates)
+    gated = set(registry.stale_regate_order(before_round=12))
+    assert not set(new) & gated
+    assert set(regates) <= gated
+    assert list(regates) == registry.stale_regate_order(before_round=12)[
+        : 50 - len(new)
+    ]
+    # the window occupies the registry's first 50 positions
+    assert list(registry.REGISTRY)[:50] == list(registry.GATE_BASKET_R12)
+    # the oldest official rows (r7-era) fill the regate slots first
+    rounds = registry.official_rounds()
+    r7_stale = [n for n, r in rounds.items() if r == 7]
+    assert set(regates[: len(r7_stale)]) <= set(r7_stale) or set(
+        r7_stale
+    ) <= set(regates)
     # staleness bound: nothing in the registry is older than 5 rounds
-    assert min(rounds.values()) >= 6
+    assert min(rounds.values()) >= 7
 
 
 def test_r9_window_follows_the_standing_rotation_rule():
@@ -275,6 +299,7 @@ def test_r7_window_closes_the_rotation():
         - set(registry.GATE_BASKET_R9_NEW)
         - set(registry.GATE_BASKET_R10_NEW)
         - set(registry.GATE_BASKET_R11_NEW)
+        - set(registry.GATE_BASKET_R12_NEW)
     )
 
 
@@ -339,8 +364,11 @@ def test_registry_growth_bounded_by_the_window():
     adaptive re-probe witness and the MPEG-1 frame-header walk
     (r9 VERDICT items 2, 7).  r11 registers 2 (233 -> 235): the LSH
     bucket-occupancy regime check and the first-shared-band emission
-    profile (observability for the r11 exactly-once kernel rebuild)."""
-    assert len(registry.REGISTRY) == 235
+    profile (observability for the r11 exactly-once kernel rebuild).
+    r12 registers 2 (235 -> 237): the raw integer layer of the
+    vectorized scoring profile and the MinHash dispatch decision row
+    (witnesses of the r12 builds)."""
+    assert len(registry.REGISTRY) == 237
     gated = set(registry.official_rounds())
     ungated = set(registry.REGISTRY) - gated
-    assert ungated == set(registry.GATE_BASKET_R11_NEW)
+    assert ungated == set(registry.GATE_BASKET_R12_NEW)

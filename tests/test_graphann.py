@@ -657,3 +657,20 @@ def test_entry_count_follows_effective_coarse():
     for n in (200, 12_288, 200_000, 10**9):
         c, e = graph_entry_params(n)
         assert e == entry_count_for_coarse(c)
+
+
+def test_default_nprobe_constant_fraction_rule():
+    """r11 VERDICT item 7: the capacity rule 'hold nprobe/nlist
+    constant as the index scales' is code, not prose. The floor
+    reproduces the historical default at every gate-fixture nlist;
+    above nlist=512 the derivation holds the 1/64 probed fraction the
+    2M/512/np8 = 0.984 reference point pinned (4M/1024 -> np16, the
+    measured 0.994 restoration)."""
+    from nano_vectordb_spark.operators.graphann import default_nprobe
+
+    for nlist in (8, 16, 64, 256, 512):
+        assert default_nprobe(nlist) == 8
+    assert default_nprobe(1024) == 16
+    assert default_nprobe(2048) == 32
+    # fraction is constant above the floor
+    assert default_nprobe(4096) / 4096 == default_nprobe(1024) / 1024

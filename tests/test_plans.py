@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -411,3 +413,59 @@ def test_simhash64_single_exchange_map_only_after(spark):
     plan = physical_plan(df, "simple")
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_minhash_join_candidates_skinny_exchange_and_distinct(spark):
+    """r12 dispatch, light-density path: the candidate stage is a
+    band-key self-join + distinct over the SKINNY string-banded table
+    — every exchange in the candidate plan partitions on
+    (band_id, band_sig) or the distinct's (a_id, b_id); the kernel's
+    sig-carrying band_key exchange never appears. (AQE does not
+    stage-reuse the aliased self-join sides — the r11 5M head-to-head
+    was measured with both skinny shuffles paid, so the dispatch
+    thresholds price that shape.)"""
+    from nano_vectordb_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    base = dedup_ops._persist(
+        dedup_ops._shingles_and_sig(docs, 16, 3, "text", "doc_id")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = dedup_ops.minhash_lsh_candidates_join(base, 4, 4)
+        pre = physical_plan(cand, "simple")
+        assert "HashAggregate" in pre, pre  # the distinct
+        assert "band_key" not in pre, pre  # never the kernel exchange
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", pre):
+            keys = m.group(1)
+            assert ("band_sig" in keys) or ("a_id" in keys), pre
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        base.unpersist()
+
+
+def test_minhash_dispatch_light_vs_heavy(spark):
+    """plan='auto' must pick the join form on a provably light corpus
+    (the fixtures: ~0.2-0.45 candidates/doc) and the kernel on a
+    candidate-heavy one (everything colliding in every band)."""
+    from nano_vectordb_spark.operators import dedup as dedup_ops
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    light = dedup_ops.minhash_lsh_pairs(docs, 0.2, plan="auto")
+    lplan = physical_plan(light, "simple")
+    # join path: string band_sig keys, never the kernel's hashed
+    # band_key exchange
+    assert "band_sig" in lplan and "band_key" not in lplan, lplan
+
+    row = docs.select("text").first()
+    heavy_docs = spark.createDataFrame(
+        [(i, row.text) for i in range(64)], "doc_id long, text string"
+    )
+    est, n = dedup_ops._banded_candidate_estimate(
+        dedup_ops._shingles_and_sig(heavy_docs, 16, 3, "text", "doc_id"), 4, 4
+    )
+    assert est > dedup_ops.LIGHT_CANDIDATES_PER_DOC * n  # C(64,2)*4 vs 64
+    heavy = dedup_ops.minhash_lsh_pairs(heavy_docs, 0.2, plan="auto")
+    hplan = physical_plan(heavy, "simple")
+    assert "band_key" in hplan, hplan  # kernel path engaged
