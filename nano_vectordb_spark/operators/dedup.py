@@ -1739,7 +1739,7 @@ def embedding_neardup_pairs(
 _SIMHASH64_CONSTS = ((2_654_435_761, 40_503), (2_246_822_519, 3_266_489_917))
 
 
-def simhash64(
+def simhash64_udf(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, sim_hi, sim_lo): 64-bit SimHash for real-text corpora —
@@ -1851,6 +1851,70 @@ def simhash64(
     )
 
 
+def simhash64_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """simhash64 as a pure-JVM explode -> md5 -> aggregate plan
+    (bit-identical to the pandas-UDF form; r11 VERDICT item 4's
+    prescribed head-to-head variant): explode token occurrences,
+    md5-hash each occurrence JVM-side (token_hash_expr — the same
+    28-bit hex-prefix definition), project the two rehashed uint32
+    halves once per row, then ONE hash aggregate per doc summing the
+    64 bit columns; the majority rule composes the final longs from
+    the 64 sums + count. Everything stays in whole-stage codegen; the
+    cost vs the UDF is one shuffle of ~65-long partial-agg rows per
+    doc (the UDF form is map-only). Measured head-to-head in PERF.md
+    round 12."""
+    toks = tokens_expr(F.col(text_col))
+    h = token_hash_expr(F.col("tok"))
+    m32 = F.lit(4_294_967_296)
+    halves = {
+        name: ((h * F.lit(c1) + F.lit(c2)) % m32).alias(f"hu_{name}")
+        for name, (c1, c2) in zip(("hi", "lo"), _SIMHASH64_CONSTS)
+    }
+    e = (
+        df.filter(F.size(toks) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .select("doc_id", halves["hi"], halves["lo"])
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name in ("hi", "lo"):
+        hu = F.col(f"hu_{name}")
+        aggs.extend(
+            F.sum(F.shiftright(hu, j).bitwiseAND(F.lit(1))).alias(f"{name}{j}")
+            for j in range(32)
+        )
+    g = e.groupBy("doc_id").agg(*aggs)
+
+    def half_val(name):
+        n = F.col("n")
+        acc = F.lit(0).cast("long")
+        for j in range(32):
+            acc = acc + F.when(
+                (2 * F.col(f"{name}{j}") - n) > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return acc
+
+    return g.select(
+        "doc_id", half_val("hi").alias("sim_hi"), half_val("lo").alias("sim_lo")
+    )
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sim_hi, sim_lo): 64-bit SimHash — THE shipped form is
+    the pure-JVM aggregate plan (simhash64_agg). r12 head-to-head at
+    2M docs, same session/host: agg 23.1 s cold / 15.9 s warm vs the
+    memoized pandas-UDF form (simhash64_udf) 685.8 s — the UDF's
+    per-task Python tokenize + hash-memo walk dominates at corpus
+    scale (it was the measured 5M cold wall of 926.6 s in r11), while
+    the JVM form's only extra cost is one partial-agg shuffle of ~65
+    longs per doc. Bit-identical (pinned in tests/test_dedup.py on
+    fixture text and replayed on the 2M checksum)."""
+    return simhash64_agg(df, text_col, id_col)
+
+
 def simhash64_pairs(
     df: DataFrame,
     max_hamming: int,
@@ -1888,8 +1952,9 @@ def simhash64_pairs(
     # the plan is one consumer chain now (no self-join), but the
     # signature table stays persisted so repeated ACTIONS on the
     # returned frame (benchmark reps, count-then-collect consumers)
-    # don't re-run the md5 pandas-UDF pass — the measured wall at 1M
-    # docs is ~40 s of signature vs ~8 s for everything after it
+    # don't re-run the signature pass — since r12 that's the JVM
+    # aggregate plan (~16-23 s at 2M docs vs the retired in-path UDF's
+    # 686 s), still the dominant stage ahead of the banded kernel
     return _simhash_banded_pairs(
         _persist(simhash64(df, text_col, id_col)),
         max_hamming,

@@ -499,9 +499,13 @@ def test_simhash64_vocab_memo_reset_preserves_hashes(spark, monkeypatch):
     batch (cap=0 clears an already-populated memo) and pin that the
     signatures are unchanged — the memo is a pure cache."""
     docs = _docs(spark).limit(50)
-    base = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64(docs).collect()}
+    base = {
+        (r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64_udf(docs).collect()
+    }
     monkeypatch.setattr(dedup, "_VOCAB_MEMO_CAP", -1)
-    capped = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64(docs).collect()}
+    capped = {
+        (r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64_udf(docs).collect()
+    }
     assert base == capped
 
 
@@ -547,3 +551,14 @@ def test_minhash_pairs_rejects_unknown_plan(spark):
 
     with pytest.raises(ValueError, match="unknown plan"):
         dedup.minhash_lsh_pairs(_docs(spark), 0.2, plan="bogus")
+
+
+def test_simhash64_agg_bit_identical_to_udf(spark):
+    """r12 (r11 VERDICT item 4): the pure-JVM explode->md5->aggregate
+    form of simhash64 must be BIT-identical to the pandas-UDF form on
+    real fixture text — same md5 hex-prefix token hash, same rehash
+    constants, same majority rule."""
+    docs = _docs(spark)
+    a = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64_udf(docs).collect()}
+    b = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64_agg(docs).collect()}
+    assert a == b and len(a) > 0

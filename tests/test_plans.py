@@ -403,16 +403,26 @@ def test_simhash64_single_exchange_map_only_after(spark):
     """r11 (r10 VERDICT item 2): simhash64_pairs via the shared banded
     kernel — one hash exchange (the nibble-banded signature table),
     bucket-local Hamming verify, first-shared-band emission, no
-    candidate distinct."""
+    candidate distinct. Since r12 the signature table BELOW the
+    persist boundary is the JVM aggregate plan (simhash64_agg — it
+    owns one agg exchange of its own, printed inside the
+    InMemoryRelation subtree), so the pair-generation pin applies to
+    the plan ABOVE the cached signature table."""
     from nano_vectordb_spark.operators import dedup as dedup_ops
 
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     df = dedup_ops.simhash64_pairs(docs, 3)
-    n_ex = count_exchanges(df)
-    assert n_ex == 1, physical_plan(df, "simple")
     plan = physical_plan(df, "simple")
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
-    assert "HashAggregate" not in plan, plan
+    pair_stage = plan.split("InMemoryRelation")[0]
+    n_ex = pair_stage.count("Exchange hashpartitioning") + pair_stage.count(
+        "Exchange rangepartitioning"
+    )
+    assert n_ex == 1, plan
+    assert (
+        "SortMergeJoin" not in pair_stage
+        and "BroadcastHashJoin" not in pair_stage
+    ), plan
+    assert "HashAggregate" not in pair_stage, plan
 
 
 def test_minhash_join_candidates_skinny_exchange_and_distinct(spark):
