@@ -290,6 +290,37 @@ def minhash_signatures(
     return _signatures_from_shingles(ngram_shingles(df, n, text_col, id_col), k)
 
 
+def _minhash_sig_frame(S: DataFrame, k: int) -> DataFrame:
+    """(doc_id, sig): the k-slot MinHash signature as a pure-JVM
+    explode -> md5 -> k-min aggregate over a shingle frame
+    (doc_id, shingles, ...). r12 head-to-head at 2M docs: the JVM base
+    (native ngram_shingles + this aggregate) runs 19.8 s cold / 13.3 s
+    warm vs 36.1 / 30.1 s for the fused pandas pass, identical
+    checksums — the md5 and the k affine minima all stay in codegen,
+    and the only data movement is a partial-agg shuffle of k+1 longs
+    per doc. Bit-identical to _shingles_and_sig's sig column (same
+    28-bit md5 hex-prefix hash, same permutation constants)."""
+    perms = minhash_perms(k)
+    from nano_vectordb_spark.functions.text import token_hash_expr as _th
+
+    e = S.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", _th(F.col("s")).alias("h")
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"m{i}"
+        )
+        for i, (a, b) in enumerate(perms)
+    ]
+    return (
+        e.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id", F.array(*[f"m{i}" for i in range(len(perms))]).alias("sig")
+        )
+    )
+
+
 def _shingles_and_sig(
     df: DataFrame, k: int, n: int, text_col: str, id_col: str
 ) -> DataFrame:
@@ -579,9 +610,12 @@ def minhash_lsh_pairs(
     k/bands consecutive signature values become candidates; candidates
     are verified with exact Jaccard and filtered at threshold.
 
-    Plan shape (r11 — the r10 exactly-once emission rule, fitted to
-    text after MEASURING the literal embedding-LSH port): the fused
-    shingle+signature pass feeds a SKINNY banded explode (doc_id +
+    Plan shape (r11 kernel; r12 JVM two-frame base): the persisted
+    native shingle frame S feeds BOTH the signature aggregate
+    (_minhash_sig_frame — explode -> JVM md5 -> k-min partial agg;
+    replaced the fused pandas pass at 2.3x, see its docstring) and the
+    candidate-pruned verify. The signature frame feeds a SKINNY
+    banded explode (doc_id +
     signature; ~200 B/row), hash-partitioned on (band_id, band_key)
     with band_key = xxhash64(signature slice), sorted within
     partitions; singleton buckets are dropped JVM-side before the
@@ -627,15 +661,19 @@ def minhash_lsh_pairs(
     Callers composing lazily should build once and reuse, or pass an
     explicit plan."""
     rows = k // bands
-    # the base feeds both the banded explode and the verify side:
-    # persist so the shingle+signature pass runs once; partitions are
-    # sized by the AMPLIFIED shingle payload (measured 5M-doc OOM
-    # otherwise — see _spread_for_shingles)
-    base = _persist(
-        _shingles_and_sig(
-            _spread_for_shingles(df, text_col), k, n, text_col, id_col
-        )
+    # r12 two-frame base: the shingle frame S (native ngram transform,
+    # map-only — the wide payload, persisted with partitions sized by
+    # the AMPLIFIED payload, see _spread_for_shingles) and the skinny
+    # signature frame (JVM explode -> md5 -> k-min aggregate over S —
+    # persisted so the estimate, the candidate stage, and benchmark
+    # reps share one pass). The wide shingles never ride the sig path
+    # and the sig never rides the verify path.
+    S = _persist(
+        ngram_shingles(
+            _spread_for_shingles(df, text_col), n, text_col, id_col
+        ).withColumn("n_sh", F.size("shingles"))
     )
+    base = _persist(_minhash_sig_frame(S, k))
     if plan not in ("auto", "kernel", "join"):
         raise ValueError(f"unknown plan {plan!r}")
     if plan == "auto":
@@ -660,7 +698,7 @@ def minhash_lsh_pairs(
         cand.select(F.explode(F.array("a_id", "b_id")).alias("doc_id"))
         .distinct()
     )
-    sh = base.join(F.broadcast(ids), "doc_id", "left_semi").select(
+    sh = S.join(F.broadcast(ids), "doc_id", "left_semi").select(
         "doc_id", "shingles", "n_sh"
     )
     j = (
@@ -750,10 +788,8 @@ def minhash_band_state(
     work: each corpus snapshot ships its own band table; a new
     version's dedup cost is one signature pass over the DELTA plus an
     append, never a recompute over history."""
-    base = _shingles_and_sig(
-        _spread_for_shingles(df, text_col), k, n, text_col, id_col
-    )
-    return _banded_sigs(base.select("doc_id", "sig"), bands, k // bands)
+    S = ngram_shingles(_spread_for_shingles(df, text_col), n, text_col, id_col)
+    return _banded_sigs(_minhash_sig_frame(S, k), bands, k // bands)
 
 
 def band_state_write(state: DataFrame, path: str) -> None:

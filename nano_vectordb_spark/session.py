@@ -26,6 +26,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle WIDE and let AQE coalesce using real map
+        # output sizes — the cluster-correct default. With the initial
+        # number pinned to the (small) shuffle_partitions, a 5M-doc
+        # window/aggregate pushes ~400+ MB through each reducer task
+        # and the sort spills (measured r12: corpus_clean's md5 window
+        # went 7x over linear at 5M docs); wide-then-coalesce keeps
+        # per-reducer bytes near the 64 MB advisory at any input scale
+        # while small gate queries still collapse to a handful of
+        # partitions.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", "256"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize the NumPy matmul in the two-phase
