@@ -95,13 +95,103 @@ LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
 # separates the bench's own load from foreign load: measured idle runs
 # peak at 2.13 (r10 official) and 3.52 (r11 judge idle rerun) 1-min
 # load from the bench's own bursts; the contaminated run hit 6.61.
+#
+# r12: the ceiling heuristic is now the FALLBACK only — the bench's
+# own load profile moved with its plans (the r12 wide-then-coalesce
+# shuffles sustain more runnable tasks; an idle-host r12 run peaked at
+# 5.89 1-min load, a false positive against the 5.0 ceiling), proving
+# a fixed loadavg ceiling cannot separate self from foreign load. The
+# primary guard is direct attribution from /proc: over the timed-rep
+# window, foreign CPU = (host busy jiffies) - (this process subtree's
+# jiffies), normalized to average foreign cores. The bench's own work
+# is excluded exactly (the Spark JVM, Python workers and this driver
+# are all descendants of this process; reaped children are counted
+# via their parent's cutime/cstime), so the threshold can be tight
+# regardless of how parallel our own plans are.
 SELF_LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_SELF_LOAD", "5.0"))
 
+# Average foreign cores during timed reps above which the record is
+# stamped contaminated. Idle-host noise (kernel threads, monitoring)
+# measures well under 0.2 cores; the r11 contamination was ~3 cores.
+FOREIGN_CPU_CORES = float(os.environ.get("SPARK_GRAFT_BENCH_FOREIGN_CPU", "1.0"))
 
-def _mid_run_violation(load_samples: list[list[float]]) -> bool:
-    """True when any per-rep 1-min load exceeded what the bench's own
-    32 threads produce on an idle host — i.e. another job shared the
-    machine DURING the timed reps and the headline is contaminated."""
+
+def _host_busy_jiffies() -> int | None:
+    """Non-idle CPU jiffies summed over all cores since boot (user +
+    nice + system + irq + softirq + steal; idle and iowait excluded)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+    except OSError:  # pragma: no cover - non-linux
+        return None
+    if parts[0] != "cpu" or len(parts) < 8:  # pragma: no cover
+        return None
+    v = [int(x) for x in parts[1:]]
+    # fields: user nice system idle iowait irq softirq steal ...
+    idle = v[3] + (v[4] if len(v) > 4 else 0)
+    return sum(v) - idle
+
+
+def _subtree_jiffies(root_pid: int | None = None) -> int | None:
+    """utime+stime+cutime+cstime summed over this process's subtree.
+    Live descendants are counted once from their own /proc stat; dead
+    (reaped) ones once via their parent's cutime/cstime."""
+    root = os.getpid() if root_pid is None else root_pid
+    try:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:  # pragma: no cover - non-linux
+        return None
+    ppid: dict[int, int] = {}
+    jiff: dict[int, int] = {}
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                raw = fh.read()
+        except OSError:
+            continue  # exited between listdir and read
+        # comm may contain spaces/parens: split after the LAST ')'
+        rest = raw.rsplit(")", 1)[1].split()
+        # rest[1]=ppid, rest[11..14]=utime stime cutime cstime
+        ppid[pid] = int(rest[1])
+        jiff[pid] = sum(int(x) for x in rest[11:15])
+    total = 0
+    for pid in jiff:
+        p = pid
+        seen = set()
+        while p > 0 and p not in seen:
+            if p == root:
+                total += jiff[pid]
+                break
+            seen.add(p)
+            p = ppid.get(p, 0)
+    return total
+
+
+def _foreign_cpu_cores(
+    busy0: int | None,
+    ours0: int | None,
+    busy1: int | None,
+    ours1: int | None,
+    wall_s: float,
+) -> float | None:
+    """Average cores of CPU time consumed by processes OUTSIDE this
+    bench's subtree over the window. None when /proc was unreadable."""
+    if None in (busy0, ours0, busy1, ours1) or wall_s <= 0:
+        return None
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    foreign = max(0, (busy1 - busy0) - (ours1 - ours0))
+    return round(foreign / hz / wall_s, 3)
+
+
+def _mid_run_violation(
+    load_samples: list[list[float]], foreign_cores: float | None = None
+) -> bool:
+    """True when another job measurably shared the machine DURING the
+    timed reps. Primary signal: attributed foreign CPU (exact; see
+    FOREIGN_CPU_CORES). Fallback when /proc attribution is unavailable:
+    the legacy 1-min-loadavg ceiling."""
+    if foreign_cores is not None:
+        return foreign_cores > FOREIGN_CPU_CORES
     return bool(load_samples) and max(s[0] for s in load_samples) > SELF_LOAD_CEILING
 
 
@@ -209,6 +299,8 @@ def main() -> None:
     load_samples: list[list[float]] = []
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
+    reps_wall0 = time.perf_counter()
+    busy0, ours0 = _host_busy_jiffies(), _subtree_jiffies()
     for _family, names in BENCH_FAMILIES:
         for name in names:
             fn = registry.REGISTRY[name].fn
@@ -226,10 +318,15 @@ def main() -> None:
             rep_times[name] = [round(t, 4) for t in ts]
         if release_between:
             registry.release_caches()
-    if _mid_run_violation(load_samples):
+    busy1, ours1 = _host_busy_jiffies(), _subtree_jiffies()
+    foreign_cores = _foreign_cpu_cores(
+        busy0, ours0, busy1, ours1, time.perf_counter() - reps_wall0
+    )
+    if _mid_run_violation(load_samples, foreign_cores):
         print(
-            f"# WARNING mid-run 1-min load exceeded the bench self-load "
-            f"ceiling {SELF_LOAD_CEILING}; recording protocol_violation",
+            f"# WARNING mid-run foreign CPU {foreign_cores} cores (ceiling "
+            f"{FOREIGN_CPU_CORES}) / 1-min load ceiling {SELF_LOAD_CEILING}; "
+            f"recording protocol_violation",
             file=sys.stderr,
         )
         violations.append("mid_run_load")
@@ -282,6 +379,13 @@ def main() -> None:
                 "violation_reasons": violations,
                 "load_pin": LOAD_PIN,
                 "self_load_ceiling": SELF_LOAD_CEILING,
+                # r12: exact mid-run contamination attribution — CPU
+                # consumed by processes outside this bench's subtree,
+                # in average cores over the timed-rep window (replaces
+                # the loadavg ceiling as the primary mid_run_load
+                # signal; the ceiling stays as the non-/proc fallback)
+                "foreign_cpu_cores_avg": foreign_cores,
+                "foreign_cpu_ceiling": FOREIGN_CPU_CORES,
             }
         )
     )

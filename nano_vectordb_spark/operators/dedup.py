@@ -1013,38 +1013,34 @@ def minhash_lsh_incremental(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash long): 32-bit SimHash — bit j is set when the
     sum over tokens of ±1 (by bit j of the 28->32-bit token hash,
-    rehashed so all 32 bits are populated) is positive."""
+    rehashed so all 32 bits are populated) is positive.
+
+    r12: the same explode -> JVM md5 -> one hash aggregate plan as
+    simhash64_agg (its "hi" half uses these exact rehash constants),
+    built from SQL strings. The retired form ran 32 interpreted
+    higher-order folds over the token array per row (measured 11 s at
+    sf0.1) and cost ~1-2 s of driver py4j time per plan CONSTRUCTION;
+    this form is one codegen'd aggregate. Bit-identical: the ±1 fold
+    sum is positive iff (2 * ones - n) > 0, integer sums are
+    order-exact, and the occurrence multiset is unchanged under
+    explode (pinned in tests/test_dedup.py)."""
     toks = tokens_expr(F.col(text_col))
-    d = _spread(
-        df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
-            F.size("toks") > 0
-        )
+    h = "cast(conv(substring(md5(tok), 1, 7), 16, 10) as bigint)"
+    c1, c2 = _SIMHASH64_CONSTS[0]
+    e = (
+        _spread(df.filter(F.size(toks) > 0))
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .selectExpr("doc_id", f"(({h} * {c1}L + {c2}L) % 4294967296L) AS hu")
     )
-    # rehash the 28-bit token hash onto 32 bits deterministically
-    th = d.select(
-        "doc_id",
-        F.transform(
-            "toks",
-            lambda x: (token_hash_expr(x) * 2_654_435_761 + 40_503) % F.lit(4_294_967_296).cast("long"),
-        ).alias("hs"),
-    )
-    bit_sums = [
-        F.aggregate(
-            "hs",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        ).alias(f"s{j}")
-        for j in range(32)
+    aggs = [F.expr("count(1) AS n")] + [
+        F.expr(f"sum((shiftright(hu, {j}) & 1)) AS s{j}") for j in range(32)
     ]
-    sums = th.select("doc_id", *bit_sums)
-    val = None
-    for j in range(32):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        val = bit if val is None else val + bit
-    return sums.select("doc_id", val.alias("simhash"))
+    g = e.groupBy("doc_id").agg(*aggs)
+    terms = " + ".join(
+        f"(CASE WHEN ((2 * s{j}) - n) > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(32)
+    )
+    return g.selectExpr("doc_id", f"({terms}) AS simhash")
 
 
 def _hamming_verify_gen(max_hamming: int, n_cols: int, per_col: int, width: int):
@@ -1902,38 +1898,47 @@ def simhash64_agg(
     doc (the UDF form is map-only). Measured head-to-head in PERF.md
     round 12."""
     toks = tokens_expr(F.col(text_col))
-    h = token_hash_expr(F.col("tok"))
-    m32 = F.lit(4_294_967_296)
-    halves = {
-        name: ((h * F.lit(c1) + F.lit(c2)) % m32).alias(f"hu_{name}")
-        for name, (c1, c2) in zip(("hi", "lo"), _SIMHASH64_CONSTS)
-    }
+    # The 65-aggregate / 64-CASE plan is built from SQL STRINGS, not
+    # composed Column objects: the Column form cost ~1000 py4j round
+    # trips and 1.2-2.5 s of DRIVER time per plan construction
+    # (measured r12 — construction dominated the whole sf0.1 query).
+    # One parsed expression string per column keeps it at ~70 calls
+    # (~0.1 s) and produces the IDENTICAL resolved plan (bit-parity
+    # with simhash64_udf is pinned in tests/test_dedup.py).
+    # h is token_hash_expr's definition in SQL form (28-bit md5 hex
+    # prefix); the two rehashed uint32 halves are projected once per
+    # exploded row, so md5 evaluates twice per token occurrence.
+    h = "cast(conv(substring(md5(tok), 1, 7), 16, 10) as bigint)"
+    (c1h, c2h), (c1l, c2l) = _SIMHASH64_CONSTS
+    # _spread: a single-file source otherwise scans as ONE partition
+    # and the explode -> md5 stage (the plan's dominant compute) runs
+    # single-threaded; no-op when the source already spans the cluster
+    # parallelism (the 100 TB case).
     e = (
-        df.filter(F.size(toks) > 0)
+        _spread(df.filter(F.size(toks) > 0))
         .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
-        .select("doc_id", halves["hi"], halves["lo"])
+        .selectExpr(
+            "doc_id",
+            f"(({h} * {c1h}L + {c2h}L) % 4294967296L) AS hu_hi",
+            f"(({h} * {c1l}L + {c2l}L) % 4294967296L) AS hu_lo",
+        )
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs = [F.expr("count(1) AS n")]
     for name in ("hi", "lo"):
-        hu = F.col(f"hu_{name}")
         aggs.extend(
-            F.sum(F.shiftright(hu, j).bitwiseAND(F.lit(1))).alias(f"{name}{j}")
+            F.expr(f"sum((shiftright(hu_{name}, {j}) & 1)) AS {name}{j}")
             for j in range(32)
         )
     g = e.groupBy("doc_id").agg(*aggs)
 
-    def half_val(name):
-        n = F.col("n")
-        acc = F.lit(0).cast("long")
-        for j in range(32):
-            acc = acc + F.when(
-                (2 * F.col(f"{name}{j}") - n) > 0, F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        return acc
+    def half_val(name: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN ((2 * {name}{j}) - n) > 0 THEN {1 << j}L ELSE 0L END)"
+            for j in range(32)
+        )
+        return f"({terms}) AS sim_{name}"
 
-    return g.select(
-        "doc_id", half_val("hi").alias("sim_hi"), half_val("lo").alias("sim_lo")
-    )
+    return g.selectExpr("doc_id", half_val("hi"), half_val("lo"))
 
 
 def simhash64(

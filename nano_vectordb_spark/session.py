@@ -39,6 +39,23 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("SPARK_GRAFT_INITIAL_SHUFFLE_PARTITIONS", "256"),
         )
+        # Let AQE re-plan (and so coalesce) the shuffles that feed
+        # CACHED plans too — off by default, which made every persisted
+        # frame materialize at the full initialPartitionNum width: the
+        # operators' persisted bases (LSH signature/shingle frames,
+        # candidate sets) were cached as 256 near-empty partitions and
+        # every downstream stage scheduled 256 tasks to read them.
+        # Measured at sf0.1 (warm, this flag false -> true):
+        # corpus_clean 3.1 -> 1.3 s, minhash_lsh_pairs 0.95 -> 0.24 s,
+        # simhash64_pairs 2.9 -> 1.8 s. The trade documented in Spark
+        # (output partitioning of a cached plan may change across
+        # actions) only affects consumers that rely on cached
+        # partitioning alignment, which none of these operators do —
+        # all downstream joins/aggregations declare their own keys.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # bigger Arrow batches amortize the NumPy matmul in the two-phase

@@ -78,21 +78,81 @@ def test_calibration_shape_and_determinism(monkeypatch):
     assert calls and all(p == 1 for p in calls)
 
 
-def test_mid_run_violation_flags_foreign_load():
+def test_mid_run_violation_flags_foreign_load_fallback():
     """r11 VERDICT finding 1: BENCH_r11 recorded load_reps_max_1m 6.61
     with protocol_violation false — mid-run contention must now trip
-    the flag. The ceiling separates the bench's own idle-host load
-    (measured peaks 2.13 / 3.52) from foreign load (6.61)."""
+    the flag. Loadavg ceiling is the FALLBACK path (foreign_cores is
+    None, i.e. /proc attribution unavailable)."""
     bench = _bench()
     idle_run = [[1.8, 1.0, 0.5], [3.5, 2.0, 1.0], [2.1, 2.2, 1.1]]
-    assert bench._mid_run_violation(idle_run) is False
+    assert bench._mid_run_violation(idle_run, None) is False
     contaminated = idle_run + [[6.61, 4.0, 2.0]]
-    assert bench._mid_run_violation(contaminated) is True
-    assert bench._mid_run_violation([]) is False
+    assert bench._mid_run_violation(contaminated, None) is True
+    assert bench._mid_run_violation([], None) is False
 
 
 def test_mid_run_ceiling_env_override(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_SELF_LOAD", "2.0")
     bench = _bench()
     assert bench.SELF_LOAD_CEILING == 2.0
-    assert bench._mid_run_violation([[3.0, 1.0, 1.0]]) is True
+    assert bench._mid_run_violation([[3.0, 1.0, 1.0]], None) is True
+
+
+def test_mid_run_foreign_cpu_is_primary_signal():
+    """r12: the primary mid-run guard is exact foreign-CPU attribution
+    — a run whose OWN load exceeds the legacy ceiling must NOT trip
+    when foreign CPU is low (the r12 idle-host run peaked at 5.89
+    1-min load from its own wide shuffles: a ceiling false positive),
+    and a low-load run WITH foreign CPU must trip."""
+    bench = _bench()
+    hot_self = [[5.89, 3.0, 2.0]]
+    assert bench._mid_run_violation(hot_self, 0.1) is False
+    assert bench._mid_run_violation([[0.5, 0.5, 0.5]], 2.7) is True
+
+
+def test_foreign_cpu_cores_arithmetic(monkeypatch):
+    """foreign cores = (host busy delta - subtree delta) / HZ / wall;
+    clamped at 0; None when either side was unreadable."""
+    bench = _bench()
+    monkeypatch.setattr(bench.os, "sysconf", lambda _k: 100)
+    # 10 s window, host burned 4000 jiffies, we burned 1000 -> 3 cores
+    assert bench._foreign_cpu_cores(0, 0, 4000, 1000, 10.0) == 3.0
+    # we accounted for everything -> 0 (never negative)
+    assert bench._foreign_cpu_cores(0, 0, 1000, 1200, 10.0) == 0.0
+    assert bench._foreign_cpu_cores(None, 0, 1000, 500, 10.0) is None
+    assert bench._foreign_cpu_cores(0, 0, 1000, 500, 0.0) is None
+
+
+def test_subtree_jiffies_counts_self_and_live_children():
+    """The subtree walk must include this process and any live child
+    (the Spark JVM and its Python workers are descendants); the value
+    is monotone under child CPU burn."""
+    import subprocess
+    import time as _time
+
+    bench = _bench()
+    base = bench._subtree_jiffies()
+    assert base is not None and base >= 0
+    # burn ~0.2 s of CPU in a child, then re-measure while it lives
+    child = subprocess.Popen(
+        [sys.executable, "-c", "import time;t=time.process_time()\nwhile time.process_time()-t<0.25: pass\ntime.sleep(5)"]
+    )
+    try:
+        deadline = _time.time() + 10
+        grew = False
+        while _time.time() < deadline:
+            cur = bench._subtree_jiffies()
+            if cur is not None and cur >= base + 15:  # >=0.15 s at HZ=100
+                grew = True
+                break
+            _time.sleep(0.1)
+        assert grew, "child CPU burn not attributed to the subtree"
+    finally:
+        child.kill()
+        child.wait()
+
+
+def test_host_busy_jiffies_shape():
+    bench = _bench()
+    b0 = bench._host_busy_jiffies()
+    assert b0 is None or b0 > 0

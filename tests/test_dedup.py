@@ -562,3 +562,29 @@ def test_simhash64_agg_bit_identical_to_udf(spark):
     a = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64_udf(docs).collect()}
     b = {(r.doc_id, r.sim_hi, r.sim_lo) for r in dedup.simhash64_agg(docs).collect()}
     assert a == b and len(a) > 0
+
+
+def test_simhash32_agg_bit_identical_to_reference_fold(spark):
+    """r12: the 32-bit simhash moved from 32 interpreted array folds to
+    the explode->md5->aggregate plan. Pin bit-identity against a plain
+    Python recomputation of the definition (tokenize on single spaces,
+    md5 hex-prefix 28-bit hash, rehash onto 32 bits with the simhash64
+    "hi" constants, ±1 majority per bit) on real fixture text."""
+    import hashlib
+
+    docs = _docs(spark).limit(50)
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    expect = {}
+    for r in rows:
+        toks = [t for t in r.text.split(" ") if t != ""]
+        if not toks:
+            continue
+        sums = [0] * 32
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            hu = (h * 2_654_435_761 + 40_503) % 2**32
+            for j in range(32):
+                sums[j] += 1 if (hu >> j) & 1 else -1
+        expect[r.doc_id] = sum(1 << j for j in range(32) if sums[j] > 0)
+    assert got == expect and len(expect) > 0
