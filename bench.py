@@ -101,12 +101,12 @@ LOAD_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
 # shuffles sustain more runnable tasks; an idle-host r12 run peaked at
 # 5.89 1-min load, a false positive against the 5.0 ceiling), proving
 # a fixed loadavg ceiling cannot separate self from foreign load. The
-# primary guard is direct attribution from /proc: over the timed-rep
-# window, foreign CPU = (host busy jiffies) - (this process subtree's
-# jiffies), normalized to average foreign cores. The bench's own work
-# is excluded exactly (the Spark JVM, Python workers and this driver
-# are all descendants of this process; reaped children are counted
-# via their parent's cutime/cstime), so the threshold can be tight
+# primary guard is direct attribution from /proc: per-process OWN
+# utime+stime deltas over the timed-rep window, summed over processes
+# outside this bench's subtree (see _foreign_cpu_cores for the exact
+# exclusions and why), normalized to average foreign cores. The
+# bench's own work is excluded exactly (the Spark JVM and Python
+# workers are subtree descendants), so the threshold can be tight
 # regardless of how parallel our own plans are.
 SELF_LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_SELF_LOAD", "5.0"))
 
@@ -116,33 +116,17 @@ SELF_LOAD_CEILING = float(os.environ.get("SPARK_GRAFT_BENCH_SELF_LOAD", "5.0"))
 FOREIGN_CPU_CORES = float(os.environ.get("SPARK_GRAFT_BENCH_FOREIGN_CPU", "1.0"))
 
 
-def _host_busy_jiffies() -> int | None:
-    """Non-idle CPU jiffies summed over all cores since boot (user +
-    nice + system + irq + softirq + steal; idle and iowait excluded)."""
-    try:
-        with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-    except OSError:  # pragma: no cover - non-linux
-        return None
-    if parts[0] != "cpu" or len(parts) < 8:  # pragma: no cover
-        return None
-    v = [int(x) for x in parts[1:]]
-    # fields: user nice system idle iowait irq softirq steal ...
-    idle = v[3] + (v[4] if len(v) > 4 else 0)
-    return sum(v) - idle
-
-
-def _subtree_jiffies(root_pid: int | None = None) -> int | None:
-    """utime+stime+cutime+cstime summed over this process's subtree.
-    Live descendants are counted once from their own /proc stat; dead
-    (reaped) ones once via their parent's cutime/cstime."""
-    root = os.getpid() if root_pid is None else root_pid
+def _proc_cpu_snapshot() -> dict[int, tuple[int, int]] | None:
+    """pid -> (own utime+stime jiffies, ppid) for every live process.
+    OWN time only (no cutime/cstime): per-pid deltas must not jump
+    when a process reaps a child — measured live, the parent shell of
+    an exiting Spark driver otherwise 'gains' the driver's whole CPU
+    in one tick and reads as a foreign burst."""
     try:
         pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
     except OSError:  # pragma: no cover - non-linux
         return None
-    ppid: dict[int, int] = {}
-    jiff: dict[int, int] = {}
+    out: dict[int, tuple[int, int]] = {}
     for pid in pids:
         try:
             with open(f"/proc/{pid}/stat") as fh:
@@ -151,35 +135,54 @@ def _subtree_jiffies(root_pid: int | None = None) -> int | None:
             continue  # exited between listdir and read
         # comm may contain spaces/parens: split after the LAST ')'
         rest = raw.rsplit(")", 1)[1].split()
-        # rest[1]=ppid, rest[11..14]=utime stime cutime cstime
-        ppid[pid] = int(rest[1])
-        jiff[pid] = sum(int(x) for x in rest[11:15])
-    total = 0
-    for pid in jiff:
-        p = pid
-        seen = set()
-        while p > 0 and p not in seen:
-            if p == root:
-                total += jiff[pid]
-                break
-            seen.add(p)
-            p = ppid.get(p, 0)
-    return total
+        # rest[1]=ppid, rest[11]=utime, rest[12]=stime
+        out[pid] = (int(rest[11]) + int(rest[12]), int(rest[1]))
+    return out
 
 
 def _foreign_cpu_cores(
-    busy0: int | None,
-    ours0: int | None,
-    busy1: int | None,
-    ours1: int | None,
+    snap0: dict[int, tuple[int, int]] | None,
+    snap1: dict[int, tuple[int, int]] | None,
     wall_s: float,
+    root_pid: int | None = None,
 ) -> float | None:
-    """Average cores of CPU time consumed by processes OUTSIDE this
-    bench's subtree over the window. None when /proc was unreadable."""
-    if None in (busy0, ours0, busy1, ours1) or wall_s <= 0:
+    """Average cores of CPU consumed by processes OUTSIDE this bench's
+    subtree over the window — the contamination signal. Excluded:
+
+    - the bench subtree itself (this process, the Spark JVM, Python
+      workers — membership from the end snapshot's ppid chains);
+    - PID 1 (the container supervisor): measured on this sandbox, its
+      CPU TRACKS the bench's own I/O volume (~4 cores during an
+      8-core run with nothing else on the box), so counting it makes
+      the bench's own activity read as contamination. A real co-tenant
+      runs as its own pid(s) and is still counted.
+
+    Processes that exit mid-window keep only the jiffies seen at the
+    last snapshot they were alive in (slight undercount — the loadavg
+    fallback and load telemetry still witness short bursts). None when
+    /proc was unreadable."""
+    if snap0 is None or snap1 is None or wall_s <= 0:
         return None
+    root = os.getpid() if root_pid is None else root_pid
+    ppid = {pid: pp for pid, (_, pp) in snap1.items()}
+
+    def in_subtree(pid: int) -> bool:
+        seen: set[int] = set()
+        while pid > 0 and pid not in seen:
+            if pid == root:
+                return True
+            seen.add(pid)
+            pid = ppid.get(pid, 0)
+        return False
+
+    foreign = 0
+    for pid, (j1, _) in snap1.items():
+        if pid == 1 or in_subtree(pid):
+            continue
+        j0 = snap0.get(pid, (0, 0))[0]
+        if j1 > j0:
+            foreign += j1 - j0
     hz = os.sysconf("SC_CLK_TCK") or 100
-    foreign = max(0, (busy1 - busy0) - (ours1 - ours0))
     return round(foreign / hz / wall_s, 3)
 
 
@@ -300,7 +303,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     reps_wall0 = time.perf_counter()
-    busy0, ours0 = _host_busy_jiffies(), _subtree_jiffies()
+    cpu_snap0 = _proc_cpu_snapshot()
     for _family, names in BENCH_FAMILIES:
         for name in names:
             fn = registry.REGISTRY[name].fn
@@ -318,9 +321,8 @@ def main() -> None:
             rep_times[name] = [round(t, 4) for t in ts]
         if release_between:
             registry.release_caches()
-    busy1, ours1 = _host_busy_jiffies(), _subtree_jiffies()
     foreign_cores = _foreign_cpu_cores(
-        busy0, ours0, busy1, ours1, time.perf_counter() - reps_wall0
+        cpu_snap0, _proc_cpu_snapshot(), time.perf_counter() - reps_wall0
     )
     if _mid_run_violation(load_samples, foreign_cores):
         print(

@@ -8,6 +8,7 @@ rerun)."""
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 
 
@@ -111,48 +112,62 @@ def test_mid_run_foreign_cpu_is_primary_signal():
 
 
 def test_foreign_cpu_cores_arithmetic(monkeypatch):
-    """foreign cores = (host busy delta - subtree delta) / HZ / wall;
-    clamped at 0; None when either side was unreadable."""
+    """foreign cores = sum of OWN-jiffy deltas of processes outside
+    the root's subtree (PID 1 excluded), / HZ / wall. snapshot format:
+    pid -> (own utime+stime, ppid)."""
     bench = _bench()
     monkeypatch.setattr(bench.os, "sysconf", lambda _k: 100)
-    # 10 s window, host burned 4000 jiffies, we burned 1000 -> 3 cores
-    assert bench._foreign_cpu_cores(0, 0, 4000, 1000, 10.0) == 3.0
-    # we accounted for everything -> 0 (never negative)
-    assert bench._foreign_cpu_cores(0, 0, 1000, 1200, 10.0) == 0.0
-    assert bench._foreign_cpu_cores(None, 0, 1000, 500, 10.0) is None
-    assert bench._foreign_cpu_cores(0, 0, 1000, 500, 0.0) is None
+    root = 100
+    # subtree: 100 <- 200 <- 300; foreign: 400; supervisor: 1
+    s0 = {1: (0, 0), 100: (0, 1), 200: (0, 100), 300: (0, 200), 400: (0, 1)}
+    s1 = {1: (9000, 0), 100: (500, 1), 200: (500, 100), 300: (2000, 200), 400: (3000, 1)}
+    # only pid 400 counts: 3000 jiffies / 100 HZ / 10 s = 3 cores
+    assert bench._foreign_cpu_cores(s0, s1, 10.0, root_pid=root) == 3.0
+    # subtree + pid1 only -> 0
+    s1b = {**s1, 400: (0, 1)}
+    assert bench._foreign_cpu_cores(s0, s1b, 10.0, root_pid=root) == 0.0
+    # a process born mid-window is counted from zero
+    s1c = {**s1b, 500: (1000, 1)}
+    assert bench._foreign_cpu_cores(s0, s1c, 10.0, root_pid=root) == 1.0
+    assert bench._foreign_cpu_cores(None, s1, 10.0, root_pid=root) is None
+    assert bench._foreign_cpu_cores(s0, s1, 0.0, root_pid=root) is None
 
 
-def test_subtree_jiffies_counts_self_and_live_children():
-    """The subtree walk must include this process and any live child
-    (the Spark JVM and its Python workers are descendants); the value
-    is monotone under child CPU burn."""
+def test_foreign_cpu_excludes_own_subtree_burn():
+    """A live CHILD of this process burning CPU (the Spark JVM / its
+    Python workers in the real bench) must NOT register as foreign."""
     import subprocess
     import time as _time
 
     bench = _bench()
-    base = bench._subtree_jiffies()
-    assert base is not None and base >= 0
-    # burn ~0.2 s of CPU in a child, then re-measure while it lives
     child = subprocess.Popen(
-        [sys.executable, "-c", "import time;t=time.process_time()\nwhile time.process_time()-t<0.25: pass\ntime.sleep(5)"]
+        [sys.executable, "-c", "import time;t=time.process_time()\nwhile time.process_time()-t<0.3: pass\ntime.sleep(5)"]
     )
     try:
-        deadline = _time.time() + 10
-        grew = False
-        while _time.time() < deadline:
-            cur = bench._subtree_jiffies()
-            if cur is not None and cur >= base + 15:  # >=0.15 s at HZ=100
-                grew = True
-                break
-            _time.sleep(0.1)
-        assert grew, "child CPU burn not attributed to the subtree"
+        s0 = bench._proc_cpu_snapshot()
+        t0 = _time.perf_counter()
+        _time.sleep(0.6)  # child burns ~0.3 s CPU inside the window
+        s1 = bench._proc_cpu_snapshot()
+        wall = _time.perf_counter() - t0
+        f_ours = bench._foreign_cpu_cores(s0, s1, wall)
+        # same window re-attributed from a bogus root: OUR subtree
+        # (incl. the burning child) now reads as foreign
+        f_all = bench._foreign_cpu_cores(s0, s1, wall, root_pid=-1)
+        assert f_ours is not None and f_all is not None
+        child_jiffies = s1[child.pid][0] - s0.get(child.pid, (0, 0))[0]
+        assert child_jiffies >= 20, child_jiffies  # burn actually happened
+        # exclusion property, independent of ambient load: attributing
+        # to the real root removes at least the child's burn
+        hz = os.sysconf("SC_CLK_TCK") or 100
+        assert f_all - f_ours >= (child_jiffies / hz / wall) * 0.9
     finally:
         child.kill()
         child.wait()
 
 
-def test_host_busy_jiffies_shape():
+def test_proc_cpu_snapshot_shape():
     bench = _bench()
-    b0 = bench._host_busy_jiffies()
-    assert b0 is None or b0 > 0
+    s = bench._proc_cpu_snapshot()
+    assert s is None or (os.getpid() in s and all(
+        isinstance(v, tuple) and len(v) == 2 for v in s.values()
+    ))
