@@ -324,6 +324,13 @@ def main() -> None:
     foreign_cores = _foreign_cpu_cores(
         cpu_snap0, _proc_cpu_snapshot(), time.perf_counter() - reps_wall0
     )
+    # Re-run the calibration AFTER the reps: this sandbox's host speed
+    # drifts up to ~1.6x WITHIN a session (hypervisor-level, invisible
+    # to in-guest process accounting — foreign_cpu_cores_avg ~0 while
+    # headlines move proportionally to calibration). The start/end
+    # pair witnesses whether the timed window itself sat on a fast or
+    # slow phase, which single-point calibration cannot show.
+    calibration_end = _calibrate(spark)
     if _mid_run_violation(load_samples, foreign_cores):
         print(
             f"# WARNING mid-run foreign CPU {foreign_cores} cores (ceiling "
@@ -359,6 +366,7 @@ def main() -> None:
                 # comparing across host classes (r9 VERDICT item 6)
                 "calibration_s": calibration["total_s"],
                 "calibration": calibration,
+                "calibration_end_s": calibration_end["total_s"],
                 # load telemetry: load_start is the 1/5/15-min loadavg
                 # BEFORE the first timed rep — the contamination signal
                 # (the bench's own 32 threads inflate the 1-min average
