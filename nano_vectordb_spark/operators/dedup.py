@@ -177,8 +177,19 @@ def ngram_shingles(
     exists). ``extra_cols`` rides metadata (e.g. ``source``) through
     without a join back to the input."""
     toks = tokens_expr(F.col(text_col))
+    # explode(array(toks)) is a GENERATOR BARRIER: it materializes the
+    # token array once per row as a concrete attribute. Without it,
+    # CollapseProject substitutes the tokenizer expression into the
+    # gram transform, where every outer `toks` reference inside the
+    # lambda re-evaluates the split PER GRAM — measured r12 at sf0.1
+    # (n=8): 12.3 s -> 1.0 s for the identical 235,704-shingle output.
+    # The array always has exactly one element, so the explode neither
+    # adds nor drops rows; null/short docs fall to the same size()
+    # filter as before.
     d = df.select(
-        F.col(id_col).alias("doc_id"), *extra_cols, toks.alias("toks")
+        F.col(id_col).alias("doc_id"),
+        *extra_cols,
+        F.explode(F.array(toks)).alias("toks"),
     ).filter(F.size("toks") >= n)
     idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
     gram = lambda i: F.concat_ws(

@@ -588,3 +588,26 @@ def test_simhash32_agg_bit_identical_to_reference_fold(spark):
                 sums[j] += 1 if (hu >> j) & 1 else -1
         expect[r.doc_id] = sum(1 << j for j in range(32) if sums[j] > 0)
     assert got == expect and len(expect) > 0
+
+
+def test_ngram_shingles_match_python_reference(spark):
+    """r12: ngram_shingles gained a generator barrier (explode of a
+    single-element array) so the tokenizer evaluates once per row
+    instead of once per gram reference. Pin output identity against a
+    plain-Python recomputation (distinct space-joined word n-grams,
+    docs with < n tokens dropped) on real fixture text, n=3 and n=8."""
+    docs = _docs(spark).limit(60)
+    rows = docs.select("doc_id", "text").collect()
+    for n in (3, 8):
+        got = {
+            r.doc_id: sorted(r.shingles)
+            for r in dedup.ngram_shingles(docs, n=n).collect()
+        }
+        expect = {}
+        for r in rows:
+            toks = [t for t in r.text.split(" ") if t != ""]
+            if len(toks) < n:
+                continue
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            expect[r.doc_id] = sorted(dict.fromkeys(grams))
+        assert got == expect and len(expect) > 0, f"n={n}"
