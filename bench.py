@@ -140,48 +140,93 @@ def _proc_cpu_snapshot() -> dict[int, tuple[int, int]] | None:
     return out
 
 
+def _foreign_jiffies(
+    snap0: dict[int, tuple[int, int]],
+    snap1: dict[int, tuple[int, int]],
+    root: int,
+) -> int:
+    """OWN-jiffy deltas between two snapshots summed over processes
+    OUTSIDE the bench's subtree — the contamination numerator.
+    Excluded:
+
+    - the bench subtree itself (this process, the Spark JVM, Python
+      workers). Membership is a ppid-chain walk accepted from EITHER
+      snapshot (r12 ADVICE: a bench descendant orphaned mid-window —
+      e.g. a pyspark daemon whose parent exited — is reparented to
+      PID 1 in the end snapshot and would otherwise read as foreign);
+    - PID 1 (the container supervisor): measured on this sandbox, its
+      CPU TRACKS the bench's own I/O volume (~4 cores during an
+      8-core run with nothing else on the box), so counting it makes
+      the bench's own activity read as contamination. A real co-tenant
+      runs as its own pid(s) and is still counted;
+    - PID 2 and its subtree (kernel threads — r12 ADVICE: kworkers
+      doing the bench's OWN I/O writeback otherwise count as foreign).
+    """
+    maps = (
+        {pid: pp for pid, (_, pp) in snap0.items()},
+        {pid: pp for pid, (_, pp) in snap1.items()},
+    )
+
+    def chain_hits(pid: int, target: int) -> bool:
+        for ppid in maps:
+            p = pid
+            seen: set[int] = set()
+            while p > 0 and p not in seen:
+                if p == target:
+                    return True
+                seen.add(p)
+                p = ppid.get(p, 0)
+        return False
+
+    foreign = 0
+    for pid, (j1, _) in snap1.items():
+        if pid in (1, 2) or chain_hits(pid, root) or chain_hits(pid, 2):
+            continue
+        j0 = snap0.get(pid, (0, 0))[0]
+        if j1 > j0:
+            foreign += j1 - j0
+    return foreign
+
+
 def _foreign_cpu_cores(
     snap0: dict[int, tuple[int, int]] | None,
     snap1: dict[int, tuple[int, int]] | None,
     wall_s: float,
     root_pid: int | None = None,
 ) -> float | None:
-    """Average cores of CPU consumed by processes OUTSIDE this bench's
-    subtree over the window — the contamination signal. Excluded:
-
-    - the bench subtree itself (this process, the Spark JVM, Python
-      workers — membership from the end snapshot's ppid chains);
-    - PID 1 (the container supervisor): measured on this sandbox, its
-      CPU TRACKS the bench's own I/O volume (~4 cores during an
-      8-core run with nothing else on the box), so counting it makes
-      the bench's own activity read as contamination. A real co-tenant
-      runs as its own pid(s) and is still counted.
-
-    Processes that exit mid-window keep only the jiffies seen at the
-    last snapshot they were alive in (slight undercount — the loadavg
-    fallback and load telemetry still witness short bursts). None when
-    /proc was unreadable."""
+    """Average foreign cores over one snapshot window (see
+    _foreign_jiffies for the attribution rules). Processes that start
+    AND exit strictly inside the window escape this pair's attribution
+    — which is why main() snapshots per timed rep and sums the per-rep
+    deltas (_foreign_cpu_cores_reps), so only sub-rep-lifetime
+    processes can escape; the load telemetry (load_reps_max_1m) still
+    records those. None when /proc was unreadable."""
     if snap0 is None or snap1 is None or wall_s <= 0:
         return None
     root = os.getpid() if root_pid is None else root_pid
-    ppid = {pid: pp for pid, (_, pp) in snap1.items()}
+    hz = os.sysconf("SC_CLK_TCK") or 100
+    return round(_foreign_jiffies(snap0, snap1, root) / hz / wall_s, 3)
 
-    def in_subtree(pid: int) -> bool:
-        seen: set[int] = set()
-        while pid > 0 and pid not in seen:
-            if pid == root:
-                return True
-            seen.add(pid)
-            pid = ppid.get(pid, 0)
-        return False
 
-    foreign = 0
-    for pid, (j1, _) in snap1.items():
-        if pid == 1 or in_subtree(pid):
-            continue
-        j0 = snap0.get(pid, (0, 0))[0]
-        if j1 > j0:
-            foreign += j1 - j0
+def _foreign_cpu_cores_reps(
+    snaps: list[dict[int, tuple[int, int]] | None],
+    wall_s: float,
+    root_pid: int | None = None,
+) -> float | None:
+    """Average foreign cores over the whole timed window, attributed
+    from PER-REP snapshot pairs (r12 ADVICE fix: a foreign job that
+    started and exited between two RUN-WIDE snapshots was invisible to
+    the end snapshot's pid listing and escaped both guards; narrowing
+    each attribution window to one rep shrinks the escape to processes
+    whose whole lifetime fits inside a single rep). None when any
+    snapshot was unavailable."""
+    if wall_s <= 0 or len(snaps) < 2 or any(s is None for s in snaps):
+        return None
+    root = os.getpid() if root_pid is None else root_pid
+    foreign = sum(
+        _foreign_jiffies(s0, s1, root)  # type: ignore[arg-type]
+        for s0, s1 in zip(snaps, snaps[1:])
+    )
     hz = os.sysconf("SC_CLK_TCK") or 100
     return round(foreign / hz / wall_s, 3)
 
@@ -303,7 +348,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     rep_times: dict[str, list[float]] = {}
     reps_wall0 = time.perf_counter()
-    cpu_snap0 = _proc_cpu_snapshot()
+    # per-REP snapshots (r12 ADVICE): attribution windows narrow to one
+    # rep each, so a foreign job must start and exit within a single
+    # rep to escape the pid listing. Snapshots are taken BETWEEN reps
+    # (after each rep's clock stops), never inside a timed span.
+    cpu_snaps: list[dict[int, tuple[int, int]] | None] = [_proc_cpu_snapshot()]
     for _family, names in BENCH_FAMILIES:
         for name in names:
             fn = registry.REGISTRY[name].fn
@@ -317,12 +366,13 @@ def main() -> None:
                 la = _loadavg()
                 if la is not None:
                     load_samples.append(la)
+                cpu_snaps.append(_proc_cpu_snapshot())
             timings[name] = round(min(ts), 4)
             rep_times[name] = [round(t, 4) for t in ts]
         if release_between:
             registry.release_caches()
-    foreign_cores = _foreign_cpu_cores(
-        cpu_snap0, _proc_cpu_snapshot(), time.perf_counter() - reps_wall0
+    foreign_cores = _foreign_cpu_cores_reps(
+        cpu_snaps, time.perf_counter() - reps_wall0
     )
     # Re-run the calibration AFTER the reps: this sandbox's host speed
     # drifts up to ~1.6x WITHIN a session (hypervisor-level, invisible
@@ -340,6 +390,15 @@ def main() -> None:
         )
         violations.append("mid_run_load")
     total = round(sum(timings.values()), 4)
+    # medians alongside the mins (r12 VERDICT item 7 — ADDITIONS only:
+    # "value"/"queries" stay min-of-3 for round-over-round continuity;
+    # the median is the robust companion on a host whose speed drifts
+    # ~1.6x at hypervisor level within a session)
+    med = {
+        name: round(sorted(ts)[len(ts) // 2], 4)
+        for name, ts in rep_times.items()
+    }
+    total_median = round(sum(med.values()), 4)
     try:
         sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -351,6 +410,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # r13: medians next to the mins (additive; see `med`)
+                "value_median": total_median,
+                "queries_median": med,
                 # every rep per query (first rep includes one-time
                 # materialization/caching) — makes machine-state noise
                 # visible in the official record instead of only the min

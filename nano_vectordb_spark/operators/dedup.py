@@ -1770,8 +1770,70 @@ def embedding_neardup_pairs(
         )
     lhs = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     rhs = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
-    pairs = lhs.join(rhs, F.col("a_id") < F.col("b_id"))
-    scored = pairs.select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
+    if n <= 1:
+        pairs = lhs.join(rhs, F.col("a_id") < F.col("b_id"))
+        scored = pairs.select(
+            "a_id", "b_id", dot_expr("va", "vb").alias("cos_sim")
+        )
+        return scored.filter(F.col("cos_sim") >= threshold)
+    # r13 (guide §4.2 + the graphann certified-bound discipline): the
+    # literal cartesian ran the INTERPRETED sequential-fold dot over
+    # every one of the N(N-1)/2 pairs (measured 35.6 s warm at sf0.1's
+    # 2k vectors — higher-order folds never enter codegen). Every pair
+    # is still considered, but by one blocked float64 matmul against
+    # the broadcast matrix (bounded: max_rows caps it at verification
+    # scale by contract); only pairs whose dot + certified slack can
+    # reach the threshold pay the exact fold, which still decides the
+    # output. Lossless: slack = 1e-11 * (Σ|a_i*b_i| + 1) bounds the
+    # f64-matmul-vs-sequential-fold reduction-order error by orders of
+    # magnitude (~d*eps*Σ|a_i*b_i|), so a qualifying pair can never be
+    # pruned; near-boundary pairs are settled by the exact fold.
+    # Pair-set parity vs the literal cartesian is pinned in
+    # tests/test_dedup.py.
+    import numpy as np
+
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .filter(F.col("v").isNotNull())  # null vectors never qualify:
+        # the exact fold yields NULL, which the threshold filter drops
+        .orderBy("id")
+        .toPandas()
+    )
+    ids = base["id"].to_numpy()
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in base["v"]])
+    amat = np.abs(mat)
+    b = df.sparkSession.sparkContext.broadcast((ids, mat, amat))
+    thr = float(threshold)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_, mat_, amat_ = b.value
+        for pdf in batches:
+            out_a, out_b = [], []
+            for a_id, va in zip(pdf["a_id"], pdf["va"]):
+                if va is None:
+                    continue
+                x = np.asarray(va, dtype=np.float64)
+                dots = mat_ @ x
+                slack = (amat_ @ np.abs(x)) + 1.0
+                keep = (dots + slack * 1e-11 >= thr) & (ids_ > a_id)
+                if keep.any():
+                    sel = ids_[keep]
+                    out_a.extend([a_id] * len(sel))
+                    out_b.extend(sel.tolist())
+            yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    cand = df.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    ).mapInPandas(gen, f"a_id {id_type}, b_id {id_type}")
+    scored = (
+        cand.join(F.broadcast(lhs), "a_id")
+        .join(F.broadcast(rhs), "b_id")
+        .select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
+    )
     return scored.filter(F.col("cos_sim") >= threshold)
 
 

@@ -818,6 +818,21 @@ def _beam_search(
     ent = np.asarray(
         list(dict.fromkeys(int(e) for e in entries)), dtype=np.int64
     )
+    # Exhaustive-parity fast path (r13): when every node seeds the beam
+    # AND ef covers the whole index slice, the beam's result set is
+    # provably the exact top-k by (dist, idx) — all nodes enter `res`
+    # (ef >= n admits everything), expansion can add nothing (every
+    # node is already visited), and the final sort orders by (dist,
+    # idx). The graph_ann_* parity modes (ef = n_entry = coarse =
+    # maxlist) run exactly this case; computing it as one vectorized
+    # scan + lexsort replaces ~n heap pushes/pops + n CSR expansions of
+    # pure Python per query. Distances use the same float32 einsum as
+    # offer(), so emitted values are bit-identical.
+    if ef >= vecs.shape[0] and ent.size == vecs.shape[0]:
+        nv = vecs - q
+        dvs = np.einsum("ij,ij->i", nv, nv)
+        order = np.lexsort((np.arange(dvs.shape[0]), dvs))[:k]
+        return [(float(dvs[i]), int(i)) for i in order]
     visited[ent] = tag
     offer(ent)
     while cand:
@@ -1135,6 +1150,47 @@ def default_nprobe(nlist: int) -> int:
     return max(8, nlist // 64)
 
 
+def shard_search_state(
+    index,
+    shard_graph: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, node_id, vec, nbrs) — the per-shard beam state of
+    shard_graph_search, exposed so REPEATED searches over one frozen
+    (index, graph) pair build it once (persist the result and pass it
+    as ``state=``). Building it per call costs the symmetrize +
+    distinct + groupBy-adjacency exchanges every time — measured r13
+    at sf0.1 as the dominant fixed cost of the graph_ann_* entries,
+    which run 6-8 searches per invocation over one frozen index. The
+    frame is a pure function of (assigned, shard_graph); search
+    filters it to the probed clusters, so the probed-partition prune
+    is unchanged."""
+    sym = (
+        shard_graph.select("cluster_id", "src_id", "nbr_id")
+        .union(
+            shard_graph.select(
+                "cluster_id",
+                F.col("nbr_id").alias("src_id"),
+                F.col("src_id").alias("nbr_id"),
+            )
+        )
+        .distinct()
+    )
+    adj = sym.groupBy("cluster_id", "src_id").agg(
+        F.sort_array(F.collect_set("nbr_id")).alias("nbrs")
+    )
+    return index.assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).alias("vec"),
+    ).join(
+        adj.withColumnRenamed("src_id", "node_id"),
+        ["cluster_id", "node_id"],
+        "left",
+    )
+
+
 def shard_graph_search(
     index,
     shard_graph: DataFrame,
@@ -1148,6 +1204,7 @@ def shard_graph_search(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed graph ANN over the sharded index: probe the
     top-nprobe IVF lists per query (broadcast centroid scoring,
@@ -1178,10 +1235,15 @@ def shard_graph_search(
 
     if nprobe is None:
         nprobe = default_nprobe(len(centroids_matrix(index)))
-    probes = probe_clusters(index, queries, nprobe, query_id_col, query_vec_col)
+    # eager pin (r13, guide §5): probes feed BOTH the probed-id collect
+    # and the routed beam join; unpinned, the crossJoin+window probe
+    # plan executed twice per search. Q x nprobe rows of two ints.
+    probes = probe_clusters(
+        index, queries, nprobe, query_id_col, query_vec_col
+    ).localCheckpoint(eager=True)
     cand, probed_ids = _shard_beam_candidates(
         index, shard_graph, queries, probes, k, ef, n_entry, coarse,
-        id_col, vec_col, query_id_col, query_vec_col,
+        id_col, vec_col, query_id_col, query_vec_col, state=state,
     )
     return _rescore_shard_candidates(
         index, queries, cand, probed_ids, k,
@@ -1202,13 +1264,23 @@ def _shard_beam_candidates(
     vec_col: str,
     query_id_col: str,
     query_vec_col: str,
+    state: DataFrame | None = None,
+    probed_ids: list[int] | None = None,
 ):
     """The routing + per-shard-beam stage of shard_graph_search, taking
     an EXPLICIT (query_id, cluster_id) probes table so adaptive
     re-probing (shard_graph_search_adaptive) can drive extra rounds
     through the identical machinery. Returns (cand, probed_ids): the
     deduped (query_id, vec_id) candidates and the sorted probed
-    cluster ids (the static partition-prune literals)."""
+    cluster ids (the static partition-prune literals).
+
+    ``state`` — a prebuilt shard_search_state(index, shard_graph)
+    frame; when given, the per-call symmetrize/adjacency exchanges are
+    replaced by one filter on the (typically persisted) state.
+    ``probed_ids`` — the distinct probed cluster ids when the caller
+    already knows them driver-side (the adaptive path derives probes
+    from NumPy bound math and re-collecting them was one pure-overhead
+    Spark job per round)."""
     routed = probes.join(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -1220,40 +1292,46 @@ def _shard_beam_candidates(
     # (ivf.py:355): a literal IN over <= nlist ints reaches the scan
     # as PartitionFilters on the persisted cluster_id layout; a
     # broadcast join would only get dynamic pruning at best
-    probed_ids = sorted(
-        int(r["cluster_id"])
-        for r in probes.select("cluster_id").distinct().collect()
-    )
+    if probed_ids is None:
+        probed_ids = sorted(
+            int(r["cluster_id"])
+            for r in probes.select("cluster_id").distinct().collect()
+        )
+    else:
+        probed_ids = sorted(int(c) for c in probed_ids)
     probed_filter = F.col("cluster_id").isin(probed_ids)
-    sym = (
-        shard_graph.filter(probed_filter)  # prunes the persisted
-        # shard_graph_write layout exactly like the base scan
-        .select("cluster_id", "src_id", "nbr_id")
-        .union(
-            shard_graph.filter(probed_filter).select(
+    if state is not None:
+        state = state.filter(probed_filter)
+    else:
+        sym = (
+            shard_graph.filter(probed_filter)  # prunes the persisted
+            # shard_graph_write layout exactly like the base scan
+            .select("cluster_id", "src_id", "nbr_id")
+            .union(
+                shard_graph.filter(probed_filter).select(
+                    "cluster_id",
+                    F.col("nbr_id").alias("src_id"),
+                    F.col("src_id").alias("nbr_id"),
+                )
+            )
+            .distinct()
+        )
+        adj = sym.groupBy("cluster_id", "src_id").agg(
+            F.sort_array(F.collect_set("nbr_id")).alias("nbrs")
+        )
+        state = (
+            index.assigned.select(
                 "cluster_id",
-                F.col("nbr_id").alias("src_id"),
-                F.col("src_id").alias("nbr_id"),
+                F.col(id_col).alias("node_id"),
+                F.col(vec_col).alias("vec"),
+            )
+            .filter(probed_filter)
+            .join(
+                adj.withColumnRenamed("src_id", "node_id"),
+                ["cluster_id", "node_id"],
+                "left",
             )
         )
-        .distinct()
-    )
-    adj = sym.groupBy("cluster_id", "src_id").agg(
-        F.sort_array(F.collect_set("nbr_id")).alias("nbrs")
-    )
-    state = (
-        index.assigned.select(
-            "cluster_id",
-            F.col(id_col).alias("node_id"),
-            F.col(vec_col).alias("vec"),
-        )
-        .filter(probed_filter)
-        .join(
-            adj.withColumnRenamed("src_id", "node_id"),
-            ["cluster_id", "node_id"],
-            "left",
-        )
-    )
 
     def run(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:
@@ -1290,14 +1368,22 @@ def _shard_beam_candidates(
         stride = max(1, -(-len(ids) // coarse))
         sample_idx = np.arange(0, len(ids), stride, dtype=np.int64)
         sample = vecs[sample_idx]
+        # exhaustive-parity mode: every node seeds the beam, so the
+        # per-query entry-selection sort over the whole shard is pure
+        # overhead — _beam_search's fast path takes over (same result)
+        exhaustive = stride == 1 and n_entry >= len(ids) and ef >= len(ids)
+        all_entries = list(range(len(ids))) if exhaustive else None
         left = left.sort_values("query_id")
         out_q, out_v = [], []
         for qid, qv in zip(left["query_id"], left["__qv"]):
             q = np.asarray(qv, dtype=np.float32)
-            diff = sample - q
-            cd = np.einsum("ij,ij->i", diff, diff)
-            order = np.lexsort((sample_idx, cd))[:n_entry]
-            entries = [int(sample_idx[o]) for o in order]
+            if exhaustive:
+                entries = all_entries
+            else:
+                diff = sample - q
+                cd = np.einsum("ij,ij->i", diff, diff)
+                order = np.lexsort((sample_idx, cd))[:n_entry]
+                entries = [int(sample_idx[o]) for o in order]
             tag += 1
             hits = _beam_search(
                 q, indptr, indices, vecs, ef, k, entries, visited, tag
@@ -1336,6 +1422,8 @@ def shard_graph_search_adaptive(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     return_stats: bool = False,
+    state: DataFrame | None = None,
+    radii=None,
 ):
     """Query-adaptive re-probe over the sharded graph index — the
     FAISS/SPANN query-expansion mechanic (r9 VERDICT item 2): probe
@@ -1372,6 +1460,13 @@ def shard_graph_search_adaptive(
     Returns (query_id, rank, vec_id, dist); with ``return_stats=True``
     returns (df, stats) where stats carries per-query effective probe
     counts and the expansion rate.
+
+    ``state`` — optional prebuilt shard_search_state(index,
+    shard_graph); ``radii`` — optional precomputed
+    ivf_list_radii(index) array. Both are pure functions of the frozen
+    index, so callers running repeated searches (the graph_ann_*
+    entries run 4-8 per invocation) compute them once; results are
+    identical either way.
     """
     import numpy as np
 
@@ -1425,7 +1520,8 @@ def shard_graph_search_adaptive(
     )
     cand1, probed1 = _shard_beam_candidates(
         index, shard_graph, queries, probes1, k, ef, n_entry, coarse,
-        id_col, vec_col, query_id_col, query_vec_col,
+        id_col, vec_col, query_id_col, query_vec_col, state=state,
+        probed_ids={int(c) for probed in probes1_list for c in probed},
     )
     # pin the round-1 beam output (ADVICE r10): cand1 feeds the kth-
     # distance collect below AND the returned plan (r1 or the union
@@ -1444,7 +1540,8 @@ def shard_graph_search_adaptive(
         .collect()
     )
     kth = {int(r["query_id"]): (float(r["kth"]), int(r["n"])) for r in kth_rows}
-    radii = ivf_list_radii(index, vec_col=vec_col)
+    if radii is None:
+        radii = ivf_list_radii(index, vec_col=vec_col)
     budget = min(nprobe_max, index.nlist) - min(nprobe, index.nlist)
     extra_pairs: list[tuple[int, int]] = []
     probes_used: dict[int, int] = {}
@@ -1481,7 +1578,8 @@ def shard_graph_search_adaptive(
     )
     cand2, probed2 = _shard_beam_candidates(
         index, shard_graph, queries, probes2, k, ef, n_entry, coarse,
-        id_col, vec_col, query_id_col, query_vec_col,
+        id_col, vec_col, query_id_col, query_vec_col, state=state,
+        probed_ids={c for _, c in extra_pairs},
     )
     cand = cand1.unionByName(cand2).dropDuplicates(["query_id", "vec_id"])
     final = _rescore_shard_candidates(

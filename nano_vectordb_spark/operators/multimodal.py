@@ -519,14 +519,73 @@ def _jpeg_canonical_codes(bits, huffval):
     return out
 
 
+# r13 (guide §4.5 "heavyweight init once"): the four Annex K encoder
+# code tables and the per-quality quantization tables are constants,
+# but were rebuilt on EVERY jpeg_encode call (measured ~0.2 ms/doc of
+# the 1.16 ms/doc encode). Memoized lazily; values are unchanged.
+_JPEG_ENC_CODES: list[dict] | None = None
+_JPEG_QT_MEMO: dict[int, tuple] = {}
+
+
+def _jpeg_enc_codes() -> list:
+    global _JPEG_ENC_CODES
+    if _JPEG_ENC_CODES is None:
+        _JPEG_ENC_CODES = [
+            _jpeg_canonical_codes(*_JHT_DC_L),
+            _jpeg_canonical_codes(*_JHT_DC_C),
+            _jpeg_canonical_codes(*_JHT_AC_L),
+            _jpeg_canonical_codes(*_JHT_AC_C),
+        ]
+    return _JPEG_ENC_CODES
+
+
+def _jpeg_decode_lut(bits: bytes, vals: bytes) -> list[int]:
+    """16-bit-window Huffman decode table for one DHT table: entry at
+    every 16-bit window whose PREFIX is a code holds
+    (code_length << 8) | symbol; 0 marks an invalid prefix. Built from
+    the STREAM's own DHT bytes (the decoder contract is unchanged) and
+    memoized on those exact bytes — every blob of a corpus carries the
+    same tables, so the 65536-entry fill is paid once per table per
+    process, not per image. Replaces the bit-at-a-time tree walk
+    (measured: decode_sym + read_bit were ~70% of decode time)."""
+    key = (bytes(bits), bytes(vals))
+    lut = _JPEG_LUT_MEMO.get(key)
+    if lut is not None:
+        return lut
+    import numpy as np
+
+    arr = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            arr[start : start + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    lut = arr.tolist()
+    _JPEG_LUT_MEMO[key] = lut
+    return lut
+
+
+_JPEG_LUT_MEMO: dict[tuple[bytes, bytes], list[int]] = {}
+
+
+_JPEG_DCT_M = None
+
+
 def _jpeg_dct_matrix():
     import numpy as np
 
+    global _JPEG_DCT_M
+    if _JPEG_DCT_M is not None:
+        return _JPEG_DCT_M
     m = np.zeros((8, 8))
     for u in range(8):
         cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
         for x in range(8):
             m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    _JPEG_DCT_M = m
     return m
 
 
@@ -535,12 +594,16 @@ def _jpeg_qtables(quality: int):
 
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be in [1, 100], got {quality}")
+    memo = _JPEG_QT_MEMO.get(quality)
+    if memo is not None:
+        return list(memo)
     # libjpeg's public quality->scaling convention (jcparam.c shape)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     out = []
     for base in (_JQ_LUMA, _JQ_CHROMA):
         t = [(v * scale + 50) // 100 for v in base]
         out.append(np.array([min(255, max(1, v)) for v in t]).reshape(8, 8))
+    _JPEG_QT_MEMO[quality] = tuple(out)
     return out
 
 
@@ -593,14 +656,9 @@ def jpeg_encode(width: int, height: int, pixels, quality: int = 90) -> bytes:
     qt = _jpeg_qtables(quality)
     m = _jpeg_dct_matrix()
     bh, bw = -(-height // 8), -(-width // 8)
-    dc_codes = [
-        _jpeg_canonical_codes(*_JHT_DC_L),
-        _jpeg_canonical_codes(*_JHT_DC_C),
-    ]
-    ac_codes = [
-        _jpeg_canonical_codes(*_JHT_AC_L),
-        _jpeg_canonical_codes(*_JHT_AC_C),
-    ]
+    enc = _jpeg_enc_codes()
+    dc_codes = enc[:2]
+    ac_codes = enc[2:]
 
     # edge-replicate to a multiple of 8 (the spec's recommended pad)
     padded = []
@@ -608,44 +666,69 @@ def jpeg_encode(width: int, height: int, pixels, quality: int = 90) -> bytes:
         p = np.pad(c, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
         padded.append(p)
 
+    # r13 (guide §4.2): the forward DCT + quantization + zigzag run as
+    # ONE batched tensor op per component over all bh*bw blocks instead
+    # of per-block 8x8 matmuls with a per-coefficient numpy-scalar
+    # zigzag gather (that gather alone was 64 Python/numpy-scalar ops
+    # per block). Arithmetic is elementwise-identical: same m, same
+    # subtract/divide/round order per coefficient; blob bytes are
+    # pinned against the pre-rewrite encoder in
+    # tests/test_multimodal.py::test_jpeg_parity_digests.
+    blocks = (
+        np.stack(padded)
+        .reshape(3, bh, 8, bw, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, -1, 8, 8)
+    )
+    coef = m @ (blocks - 128.0) @ m.T
+    qsel = np.stack([qt[0], qt[1], qt[1]])  # per-component tables
+    q = np.round(coef / qsel[:, None, :, :]).astype(np.int64)
+    zz_comp = q.reshape(3, -1, 64)[:, :, _JZZ].tolist()
+
     w = _JpegBitWriter()
+    write = w.write
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):  # MCU = one 8x8 block per component (4:4:4)
-            for ci in range(3):
-                ti = 0 if ci == 0 else 1
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = m @ (block - 128.0) @ m.T
-                q = np.round(coef / qt[ti]).astype(np.int64)
-                zz = [int(q.flat[_JZZ[k]]) for k in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                cat = _jpeg_category(diff)
-                code, length = dc_codes[ti][cat]
-                w.write(code, length)
-                if cat:
-                    bits = diff if diff > 0 else diff + (1 << cat) - 1
-                    w.write(bits, cat)
+    for bi in range(bh * bw):  # MCU order = row-major blocks (4:4:4)
+        for ci in range(3):
+            ti = 0 if ci == 0 else 1
+            dc_tab = dc_codes[ti]
+            ac_tab = ac_codes[ti]
+            zz = zz_comp[ci][bi]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            # code word + amplitude field fused into ONE write call —
+            # bit-identical output (write appends `length` bits of
+            # `value` MSB-first either way), half the call overhead
+            cat = (diff if diff > 0 else -diff).bit_length()
+            code, length = dc_tab[cat]
+            if cat:
+                bits = (diff if diff > 0 else diff + (1 << cat) - 1) & (
+                    (1 << cat) - 1
+                )
+                write((code << cat) | bits, length + cat)
+            else:
+                write(code, length)
+            run = 0
+            last_nz = 63
+            while last_nz > 0 and zz[last_nz] == 0:
+                last_nz -= 1
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_tab[0xF0]  # ZRL
+                    write(code, length)
+                    run -= 16
+                cat = (v if v > 0 else -v).bit_length()
+                code, length = ac_tab[(run << 4) | cat]
+                bits = (v if v > 0 else v + (1 << cat) - 1) & ((1 << cat) - 1)
+                write((code << cat) | bits, length + cat)
                 run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, last_nz + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, length = ac_codes[ti][0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    cat = _jpeg_category(v)
-                    code, length = ac_codes[ti][(run << 4) | cat]
-                    w.write(code, length)
-                    bits = v if v > 0 else v + (1 << cat) - 1
-                    w.write(bits, cat)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[ti][0x00]  # EOB
-                    w.write(code, length)
+            if last_nz < 63:
+                code, length = ac_tab[0x00]  # EOB
+                write(code, length)
     w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -772,13 +855,12 @@ def _jpeg_decode(blob: bytes):
             o = 0
             while o < len(body):
                 tc, th = body[o] >> 4, body[o] & 0xF
-                bits = list(body[o + 1 : o + 17])
+                bits = body[o + 1 : o + 17]
                 n = sum(bits)
-                vals = list(body[o + 17 : o + 17 + n])
-                codes = _jpeg_canonical_codes(bits, vals)
-                htabs[(tc, th)] = {
-                    (length, code): sym for sym, (code, length) in codes.items()
-                }
+                vals = body[o + 17 : o + 17 + n]
+                # 16-bit-window LUT decoder built from the stream's own
+                # DHT bytes (memoized on them — see _jpeg_decode_lut)
+                htabs[(tc, th)] = _jpeg_decode_lut(bits, vals)
                 o += 17 + n
         elif marker == 0xFFC0:
             prec, h, w_, nc = struct.unpack_from(">BHHB", body, 0)
@@ -812,50 +894,103 @@ def _jpeg_decode(blob: bytes):
     if end != -1:
         data = data[:end]
 
-    def decode_sym(r: _JpegBitReader, tab: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | r.read_bit()
-            length += 1
-            sym = tab.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in entropy stream")
+    # r13 entropy decode (guide §4.2): the bit-at-a-time tree walk
+    # (_JpegBitReader + decode_sym, measured ~70% of decode time) is
+    # replaced by a 16-bit sliding-window LUT decode over the
+    # unstuffed bit array — one table lookup per Huffman symbol, one
+    # shift per amplitude field. Semantics are unchanged: truncation
+    # and invalid-code errors raise the same ValueErrors, and decoded
+    # pixels are pinned byte-identical against the pre-rewrite decoder
+    # (tests/test_multimodal.py::test_jpeg_parity_digests).
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ff = np.nonzero(arr == 0xFF)[0]
+    if len(ff):
+        # every 0xFF inside the entropy segment must be a stuffed pair
+        # (B.1.1.5); anything else is a foreign marker we do not decode
+        if ff[-1] == len(arr) - 1 or (arr[ff + 1] != 0).any():
+            raise ValueError("unexpected marker in entropy stream")
+        arr = np.delete(arr, ff + 1)
+    bits = np.unpackbits(arr)
+    nbits = len(bits)
+    ext = np.concatenate([bits.astype(np.uint32), np.zeros(16, np.uint32)])
+    w16 = np.zeros(nbits, dtype=np.uint32)
+    for j in range(16):
+        w16 |= ext[j : j + nbits] << (15 - j)
+    win = w16.tolist()
+    trunc = ValueError("truncated JPEG entropy stream")
 
     m = _jpeg_dct_matrix()
     bh, bw = -(-height // 8), -(-width // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
-    r = _JpegBitReader(data)
+    luts = [(htabs[(0, td)], htabs[(1, ta)]) for _cid, td, ta in scomp]
+    pos = 0
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(3):
-                _cid, td, ta = scomp[ci]
-                qt = np.array(qtabs[comps[ci][1]]).reshape(8, 8)
-                zz = [0] * 64
-                cat = decode_sym(r, htabs[(0, td)])
-                pred[ci] += _jpeg_receive_extend(r, cat)
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = decode_sym(r, htabs[(1, ta)])
-                    run, size_ = rs >> 4, rs & 0xF
-                    if size_ == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _jpeg_receive_extend(r, size_)
-                    k += 1
-                q = np.zeros(64)
-                for k in range(64):
-                    q[_JZZ[k]] = zz[k]
-                coef = q.reshape(8, 8) * qt
-                block = m.T @ coef @ m + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    zz_all: list[list[int]] = []
+    for _bi in range(bh * bw):
+        for ci in range(3):
+            dlut, alut = luts[ci]
+            zz = [0] * 64
+            if pos >= nbits:
+                raise trunc
+            e = dlut[win[pos]]
+            if e == 0:
+                raise ValueError("invalid Huffman code in entropy stream")
+            pos += e >> 8
+            cat = e & 0xFF
+            if pos > nbits:
+                raise trunc
+            if cat:
+                if pos + cat > nbits:
+                    raise trunc
+                v = win[pos] >> (16 - cat)
+                pos += cat
+                pred[ci] += v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                if pos >= nbits:
+                    raise trunc
+                e = alut[win[pos]]
+                if e == 0:
+                    raise ValueError("invalid Huffman code in entropy stream")
+                pos += e >> 8
+                if pos > nbits:
+                    raise trunc
+                rs = e & 0xFF
+                run, size_ = rs >> 4, rs & 0xF
+                if size_ == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index overflow")
+                if pos + size_ > nbits:
+                    raise trunc
+                v = win[pos] >> (16 - size_)
+                pos += size_
+                zz[k] = v if v >= (1 << (size_ - 1)) else v - (1 << size_) + 1
+                k += 1
+            zz_all.append(zz)
+
+    # batched dequantize + de-zigzag + IDCT over every block at once
+    # (was per-block 8x8 numpy ops); elementwise arithmetic identical
+    zzmat = np.asarray(zz_all, dtype=np.float64)  # (nblocks, 64)
+    raster = np.zeros_like(zzmat)
+    raster[:, _JZZ] = zzmat
+    qts = np.asarray(
+        [qtabs[comps[ci][1]] for ci in range(3)], dtype=np.float64
+    )  # (3, 64) raster order
+    idx_ci = np.tile(np.arange(3), bh * bw)
+    coef = (raster * qts[idx_ci]).reshape(-1, 8, 8)
+    blocks = m.T @ coef @ m + 128.0
+    planes = [
+        blocks[idx_ci == ci]
+        .reshape(bh, bw, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw * 8)
+        for ci in range(3)
+    ]
     y = planes[0][:height, :width]
     cb = planes[1][:height, :width] - 128.0
     cr = planes[2][:height, :width] - 128.0

@@ -579,7 +579,11 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed output stays codec-independent."""
     from nano_vectordb_spark.operators.multimodal import _png_decode, png_encode
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r13 (guide §2): per-row zlib/filter codec over a single-file
+    # source otherwise runs as ONE task; no-op on multi-file sources
+    docs = dedup_ops._spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     n_px = _MM_PPM_W * _MM_PPM_H
 
     def run(batches):

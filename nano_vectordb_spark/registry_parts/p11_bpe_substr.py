@@ -8,6 +8,7 @@ from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
     F,
     SparkSession,
     Window,
+    dedup_ops,
     load_table,
     register,
     tx,
@@ -426,7 +427,10 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         byte_histogram_signatures,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r13 (guide §2): single-file source -> one scan partition -> the
+    # signature pass AND the blocked join's probe side ran
+    # single-threaded; _spread is a no-op on multi-file sources
+    docs = dedup_ops._spread(load_table(spark, sf_dir, "documents"))
     sigs = byte_histogram_signatures(attach_blob(docs))
     bucket = F.floor(F.col("byte_len") / _MMND_BUCKET)
     probes = sigs.select(
@@ -439,21 +443,29 @@ def multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_y"),
         F.col("byte_len").alias("len_y"),
         F.col("hist").alias("hist_y"),
-        F.floor(F.col("byte_len") / _MMND_BUCKET).alias("bk"),
+        F.floor(F.col("byte_len") / _MMND_BUCKET).alias("bk_y"),
     )
     l1 = F.aggregate(
         F.zip_with("hist", "hist_y", lambda p, q: F.abs(p - q)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # r13 (guide §3): the integer length bound rides IN the join
+    # condition, so the 16-term interpreted L1 fold (the expensive
+    # predicate — higher-order folds never enter codegen) prices only
+    # pairs already within the length threshold instead of every
+    # same-bucket pair; the emitted pair set is unchanged (the length
+    # filter was always applied, just after the fold).
     return (
-        probes.join(home, "bk")
-        .filter(F.col("doc_id") != F.col("doc_id_y"))
+        probes.join(
+            home,
+            (F.col("bk") == F.col("bk_y"))
+            & (F.abs(F.col("byte_len") - F.col("len_y")) <= _MMND_LEN)
+            & (F.col("doc_id") != F.col("doc_id_y")),
+        )
         .withColumn("l1_dist", l1)
         .withColumn("len_diff", F.abs(F.col("byte_len") - F.col("len_y")))
-        .filter(
-            (F.col("l1_dist") <= _MMND_L1) & (F.col("len_diff") <= _MMND_LEN)
-        )
+        .filter(F.col("l1_dist") <= _MMND_L1)
         .select(
             F.least("doc_id", "doc_id_y").alias("doc_id_a"),
             F.greatest("doc_id", "doc_id_y").alias("doc_id_b"),

@@ -1863,6 +1863,11 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.operators import graphann
     from nano_vectordb_spark.operators.gt import gt_build, recall_at_k
 
+    # Seeded layout-independent query set (r6 ADVICE): an unordered
+    # limit(100) is a partition-order prefix, ill-defined on directory
+    # fixtures; the repo's seeded sampler is the p00_base pattern.
+    from nano_vectordb_spark.operators import sample as sample_ops
+
     key = ("graph_ann", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         emb = (
@@ -1872,21 +1877,22 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         emb.count()
         g = graphann.build_knn_graph(emb, k=24, iters=3)
-        _INDEX_CACHE[key] = (emb, g)
-    emb, g = _INDEX_CACHE[key]
+        # r13 (guide §5): the collected CSR index, seeded queries and
+        # exact GT are pure functions of the frozen graph/fixture —
+        # memoized with it instead of rebuilt per invocation.
+        cidx = graphann.graph_collect(g, emb)
+        queries = (
+            sample_ops.sample_queries(emb, 100, seed=SEED, mode="random")
+            .select("query_id", "embedding")
+            .persist()
+        )
+        gt = gt_build(emb, queries, k=10, metric="l2").persist()
+        _INDEX_CACHE[key] = (emb, g, cidx, queries, gt)
+    emb, g, cidx, queries, gt = _INDEX_CACHE[key]
 
-    # Seeded layout-independent query set (r6 ADVICE): an unordered
-    # limit(100) is a partition-order prefix, ill-defined on directory
-    # fixtures; the repo's seeded sampler is the p00_base pattern.
-    from nano_vectordb_spark.operators import sample as sample_ops
+    idx = cidx  # one collect for the ef sweep, memoized across reps
 
-    queries = sample_ops.sample_queries(emb, 100, seed=SEED, mode="random").select(
-        "query_id", "embedding"
-    )
-    gt = gt_build(emb, queries, k=10, metric="l2")
-    rows = []
-    idx = graphann.graph_collect(g, emb)  # one collect for the ef sweep
-    for ef, floor in ((32, 0.85), (64, 0.93)):
+    def eval_ef(ef: int, floor: float):
         pred = graphann.graph_search(g, emb, queries, k=10, ef=ef, index=idx)
         pids = pred.groupBy("query_id").agg(
             F.transform(
@@ -1895,9 +1901,13 @@ def graph_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pred_ids")
         )
         r = recall_at_k(gt, pids, 10).first()
-        rows.append(
-            (ef, int(r["n_queries"]), bool(r["recall_at_k"] >= floor))
-        )
+        return ef, int(r["n_queries"]), bool(r["recall_at_k"] >= floor)
+
+    # r13 (guide §2.6): the two ef points are independent — overlap
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rows = list(pool.map(lambda a: eval_ef(*a), ((32, 0.85), (64, 0.93))))
     return spark.createDataFrame(
         rows, "ef int, n_queries int, recall_ok boolean"
     ).orderBy("ef")
@@ -1937,6 +1947,10 @@ def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.operators.gt import gt_build, recall_at_k
     from nano_vectordb_spark.operators.ivf import ivf_build
 
+    # Seeded layout-independent query set (r6 ADVICE, same as
+    # graph_ann_recall).
+    from nano_vectordb_spark.operators import sample as sample_ops
+
     key = ("graph_ann_sharded", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         emb = (
@@ -1951,23 +1965,29 @@ def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxlist = int(
             idx.assigned.groupBy("cluster_id").count().agg(F.max("count")).first()[0]
         )
-        _INDEX_CACHE[key] = (emb, idx, g, maxlist)
-    emb, idx, g, maxlist = _INDEX_CACHE[key]
+        # r13 (guide §5): beam state + seeded queries + exact GT are
+        # pure functions of the frozen fixture — built once with the
+        # index instead of per invocation (three searches each).
+        state = graphann.shard_search_state(idx, g).persist()
+        queries = (
+            sample_ops.sample_queries(emb, 100, seed=SEED, mode="random")
+            .select("query_id", "embedding")
+            .persist()
+        )
+        gt = gt_build(emb, queries, k=10, metric="l2").persist()
+        _INDEX_CACHE[key] = (emb, idx, g, maxlist, state, queries, gt)
+    emb, idx, g, maxlist, state, queries, gt = _INDEX_CACHE[key]
 
-    # Seeded layout-independent query set (r6 ADVICE, same as
-    # graph_ann_recall).
-    from nano_vectordb_spark.operators import sample as sample_ops
+    # r13 (guide §2.6): the three per-nprobe evaluations are
+    # independent — overlap them from a thread pool (the monotone
+    # chain is checked after gathering, exactly as before).
+    from concurrent.futures import ThreadPoolExecutor
 
-    queries = sample_ops.sample_queries(emb, 100, seed=SEED, mode="random").select(
-        "query_id", "embedding"
-    )
-    gt = gt_build(emb, queries, k=10, metric="l2")
-    rows = []
-    prev = -1.0
-    for nprobe, floor in ((2, 0.20), (4, 0.50), (8, None)):
+    def eval_probe(nprobe: int, floor):
         ef, coarse = (maxlist, maxlist) if floor is None else (64, 256)
         pred = graphann.shard_graph_search(
-            idx, g, queries, k=10, ef=ef, nprobe=nprobe, coarse=coarse
+            idx, g, queries, k=10, ef=ef, nprobe=nprobe, coarse=coarse,
+            state=state,
         )
         pids = pred.groupBy("query_id").agg(
             F.transform(
@@ -1976,9 +1996,17 @@ def graph_ann_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pred_ids")
         )
         r = recall_at_k(gt, pids, 10).first()
-        rec = float(r["recall_at_k"])
+        return float(r["recall_at_k"]), int(r["n_queries"])
+
+    plan = [(2, 0.20), (4, 0.50), (8, None)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {np_: pool.submit(eval_probe, np_, fl) for np_, fl in plan}
+    rows = []
+    prev = -1.0
+    for nprobe, floor in plan:
+        rec, nq = futs[nprobe].result()
         ok = rec == 1.0 if floor is None else rec >= floor
-        rows.append((nprobe, int(r["n_queries"]), bool(ok), bool(rec >= prev)))
+        rows.append((nprobe, nq, bool(ok), bool(rec >= prev)))
         prev = rec
     return spark.createDataFrame(
         rows, "nprobe int, n_queries int, recall_ok boolean, monotone_ok boolean"

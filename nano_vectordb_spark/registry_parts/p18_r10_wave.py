@@ -63,7 +63,7 @@ def graph_ann_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nano_vectordb_spark.operators import graphann
     from nano_vectordb_spark.operators import sample as sample_ops
     from nano_vectordb_spark.operators.gt import gt_build, recall_at_k
-    from nano_vectordb_spark.operators.ivf import ivf_build
+    from nano_vectordb_spark.operators.ivf import ivf_build, ivf_list_radii
 
     key = ("graph_ann_adaptive_probe", spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
@@ -79,13 +79,24 @@ def graph_ann_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         maxlist = int(
             idx.assigned.groupBy("cluster_id").count().agg(F.max("count")).first()[0]
         )
-        _INDEX_CACHE[key] = (emb, idx, g, maxlist)
-    emb, idx, g, maxlist = _INDEX_CACHE[key]
-
-    queries = sample_ops.sample_queries(emb, 100, seed=SEED, mode="random").select(
-        "query_id", "embedding"
-    )
-    gt = gt_build(emb, queries, k=10, metric="l2")
+        # everything below is a pure function of the frozen index/
+        # fixture (r13, guide §5 — this entry runs SIX beam searches +
+        # two rescue rounds per invocation, and rebuilding the beam
+        # state's symmetrize/adjacency exchanges, the covering radii
+        # and the exact GT per invocation was most of its 36 s warm
+        # wall at sf0.1): the per-shard beam state, the per-list radii,
+        # the seeded query sample and its exact GT are built once and
+        # memoized alongside the index.
+        state = graphann.shard_search_state(idx, g).persist()
+        radii = ivf_list_radii(idx)
+        queries = (
+            sample_ops.sample_queries(emb, 100, seed=SEED, mode="random")
+            .select("query_id", "embedding")
+            .persist()
+        )
+        gt = gt_build(emb, queries, k=10, metric="l2").persist()
+        _INDEX_CACHE[key] = (emb, idx, g, maxlist, state, radii, queries, gt)
+    emb, idx, g, maxlist, state, radii, queries, gt = _INDEX_CACHE[key]
 
     def pred_ids(pred):
         return pred.groupBy("query_id").agg(
@@ -99,30 +110,55 @@ def graph_ann_adaptive_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = recall_at_k(gt, pred_ids(pred), 10).first()
         return float(r["recall_at_k"]), int(r["n_queries"])
 
-    rows = []
-    for np_init in (1, 2):
+    # r13 (guide §2.6 — overlap independent jobs): the six evaluations
+    # below (exact-identity, static-recall, budget-recall at each
+    # np_init) are mutually independent multi-action computations over
+    # frozen inputs; running them from a thread pool back-fills the
+    # executors during each other's fixed per-job machinery, so the
+    # entry's wall is the slowest chain, not the sum. Results are
+    # bit-identical — each task's plan and collects are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def eval_exact(np_init: int):
         exact_pred, st = graphann.shard_graph_search_adaptive(
             idx, g, queries, k=10, ef=maxlist, nprobe=np_init,
             nprobe_max=idx.nlist, n_entry=maxlist, coarse=maxlist,
-            return_stats=True,
+            return_stats=True, state=state, radii=radii,
         )
         exact_diff = (
             gt.join(pred_ids(exact_pred), "query_id")
             .filter(F.col("gt_ids") != F.col("pred_ids"))
             .count()
         )
-        budget = min(np_init + 2, idx.nlist)
-        r_static, nq = recall(
+        return exact_diff, st
+
+    def eval_static(np_init: int):
+        return recall(
             graphann.shard_graph_search(
-                idx, g, queries, k=10, ef=64, nprobe=np_init
+                idx, g, queries, k=10, ef=64, nprobe=np_init, state=state
             )
         )
-        r_adapt, _ = recall(
+
+    def eval_budget(np_init: int):
+        budget = min(np_init + 2, idx.nlist)
+        return recall(
             graphann.shard_graph_search_adaptive(
                 idx, g, queries, k=10, ef=64, nprobe=np_init,
-                nprobe_max=budget,
+                nprobe_max=budget, state=state, radii=radii,
             )
         )
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = {
+            (np_init, fn.__name__): pool.submit(fn, np_init)
+            for np_init in (1, 2)
+            for fn in (eval_exact, eval_static, eval_budget)
+        }
+    rows = []
+    for np_init in (1, 2):
+        exact_diff, st = futs[(np_init, "eval_exact")].result()
+        r_static, nq = futs[(np_init, "eval_static")].result()
+        r_adapt, _ = futs[(np_init, "eval_budget")].result()
         rows.append(
             (
                 np_init,

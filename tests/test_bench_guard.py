@@ -165,6 +165,49 @@ def test_foreign_cpu_excludes_own_subtree_burn():
         child.wait()
 
 
+def test_foreign_cpu_excludes_kernel_threads_and_orphans(monkeypatch):
+    """r12 ADVICE (low): kernel threads (PID 2's subtree) must not
+    count as foreign — kworkers do the bench's own I/O writeback; and a
+    bench descendant orphaned mid-window (reparented to PID 1 in the
+    end snapshot) stays attributed to the bench because subtree
+    membership accepts the ppid chain from EITHER snapshot."""
+    bench = _bench()
+    monkeypatch.setattr(bench.os, "sysconf", lambda _k: 100)
+    root = 100
+    # 300 is root's grandchild at s0; by s1 its parent exited and it
+    # was reparented to PID 1. 7 is a kworker (child of kthreadd=2).
+    s0 = {1: (0, 0), 2: (0, 0), 7: (0, 2), 100: (0, 1), 200: (0, 100), 300: (0, 200)}
+    s1 = {1: (0, 0), 2: (500, 0), 7: (2000, 2), 100: (0, 1), 300: (4000, 1)}
+    assert bench._foreign_cpu_cores(s0, s1, 10.0, root_pid=root) == 0.0
+    # a real co-tenant in the same window still counts
+    s1b = {**s1, 400: (3000, 1)}
+    assert bench._foreign_cpu_cores(s0, s1b, 10.0, root_pid=root) == 3.0
+
+
+def test_foreign_cpu_per_rep_windows_catch_short_lived_jobs(monkeypatch):
+    """r12 ADVICE (medium): a foreign job that starts AND exits between
+    two run-wide snapshots leaves no pid in the end snapshot and
+    escaped attribution. Per-rep windows see it in the rep snapshot it
+    straddles."""
+    bench = _bench()
+    monkeypatch.setattr(bench.os, "sysconf", lambda _k: 100)
+    root = 100
+    base = {1: (0, 0), 100: (0, 1)}
+    s0 = dict(base)
+    s_mid = {**base, 400: (2000, 1)}  # foreign job alive at rep boundary
+    s1 = dict(base)  # ...and gone by the end
+    # run-wide pair misses it entirely
+    assert bench._foreign_cpu_cores(s0, s1, 10.0, root_pid=root) == 0.0
+    # per-rep windows attribute the 2000 jiffies it burned while visible
+    assert (
+        bench._foreign_cpu_cores_reps([s0, s_mid, s1], 10.0, root_pid=root)
+        == 2.0
+    )
+    # unavailable snapshots degrade to None (loadavg fallback engages)
+    assert bench._foreign_cpu_cores_reps([s0, None, s1], 10.0, root_pid=root) is None
+    assert bench._foreign_cpu_cores_reps([s0], 10.0, root_pid=root) is None
+
+
 def test_proc_cpu_snapshot_shape():
     bench = _bench()
     s = bench._proc_cpu_snapshot()

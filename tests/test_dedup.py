@@ -611,3 +611,31 @@ def test_ngram_shingles_match_python_reference(spark):
             grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
             expect[r.doc_id] = sorted(dict.fromkeys(grams))
         assert got == expect and len(expect) > 0, f"n={n}"
+
+
+def test_embedding_neardup_pairs_matches_literal_cartesian(spark):
+    """r13: embedding_neardup_pairs prefilters with a certified-bound
+    blocked matmul before the exact fold — the pair set AND scores
+    must equal the literal cartesian + exact-fold definition (which is
+    also the entry's DuckDB oracle shape)."""
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_spark.functions.vector import dot_expr
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    for thr in (0.4, 0.0):
+        got = {
+            (r.a_id, r.b_id): r.cos_sim
+            for r in dedup.embedding_neardup_pairs(emb, thr).collect()
+        }
+        lhs = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+        rhs = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+        want = {
+            (r.a_id, r.b_id): r.cos_sim
+            for r in lhs.join(rhs, F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", dot_expr("va", "vb").alias("cos_sim"))
+            .filter(F.col("cos_sim") >= thr)
+            .collect()
+        }
+        assert set(got) == set(want)
+        assert got == want  # exact-fold scores, not matmul scores

@@ -534,3 +534,77 @@ def test_multimodal_jpeg_stats_vs_oracle(spark, duck):
     df = multimodal_jpeg_stats(spark, SF_CORRECT)
     ok, msg = compare(df, duck, _SQL_MM_JPEG)
     assert ok, msg
+
+
+# r13: the JPEG codec hot paths were vectorized (batched DCT/IDCT +
+# quantization, fused Huffman writes, 16-bit-window LUT entropy decode).
+# These digests were captured from the PRE-rewrite encoder/decoder on
+# adversarial fixtures (noise at several sizes incl. non-multiples of 8,
+# four qualities, smooth gradients, constant blocks, checkerboard) — the
+# rewrite must stay byte-identical on blobs AND decoded pixels.
+_JPEG_PARITY_CASES = [
+    (16, 16, 10, 'c993a1c006142436c5675a58a70d833c', '1ad3431971d680b322bdea73ca38dadf', '68dbb5e3365a2c827901813c3119f02f'),
+    (16, 16, 50, '3ab2728f744af6d14f571df54cbe8a14', '8ad991f84d884bed1d32f0c6be09859a', 'b71bceb520e131ab1afb1a93604abfdc'),
+    (16, 16, 90, '92ed43a209fd3ac97b50d36a4e17277d', '653ba5a346ed0e7531053066db75d70c', '53fea7f3a2d5334f0285aa7fd32c5ce7'),
+    (16, 16, 95, '816f71f3a64861d70be6d32d310559f7', 'a427ec2b184f51513c6a839a4d2bb79d', 'f08bf69970c34720e8aef43bdbe83bb4'),
+    (8, 8, 10, 'f93254b424cf0338f6f9eb7c0476d1d0', 'bd7a194d8074786ac0640a745581bd7e', '897cbb12e5a84f7006098b05041250a5'),
+    (8, 8, 50, 'f7a9925989fb228b5f71e5ae7d240703', '468b664725249c4d2e430b51197d9a99', '23c541f269bf4d2a7bb63c2fc2c6e045'),
+    (8, 8, 90, 'b69d4d84032cfadca805b69ee9f6d9cd', '8e2b3c8374f0eb4581dac24e1695fa54', '0d2ac5b7fcbfae41ef2771b9a0b6f929'),
+    (8, 8, 95, '8e84b399862deec3e555a9fbc3f4f4ed', 'b4cbd3163fb59c694296ea4536ccc873', '46386acc44dea0f012d7c3a742a9ceca'),
+    (24, 16, 10, '52d3abfde1cca4f2583c9105fa14921e', '9066683ec9cb3d59d82bc70a57ec936f', 'd41dab9ae75ea70c33d510d4f1131656'),
+    (24, 16, 50, 'c14b950bea9d23977c9be41cd52fc09b', '07fb8c81eba0d2eda8b7abafbb06ecf2', '496e4052ce919081d4c7229c56ffb717'),
+    (24, 16, 90, 'c2edc96d1ea95ac8884dd89fa7a226e5', '6043be95a13579d3caf9798b9f7fba66', '22814d893f0eee3bd039a831c7b05096'),
+    (24, 16, 95, 'b48843ea3ff214d769d7db457d89f0aa', '9fa0e23f53ce9356aeaa0b90d8925963', '6c860f6b7b20974ed939bdfd8d67acd0'),
+    (17, 9, 10, '66e258136e706a30b045d5f6123ae2e0', '5cc4f8e73475daadb3b993ed68db3991', '3feb3ce9b704ca9f7a9848040dcd5c74'),
+    (17, 9, 50, '8bd914cd795df50b712f87c16a61669f', '48cf98acc6f3600d3d487667a7f0c588', '8a48d77ca52b177ea8fdf76624d1e37b'),
+    (17, 9, 90, 'e4404cd828841a033147bf6d7153e9b6', 'f7d2b5a46d2cecc03d5c4def6256e2be', '871d8ac71d99aa67ede8b4914a6959f8'),
+    (17, 9, 95, '85138f5efce061b581818838af4308bb', '53aed4a5057bc56df09941ed2e1abb7c', 'b3b38cc840238bc8b27d9721dd85b2a0'),
+    (32, 24, 10, '0627f901f4e2e1ea0ed6f7d34634f858', '4dd0b9f59f80f9df9ce03a5e901f58a4', '566b1aaa200f950cd2352a8ad354e9c9'),
+    (32, 24, 50, '6f8af1e1151488b22b9579ed6e3b26e6', '448ca309b4e7c5c8959fed1f66ed149e', 'e99994c00112acffc432f770155a6fd0'),
+    (32, 24, 90, '5c9a6b3524b65a873d07fdd00467d8b0', 'dca20b1d4f4ab47ce101b7f958acc666', '24187daa91c590d24b87b82a758978a0'),
+    (32, 24, 95, '1464899359cbd4dc05abc63b50ef3119', '61cab695022e756fde295aa6e6b5981b', 'dfcf1448ae05be91fb3e1df9379815e2'),
+    (5, 5, 10, '5f6428e40877e2b5acbec8f988f9af58', '4701824f4b15b9f12ba4dd5abc6c4860', '329a8dece319978155563ec8cde96dbf'),
+    (5, 5, 50, 'f004ef4bcddc6e88147f57d4fe07d464', 'd5368eda241afe6ec34b4967ef9fc629', '01d3195e2e3a7ef3465a8a31aa86c9f6'),
+    (5, 5, 90, 'be0ec6dacbf6b727488e98ba9af5805f', '42ca4855475e508204ca63d001e35d46', '071c885fd9ce74d5ec7df6f6d3c969b6'),
+    (5, 5, 95, '652ba569501467516a6496f1cacba94a', '216191da37603c96b5e8d3bc108f60f8', '918f0c001299ae29f4fef647afac8e92'),
+    ("grad", 16, 90, 'db1cafcf189663a66e60a68ff26caa0b', 'a6308b6b2b7ea47aefc79a6588b5bb02', '96eef0dc8efd1cb8e0acde044a45febc'),
+    ("grad", 24, 50, '9e0b8dc244d02315a9827e45e910f566', '7836fd81875897721314e3a37f75ffd5', 'c21725366ecca4f6ec7057f0d89ade94'),
+    ("const", 16, 90, '431df6e02170b6aaa6f0d6097e6b5ac4', '1d15063956838e75181331e9a9ab7097', '431df6e02170b6aaa6f0d6097e6b5ac4'),
+    ("checker", 16, 90, 'c189289f8f07da1443838bc2380d5018', '1b913b75a2a53c361d518f77ea9924af', 'adc496429606e011161dc0bca2cd75b3'),
+]
+
+
+def test_jpeg_parity_digests():
+    import hashlib
+
+    import numpy as np
+
+    def md5(b):
+        return hashlib.md5(b).hexdigest()
+
+    rng = np.random.default_rng(7)
+    fixtures = []
+    for (w, h) in [(16, 16), (8, 8), (24, 16), (17, 9), (32, 24), (5, 5)]:
+        for q in (10, 50, 90, 95):
+            px = rng.integers(0, 256, size=(h * w, 3), dtype=np.uint8)
+            fixtures.append((w, h, q, px))
+    for (w, h, q) in [(16, 16, 90), (24, 24, 50)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        fixtures.append((w, h, q, np.stack([g, g // 2, 255 - g], axis=-1).reshape(-1, 3)))
+    fixtures.append((16, 16, 90, np.full((256, 3), 200, np.uint8)))
+    yy, xx = np.mgrid[0:16, 0:16]
+    cb = (((xx + yy) % 2) * 255).astype(np.uint8)
+    fixtures.append((16, 16, 90, np.stack([cb, cb, cb], axis=-1).reshape(-1, 3)))
+
+    assert len(fixtures) == len(_JPEG_PARITY_CASES)
+    for (w, h, q, px), (_a, _b, qq, px_md5, blob_md5, dec_md5) in zip(
+        fixtures, _JPEG_PARITY_CASES
+    ):
+        assert q == qq
+        assert md5(px.tobytes()) == px_md5, "fixture generation drifted"
+        blob = mm.jpeg_encode(w, h, px, quality=q)
+        assert md5(blob) == blob_md5, (w, h, q)
+        dw, dh, _mv, dec = mm._jpeg_decode(blob)
+        assert (dw, dh) == (w, h)
+        assert md5(dec.tobytes()) == dec_md5, (w, h, q)
