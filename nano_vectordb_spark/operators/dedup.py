@@ -214,7 +214,13 @@ def ngram_jaccard_pairs(
     count common, jaccard = common / (|A| + |B| - common). Scales as
     the shingle posting lists, not N^2."""
     sh = ngram_shingles(df, n, text_col, id_col)
-    sized = sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    # tracked persist (r13): the sized shingle frame feeds BOTH sides
+    # of the posting self-join below — unpersisted, the tokenize +
+    # shingle pass ran twice per action. Doc-level rows (one per doc),
+    # released via release_caches() like every dedup persist.
+    sized = _persist(
+        sh.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+    )
     ex = sized.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     common = (

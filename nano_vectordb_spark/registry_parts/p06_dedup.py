@@ -952,12 +952,14 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("pred_lang")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     # uniq feeds BOTH the LSH pair generation and the final anti-join:
-    # persist so the filter/dedup pipeline runs once
-    uniq = (
+    # persist so the filter/dedup pipeline runs once. TRACKED persist
+    # (r12 ADVICE): a raw .persist() here was unreachable from the
+    # memo value, so release_caches() cleared the memo but leaked one
+    # persisted frame per release/rebuild cycle.
+    uniq = dedup_ops._persist(
         filt.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .persist()
     )
     pairs = dedup_ops.minhash_lsh_pairs(uniq.select("doc_id", "text"), _JACCARD_T)
     removed = pairs.select(F.col("b_id").alias("doc_id")).distinct()
