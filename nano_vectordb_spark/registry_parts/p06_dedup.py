@@ -771,18 +771,32 @@ def simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     past ~2^16 docs; measured here: t=3 admits 50 pairs at sf0.001 vs
     901 for 32-bit t=2). Spark generates candidates with the 16-nibble
     band join (exact for hamming <= 15 by pigeonhole); the oracle
-    checks all pairs — identical result sets."""
-    return dedup_ops.simhash64_pairs(
-        load_table(spark, sf_dir, "documents"), _SIMHASH64_T
-    )
+    checks all pairs — identical result sets.
+
+    Memoized per (applicationId, sf_dir) (r13, the minhash_lsh_pairs
+    convention): plan construction runs an eager df.count() to size
+    the banded exchange (the documented n_docs_hint contract), so
+    re-invocation otherwise pays one Spark job + plan build per rep."""
+    key = ("simhash64_pairs", spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = dedup_ops.simhash64_pairs(
+            load_table(spark, sf_dir, "documents"), _SIMHASH64_T
+        )
+    return _INDEX_CACHE[key]
 
 
 @register("simhash_pairs", oracle=_sql_simhash_pairs())
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs at hamming <= 2. Spark generates
     pairs with the 8-nibble band join (exact for hamming <= 7 by
-    pigeonhole); the oracle checks all pairs — identical result sets."""
-    return dedup_ops.simhash_pairs(load_table(spark, sf_dir, "documents"), _SIMHASH_T)
+    pigeonhole); the oracle checks all pairs — identical result sets.
+    Memoized per (applicationId, sf_dir) — see simhash64_pairs."""
+    key = ("simhash_pairs", spark.sparkContext.applicationId, sf_dir)
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = dedup_ops.simhash_pairs(
+            load_table(spark, sf_dir, "documents"), _SIMHASH_T
+        )
+    return _INDEX_CACHE[key]
 
 
 @register(

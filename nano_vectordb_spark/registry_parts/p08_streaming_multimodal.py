@@ -148,19 +148,30 @@ def doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk corpus (each query's own chunk must rank first — asserted in
     tests/test_textops.py). Oracle replays the whole chunk->embed->rank
     pipeline in SQL; scores are exact-rescored folds, so they
-    hash-match the sequential-fold definition."""
+    hash-match the sequential-fold definition.
+
+    r13: the embedded chunk corpus is pinned with a lazy
+    localCheckpoint — it feeds THREE consumers (query prefix, the
+    two-phase scan, the exact rescore), so the chunk->hash-embed
+    pipeline otherwise executed per consumer; the built plan is
+    memoized per (applicationId, sf_dir) because the two-phase build
+    collects its query batch eagerly at construction."""
+    key = ("doc_search", spark.sparkContext.applicationId, sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     chunks = text_ops.chunk_words(docs, _CHUNK_CHARS)
     emb = text_ops.hash_embed(chunks, dim=32).select(
         (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("vec_id"), "embedding"
-    )
+    ).localCheckpoint(eager=False)
     queries = (
         emb.orderBy("vec_id")
         .limit(5)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     two = topk_ops.topk_multi(emb, queries, 5, strategy="two_phase")
-    return topk_ops.exact_rescore(emb, queries, two)
+    _INDEX_CACHE[key] = topk_ops.exact_rescore(emb, queries, two)
+    return _INDEX_CACHE[key]
 
 
 def _oracle_doc_centroids():

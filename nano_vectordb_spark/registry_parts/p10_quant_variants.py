@@ -1119,7 +1119,16 @@ def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescans the base; the blocking only bounds driver/broadcast
     memory). Results union across blocks; self-pairs drop before
     ranking. When exactness can relax, the IVF-blocked plan
-    (doc_search_ivf) replaces the full rescans."""
+    (doc_search_ivf) replaces the full rescans.
+
+    Memoized per (applicationId, sf_dir) (r13): the two-phase block
+    build collects the query batch eagerly at construction (the
+    documented contract) and the entry is consumed both directly and
+    by knn_pagerank — rebuilding it per invocation re-paid that eager
+    work every time."""
+    key = ("knn_self_join", spark.sparkContext.applicationId, sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     n_blocks = max(1, -(-n // topk_ops.MAX_BROADCAST_QUERIES))
@@ -1136,7 +1145,7 @@ def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = res.unionAll(p)
     filtered = res.filter(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
+    _INDEX_CACHE[key] = (
         filtered.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _KNN_JOIN_K)
         .select(
@@ -1146,6 +1155,7 @@ def knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+    return _INDEX_CACHE[key]
 
 
 # --------------------------------------------------------------------------

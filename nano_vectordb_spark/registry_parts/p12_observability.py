@@ -856,7 +856,17 @@ def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap means fusion adds nothing, low overlap means each ranker
     sees docs the other misses. Integer set sizes + one exact IEEE
     division; both pools reuse the proven ranker plans, the overlap is
-    a join of two Q x pool row sets."""
+    a join of two Q x pool row sets.
+
+    r13: both pool frames are pinned with lazy localCheckpoints — each
+    feeds TWO consumers (its size aggregate and the overlap join), so
+    the full BM25 / hash-embed + two-phase pipelines otherwise executed
+    twice per action; the built plan is memoized per (applicationId,
+    sf_dir) because the two-phase build collects its query batch
+    eagerly at construction."""
+    key = ("rankers_agreement", spark.sparkContext.applicationId, sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
     lex = lexical_ops.bm25_search(
         spark, docs, _BM25_QUERIES, k=_RRF_POOL
@@ -872,6 +882,7 @@ def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, chunk_id int, chunk string, chunk_chars int",
     )
     emb = text_ops.hash_embed(units.unionByName(qrows), dim=_EMBED_DIM)
+    emb = emb.localCheckpoint(eager=False)
     demb = emb.filter(F.col("doc_id") >= 0).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
@@ -883,6 +894,8 @@ def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").alias("doc_id"),
     )
+    lex = lex.localCheckpoint(eager=False)
+    sem = sem.localCheckpoint(eager=False)
     l = lex.groupBy("query_id").agg(F.count("*").alias("n_lex"))
     s = sem.groupBy("query_id").agg(F.count("*").alias("n_sem"))
     c = (
@@ -890,7 +903,7 @@ def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    _INDEX_CACHE[key] = (
         l.join(s, "query_id")
         .join(c, "query_id", "left")
         .select(
@@ -908,6 +921,7 @@ def rankers_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    return _INDEX_CACHE[key]
 
 
 @register(

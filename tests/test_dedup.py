@@ -639,3 +639,29 @@ def test_embedding_neardup_pairs_matches_literal_cartesian(spark):
         }
         assert set(got) == set(want)
         assert got == want  # exact-fold scores, not matmul scores
+
+
+def test_minhash_verify_hash_prefilter_is_output_identical(spark, monkeypatch):
+    """r13: above VERIFY_HASH_PREFILTER_MIN_CANDIDATES the verify runs
+    a 64-bit-hash prefilter stage before the exact string verify. The
+    prefilter is provably a superset filter (hash-set intersect >=
+    string-set intersect), so pairs AND jaccard values must be
+    byte-identical with the gate forced on vs forced off."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+
+    def pairs():
+        got = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in dedup.minhash_lsh_pairs(docs, 0.2).collect()
+        }
+        dedup.release_caches()
+        return got
+
+    monkeypatch.setattr(dedup, "VERIFY_HASH_PREFILTER_MIN_CANDIDATES", 0)
+    with_pref = pairs()
+    monkeypatch.setattr(
+        dedup, "VERIFY_HASH_PREFILTER_MIN_CANDIDATES", 1 << 60
+    )
+    without = pairs()
+    assert with_pref == without
+    assert len(without) > 0
