@@ -194,6 +194,170 @@ def _profile_batch(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_PROFILE_COLS)
 
 
+_VOCAB_FLAGS = None  # lazy (vocab_u64 sorted, order, flags matrix)
+
+
+def _vocab_tables():
+    """Sorted u64 little-endian packings of the 44 marker words (all
+    <= 8 ASCII bytes) + their category-flag matrix, for the columnar
+    profile's exact-match lookup. A token's first-8-bytes packing
+    masked to its length equals a word's packing iff the bytes are
+    identical — exact, no hashing."""
+    global _VOCAB_FLAGS
+    if _VOCAB_FLAGS is None:
+        import numpy as np
+
+        words = sorted(_PROFILE_LOOKUP)
+        packed = np.array(
+            [
+                int.from_bytes(w.encode().ljust(8, b"\0"), "little")
+                for w in words
+            ],
+            dtype=np.uint64,
+        )
+        order = np.argsort(packed)
+        flags = np.array(
+            [_PROFILE_LOOKUP[words[i]] for i in order], dtype=np.int64
+        )
+        _VOCAB_FLAGS = (packed[order], flags)
+    return _VOCAB_FLAGS
+
+
+def _profile_arrow(texts):
+    """Columnar twin of _profile_batch (r12 VERDICT item 6): the same
+    8 integer counts computed straight off the Arrow string buffers —
+    no per-row Python string objects, no Counter. ASCII rows (the
+    overwhelming case) run fully vectorized on the UTF-8 byte buffer;
+    non-ASCII rows fall back to the reference row logic verbatim, so
+    output equality with _profile_batch is structural, and is pinned
+    on the adversarial fixture in tests/test_text_fast.py."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    cols = {c: np.zeros(n, dtype=np.int64) for c in _PROFILE_COLS}
+    if n:
+        valid = ~np.asarray(texts.is_null())
+        is_ascii = np.asarray(
+            pc.fill_null(pc.string_is_ascii(texts), False)
+        )
+        fast = valid & is_ascii
+        bufs = texts.buffers()
+        off0 = texts.offset
+        odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+        o_all = np.frombuffer(bufs[1], dtype=odt)[off0 : off0 + n + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] else np.zeros(0, np.uint8)
+        base = int(o_all[0])
+        o = (o_all.astype(np.int64) - base)
+        seg = data[base : int(o_all[-1])]
+
+        # per-byte masks over the batch's contiguous text bytes
+        lower_lut = np.arange(256, dtype=np.uint8)
+        lower_lut[65:91] += 32
+        low = lower_lut[seg]
+        keep_lut = np.zeros(256, dtype=bool)
+        for ch in _KEEP_CHARS:
+            keep_lut[ord(ch)] = True
+        t = seg != 0x20  # non-space: token bytes (split on ' ' exactly)
+        nonempty = o[:-1] != o[1:]
+        row_first = o[:-1][nonempty]
+        row_last = (o[1:] - 1)[nonempty]
+        prev_t = np.concatenate([[False], t[:-1]])
+        prev_t[row_first] = False  # a token never continues across rows
+        starts = t & ~prev_t
+        next_t = np.concatenate([t[1:], [False]])
+        next_t[row_last] = False
+        ends = t & ~next_t
+
+        def row_sums(mask):
+            # per-row sums of a per-byte 0/1 mask WITHOUT a global
+            # cumsum (np.cumsum over bool/int8 measured pathologically
+            # slow — ~100 ns/elem); np.add.reduceat is ~50x faster,
+            # with explicit fix-ups for its empty-segment semantics
+            # (an empty segment yields vals[idx] instead of 0)
+            vals = mask.astype(np.int32)
+            if len(vals) == 0:
+                return np.zeros(n, dtype=np.int64)
+            idx = np.minimum(o[:-1], len(vals) - 1)
+            res = np.add.reduceat(vals, idx).astype(np.int64)
+            res[~nonempty] = 0
+            return res
+
+        n_chars = (o[1:] - o[:-1]).astype(np.int64)
+        n_tokens = row_sums(starts)
+        n_keep = row_sums(keep_lut[low])
+
+        # marker hits: pack each token's first 8 bytes (length-masked)
+        # and exact-match against the 44-word vocabulary
+        s_idx = np.nonzero(starts)[0]
+        e_idx = np.nonzero(ends)[0]
+        lens = e_idx - s_idx + 1
+        pad = np.concatenate([seg, np.zeros(8, np.uint8)])
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        g = sliding_window_view(pad, 8)[s_idx]
+        tok64 = np.ascontiguousarray(g).view(np.uint64).ravel()
+        small = lens < 8
+        m = np.full(len(s_idx), np.uint64(0xFFFFFFFFFFFFFFFF))
+        m[small] = (
+            np.uint64(1) << (lens[small].astype(np.uint64) * np.uint64(8))
+        ) - np.uint64(1)
+        tok64 = tok64 & m
+        tok64[lens > 8] = np.uint64(0xFFFFFFFFFFFFFFFF)  # can't be a word
+        vocab, flags = _vocab_tables()
+        pos = np.searchsorted(vocab, tok64)
+        pos_c = np.minimum(pos, len(vocab) - 1)
+        hit = vocab[pos_c] == tok64
+        tok_row = np.searchsorted(o, s_idx, side="right") - 1
+        hit_rows = tok_row[hit]
+        hit_flags = flags[pos_c[hit]]
+        for ci, name in enumerate(("sw", "en", "de", "es", "fr")):
+            sel = hit_rows[hit_flags[:, ci] > 0]
+            if len(sel):
+                cols[f"{name}_hits"] += np.bincount(sel, minlength=n)
+
+        cols["n_tokens"][:] = np.where(fast, n_tokens, 0)
+        cols["n_chars"][:] = np.where(fast, n_chars, 0)
+        cols["n_punct"][:] = np.where(fast, n_chars - n_keep, 0)
+        for name in ("sw", "en", "de", "es", "fr"):
+            cols[f"{name}_hits"] = np.where(fast, cols[f"{name}_hits"], 0)
+
+        # non-ASCII rows: the reference row logic verbatim
+        slow = np.nonzero(valid & ~is_ascii)[0]
+        if len(slow):
+            look = _PROFILE_LOOKUP
+            for i in slow:
+                text = texts[int(i)].as_py()
+                parts = text.split(" ")
+                from collections import Counter as _Counter
+
+                c = _Counter(parts)
+                nt = len(parts) - c.get("", 0)
+                sw = en = de = es = fr = 0
+                for w, (s_, e_, d_, x_, f_) in look.items():
+                    k = c.get(w)
+                    if k:
+                        sw += s_ * k
+                        en += e_ * k
+                        de += d_ * k
+                        es += x_ * k
+                        fr += f_ * k
+                lowt = text.lower()
+                vals = (
+                    nt, sw, en, de, es, fr,
+                    len(lowt), len(lowt.translate(_PUNCT_DELETE_TABLE)),
+                )
+                for cname, v in zip(_PROFILE_COLS, vals):
+                    cols[cname][i] = v
+    return pa.StructArray.from_arrays(
+        [pa.array(cols[c], type=pa.int32()) for c in _PROFILE_COLS],
+        names=_PROFILE_COLS,
+    )
+
+
 def token_profile_udf():
     """The Arrow-batched token/char profile: struct of the 8 integer
     counts every quality/lang score derives from. Marked
@@ -201,8 +365,28 @@ def token_profile_udf():
     supported way to stop CollapseProject/PushDownPredicates from
     substituting the UDF into downstream filters — without it a
     scored-then-filtered plan carries TWO ArrowEvalPython nodes and
-    pays the profile pass twice (plan-pinned in tests/test_plans.py)."""
-    return pandas_udf(_profile_batch, PROFILE_SCHEMA).asNondeterministic()
+    pays the profile pass twice (plan-pinned in tests/test_text_fast.py).
+
+    r13: the default implementation is the COLUMNAR arrow_udf
+    (_profile_arrow — Spark 4.1's Arrow-native scalar UDF), which
+    works straight off the Arrow string buffers and skips the
+    per-row Python string materialization the pandas path paid (the
+    r12-measured residual of the 2M-doc profile pass). _profile_batch
+    stays as the parity reference; equality is pinned on adversarial
+    fixtures (Unicode special-casing, nulls, batch splits) in
+    tests/test_text_fast.py. Set TOKEN_PROFILE_IMPL="pandas" to force
+    the reference path."""
+    if TOKEN_PROFILE_IMPL == "pandas":
+        return pandas_udf(_profile_batch, PROFILE_SCHEMA).asNondeterministic()
+    from pyspark.sql.functions import arrow_udf
+
+    return arrow_udf(_profile_arrow, PROFILE_SCHEMA).asNondeterministic()
+
+
+# "arrow" (default) = _profile_arrow columnar path; "pandas" = the
+# _profile_batch reference (the r12 implementation, kept for parity
+# pinning and as the escape hatch).
+TOKEN_PROFILE_IMPL = "arrow"
 
 
 def scored_docs(df: DataFrame, text_col: str = "text") -> DataFrame:
